@@ -1,0 +1,57 @@
+"""SparkSession factory tuned for the log-pipeline workload.
+
+Scale posture (100 TB / 1000 executors): AQE on for runtime
+coalescing + skew-split of the recombine/aggregate shuffles, shuffle
+partitions sized to cores locally (cluster deployments override via
+spark-submit conf), Arrow enabled for the few pandas-UDF paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONFS = {
+    # AQE: runtime partition coalescing + skew-join splitting (north rule:
+    # skewed conv_id hot partitions; SURVEY.md section 4 "Skew" row).
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow transfer for pandas UDFs and toPandas.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Keep timestamps deterministic across engines/oracles.
+    "spark.sql.session.timeZone": "UTC",
+    # Partial-aggregation pushdown is default; make file split size explicit
+    # so a 100 TB scan yields ~128MB tasks rather than a few giant ones.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    "spark.sql.shuffle.partitions": "32",
+    # Loose string-to-timestamp etc. (OTTL ignore-mode default); operators
+    # that need strictness use try_* / explicit casts instead of ANSI mode.
+    "spark.sql.ansi.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "otel-log-pipeline",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
+    for sandbox runs; on a real cluster pass ``None`` with spark-submit
+    providing the master.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    confs = dict(DEFAULT_CONFS)
+    if extra_conf:
+        confs.update(extra_conf)
+    for k, v in confs.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
