@@ -1,0 +1,119 @@
+"""LogRecord envelope: the fixed top-level row schema.
+
+Mirrors stanza ``entry.Entry`` / pdata ``plog.LogRecord``
+(reference: pkg/stanza/entry/entry.go:14-26) as a columnar Spark
+schema (SURVEY.md section 1.4). Free-form metadata lives in
+``attributes``/``resource`` MAP<STRING,STRING> columns; hot keys
+should be promoted to real columns so Catalyst can prune/push down.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+ENVELOPE_SCHEMA = StructType(
+    [
+        StructField("ts", TimestampType()),          # entry.Timestamp
+        StructField("observed_ts", TimestampType()),  # entry.ObservedTimestamp
+        StructField("body", StringType()),
+        StructField("attributes", MapType(StringType(), StringType())),
+        StructField("resource", MapType(StringType(), StringType())),
+        StructField("severity_text", StringType()),
+        StructField("severity_number", IntegerType()),
+        StructField("trace_id", BinaryType()),
+        StructField("span_id", BinaryType()),
+        StructField("scope", StringType()),
+    ]
+)
+
+
+def transcripts_to_envelope(df: DataFrame) -> DataFrame:
+    """Map the transcript payload into the envelope (SURVEY.md 1.4 table):
+    text->body, (role, tool)->attributes, conv_id/turn_idx->resource."""
+    return df.select(
+        F.col("ts"),
+        F.current_timestamp().alias("observed_ts"),
+        F.col("text").alias("body"),
+        F.map_from_arrays(
+            F.array(F.lit("role"), F.lit("tool")),
+            F.array(F.col("role"), F.col("tool")),
+        ).alias("attributes"),
+        F.map_from_arrays(
+            F.array(F.lit("conv_id"), F.lit("turn_idx")),
+            F.array(F.col("conv_id"), F.col("turn_idx").cast("string")),
+        ).alias("resource"),
+        F.lit(None).cast("string").alias("severity_text"),
+        F.lit(None).cast("int").alias("severity_number"),
+        F.lit(None).cast("binary").alias("trace_id"),
+        F.lit(None).cast("binary").alias("span_id"),
+        F.lit(None).cast("string").alias("scope"),
+    )
+
+
+# --- entry field-path language (entry.go:52-64, field.go) ------------------
+# Paths: "body", "body.x.y" (struct body), "attributes.k" / attributes["k"],
+# "resource.k", or any plain top-level column name.
+
+
+def _split(path: str) -> list[str]:
+    return path.replace('["', ".").replace('"]', "").replace("['", ".").replace(
+        "']", ""
+    ).split(".")
+
+
+def field_get(path: str) -> Column:
+    """Resolve an entry field path to a Column (Get semantics)."""
+    parts = _split(path)
+    head = parts[0]
+    if head in ("attributes", "resource") and len(parts) > 1:
+        col = F.col(head)
+        for key in parts[1:]:
+            col = F.element_at(col, key) if isinstance(key, str) else col[key]
+        return col
+    col = F.col(head)
+    for key in parts[1:]:
+        col = col.getField(key)
+    return col
+
+
+def field_set(df: DataFrame, path: str, value: Column) -> DataFrame:
+    """Set an entry field path (Set semantics). Map fields upsert the key
+    (filter-then-concat so it is independent of mapKeyDedupPolicy)."""
+    parts = _split(path)
+    head = parts[0]
+    if head in ("attributes", "resource") and len(parts) > 1:
+        if len(parts) != 2:
+            raise ValueError(f"nested map path not supported: {path}")
+        key = parts[1]
+        existing = F.coalesce(
+            F.col(head), F.from_json(F.lit("{}"), "map<string,string>")
+        )
+        cleaned = F.map_filter(existing, lambda k, _: k != F.lit(key))
+        updated = F.map_concat(cleaned, F.create_map(F.lit(key), value.cast("string")))
+        return df.withColumn(head, updated)
+    if len(parts) == 1:
+        return df.withColumn(head, value)
+    raise ValueError(f"cannot set nested non-map path: {path}")
+
+
+def field_delete(df: DataFrame, path: str) -> DataFrame:
+    parts = _split(path)
+    head = parts[0]
+    if head in ("attributes", "resource") and len(parts) == 2:
+        key = parts[1]
+        return df.withColumn(
+            head, F.map_filter(F.col(head), lambda k, _: k != F.lit(key))
+        )
+    if len(parts) == 1:
+        return df.drop(head)
+    raise ValueError(f"cannot delete path: {path}")

@@ -1,0 +1,26 @@
+from .base import Operator, chain  # noqa: F401
+from .parsers import (  # noqa: F401
+    CsvParser,
+    JsonArrayParser,
+    JsonParser,
+    KeyValueParser,
+    RegexParser,
+    SeverityParser,
+    TimeParser,
+    TraceParser,
+    UriParser,
+)
+from .recombine import Recombine  # noqa: F401
+from .transformers import (  # noqa: F401
+    Add,
+    AssignKeys,
+    Copy,
+    Filter,
+    Flatten,
+    Move,
+    Noop,
+    Remove,
+    Retain,
+    Router,
+    Unquote,
+)

@@ -1,0 +1,395 @@
+"""Parse operators (stanza parser semantics, SURVEY.md section 2.2).
+
+Shared contract (reference pkg/stanza/operator/helper/parser.go):
+read ``parse_from`` (default ``body``), write parsed fields to
+``parse_to`` (here: ``None`` = promote to top-level columns — the
+columnar fast path — or ``"attributes"`` to upsert into the map),
+optional ``if`` guard, ``on_error: send|drop`` handling.
+
+Every parser compiles to built-in Column expressions (regexp_extract,
+from_json, from_csv, str_to_map, to_timestamp, ...) so parse runs
+inside whole-stage codegen; there is no Python in the row path.
+"""
+
+from __future__ import annotations
+
+import re as _re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..envelope import field_get
+from .base import apply_on_error
+
+
+def _write_groups(
+    df: DataFrame, values: dict[str, Column], parse_to: str | None
+) -> DataFrame:
+    if parse_to is None:
+        return df.withColumns(values)
+    if parse_to in ("attributes", "resource"):
+        existing = F.coalesce(
+            F.col(parse_to), F.from_json(F.lit("{}"), "map<string,string>")
+        )
+        keys = list(values)
+        cleaned = F.map_filter(existing, lambda k, _: ~k.isin(keys))
+        entries = F.create_map(
+            *[x for k in keys for x in (F.lit(k), values[k].cast("string"))]
+        )
+        # keep map-typed target null-safe: only add entries whose value is set
+        merged = F.map_concat(
+            cleaned, F.map_filter(entries, lambda _, v: v.isNotNull())
+        )
+        return df.withColumn(parse_to, merged)
+    raise ValueError(f"unsupported parse_to: {parse_to}")
+
+
+@dataclass
+class RegexParser:
+    """Named-capture regex extraction.
+
+    Reference: pkg/stanza/operator/parser/regex/parser.go:30-63 — match
+    ``parse_from`` against the pattern; each named group becomes a key;
+    no-match is a parse error (on_error applies). Accepts Python
+    ``(?P<name>...)`` or Java ``(?<name>...)`` group syntax.
+
+    Spark plan: one ``rlike`` success flag + one ``regexp_extract`` per
+    group (Catalyst CSE folds the repeated match in codegen).
+    """
+
+    pattern: str
+    parse_from: str = "body"
+    parse_to: str | None = None
+    on_error: str = "send"
+    if_expr: str | None = None
+
+    def __post_init__(self):
+        py_pattern = self.pattern.replace("(?<", "(?P<").replace("(?P<=", "(?<=").replace("(?P<!", "(?<!")
+        compiled = _re.compile(py_pattern)
+        if not compiled.groupindex:
+            raise ValueError("regex pattern must contain named capture groups")
+        self._groups = dict(compiled.groupindex)  # name -> index
+        # JVM group names disallow '_' etc. — strip names, extract by index
+        # (keeps lookbehind (?<= / (?<! intact)
+        self._jvm_pattern = _re.sub(r"\(\?P?<(?![=!])[^>]*>", "(", self.pattern)
+
+    # group-value separator for the single-pass extraction; control chars
+    # are vanishingly rare in log text (documented limitation)
+    _SEP = "\x1d\x1e"
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        src = field_get(self.parse_from)
+        ok = src.rlike(self._jvm_pattern)
+        if self.if_expr is not None:
+            ok = ok & F.expr(self.if_expr)
+        if len(self._groups) > 2:
+            # single-pass: 2 regex executions per row total (rlike +
+            # regexp_replace) instead of 2 per group — the wrapper
+            # (?s)^.*?(?:PAT).*$ rewrites the whole string to the joined
+            # group values without disturbing group numbering
+            wrapped = f"(?s)^.*?(?:{self._jvm_pattern}).*$"
+            repl = self._SEP.join(f"${i}" for i in self._groups.values())
+            arr = F.split(F.regexp_replace(src, wrapped, repl), self._SEP)
+            values = {
+                name: F.when(ok, F.element_at(arr, pos + 1))
+                for pos, name in enumerate(self._groups)
+            }
+        else:
+            values = {
+                name: F.when(ok, F.regexp_extract(src, self._jvm_pattern, idx))
+                for name, idx in self._groups.items()
+            }
+        out = _write_groups(df, values, self.parse_to)
+        return apply_on_error(out, src.rlike(self._jvm_pattern), self.on_error, self.if_expr)
+
+
+@dataclass
+class JsonParser:
+    """JSON string -> struct/map (parser/json/parser.go:23-40).
+    ``schema=None`` parses to MAP<STRING,STRING> (schema-flexible like the
+    reference); pass a DDL string for a typed struct (columnar fast path)."""
+
+    parse_from: str = "body"
+    parse_to: str | None = None
+    schema: str | None = None
+    on_error: str = "send"
+    if_expr: str | None = None
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        src = field_get(self.parse_from)
+        ddl = self.schema or "map<string,string>"
+        parsed = F.from_json(src, ddl)
+        ok = parsed.isNotNull()
+        if self.parse_to is None and self.schema is not None:
+            out = df.withColumn("parsed", parsed).select("*", "parsed.*").drop("parsed")
+        elif self.parse_to is None:
+            out = df.withColumn("parsed", parsed)
+        else:
+            out = df.withColumn(self.parse_to, parsed)
+        return apply_on_error(out, ok, self.on_error, self.if_expr)
+
+
+@dataclass
+class CsvParser:
+    """Delimited text -> named fields (parser/csv/parser.go:18-107)."""
+
+    header: list[str] = field(default_factory=list)
+    delimiter: str = ","
+    parse_from: str = "body"
+    parse_to: str | None = None
+    on_error: str = "send"
+    if_expr: str | None = None
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        src = field_get(self.parse_from)
+        ddl = ", ".join(f"`{h}` string" for h in self.header)
+        parsed = F.from_csv(src, ddl, {"sep": self.delimiter})
+        ok = parsed.isNotNull()
+        values = {h: parsed.getField(h) for h in self.header}
+        out = _write_groups(df, values, self.parse_to)
+        return apply_on_error(out, ok, self.on_error, self.if_expr)
+
+
+@dataclass
+class KeyValueParser:
+    """k=v pair extraction (parser/keyvalue/parser.go:23-48).
+
+    ``strict=True`` is str_to_map over the whole string (every token must
+    be a pair); default lenient mode extracts embedded ``k<delim>v`` pairs
+    from free text (regexp_extract_all -> map_from_entries).
+    """
+
+    delimiter: str = "="
+    pair_delimiter: str = " "
+    parse_from: str = "body"
+    parse_to: str | None = "attributes"
+    keys: list[str] | None = None  # with parse_to=None: which keys -> columns
+    strict: bool = False
+    on_error: str = "send"
+    if_expr: str | None = None
+
+    def _pairs(self, src: Column) -> Column:
+        if self.strict:
+            return F.str_to_map(src, F.lit(self.pair_delimiter), F.lit(self.delimiter))
+        d = _re.escape(self.delimiter)
+        pat = rf"([A-Za-z0-9_.\-]+){d}(\S+)"
+        return F.map_from_arrays(
+            F.regexp_extract_all(src, F.lit(pat), F.lit(1)),
+            F.regexp_extract_all(src, F.lit(pat), F.lit(2)),
+        )
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        src = field_get(self.parse_from)
+        pairs = self._pairs(src)
+        ok = F.size(pairs) > 0
+        if self.parse_to is None:
+            keys = self.keys or []
+            values = {k: F.element_at(pairs, k) for k in keys}
+            out = _write_groups(df, values, None)
+        elif self.parse_to in ("attributes", "resource"):
+            existing = F.coalesce(
+                F.col(self.parse_to), F.from_json(F.lit("{}"), "map<string,string>")
+            )
+            parsed_keys = F.map_keys(pairs)
+            cleaned = F.map_filter(
+                existing, lambda k, _: ~F.array_contains(parsed_keys, k)
+            )
+            out = df.withColumn(
+                self.parse_to,
+                F.when(ok, F.map_concat(cleaned, pairs)).otherwise(F.col(self.parse_to)),
+            )
+        else:
+            out = df.withColumn(self.parse_to, pairs)
+        return apply_on_error(out, ok, self.on_error, self.if_expr)
+
+
+# strptime ctime directive -> JVM DateTimeFormatter pattern
+# (reference time layouts: pkg/stanza/operator/helper/time.go:19-76)
+_STRPTIME = {
+    "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd", "%e": "d",
+    "%H": "HH", "%I": "hh", "%M": "mm", "%S": "ss", "%f": "SSSSSS",
+    "%L": "SSS", "%s": "SSS", "%j": "DDD", "%p": "a", "%z": "Z",
+    "%Z": "zz", "%b": "MMM", "%B": "MMMM", "%a": "EEE", "%A": "EEEE",
+    "%T": "HH:mm:ss",
+}
+
+
+def strptime_to_jvm(layout: str) -> str:
+    out = []
+    i = 0
+    while i < len(layout):
+        if layout[i] == "%" and i + 1 < len(layout):
+            tok = layout[i : i + 2]
+            if tok == "%%":
+                out.append("%")
+            elif tok in _STRPTIME:
+                out.append(_STRPTIME[tok])
+            else:
+                raise ValueError(f"unsupported strptime directive {tok}")
+            i += 2
+        elif layout[i].isalpha():
+            out.append(f"'{layout[i]}'")
+            i += 1
+        else:
+            out.append(layout[i])
+            i += 1
+    return "".join(out)
+
+
+@dataclass
+class TimeParser:
+    """Event-time parsing (helper/time.go, parser/time/parser.go).
+
+    layout_type: ``strptime`` (ctime directives, translated to a JVM
+    pattern), ``spark`` (raw JVM pattern), ``epoch`` with layout one of
+    s|ms|us|ns. Writes ``ts`` (entry.Timestamp) by default.
+    """
+
+    layout: str = "%Y-%m-%dT%H:%M:%S"
+    layout_type: str = "strptime"
+    parse_from: str = "body"
+    to_field: str = "ts"
+    on_error: str = "send"
+    if_expr: str | None = None
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        src = field_get(self.parse_from)
+        if self.layout_type == "epoch":
+            num = src.cast("long")
+            parsed = {
+                "s": F.timestamp_seconds(num),
+                "ms": F.timestamp_millis(num),
+                "us": F.timestamp_micros(num),
+                "ns": F.timestamp_micros((num / 1000).cast("long")),
+            }[self.layout]
+        else:
+            fmt = (
+                strptime_to_jvm(self.layout)
+                if self.layout_type == "strptime"
+                else self.layout
+            )
+            parsed = F.try_to_timestamp(src, F.lit(fmt))
+        ok = parsed.isNotNull()
+        guard = ok if self.if_expr is None else (ok & F.expr(self.if_expr))
+        existing = F.col(self.to_field) if self.to_field in df.columns else F.lit(None).cast("timestamp")
+        out = df.withColumn(self.to_field, F.when(guard, parsed).otherwise(existing))
+        return apply_on_error(out, ok, self.on_error, self.if_expr)
+
+
+# OTel severity enum (pkg/stanza/entry/severity.go:10-52)
+SEVERITY_NUMBERS = {
+    "trace": 1, "trace2": 2, "trace3": 3, "trace4": 4,
+    "debug": 5, "debug2": 6, "debug3": 7, "debug4": 8,
+    "info": 9, "info2": 10, "info3": 11, "info4": 12,
+    "warn": 13, "warn2": 14, "warn3": 15, "warn4": 16,
+    "error": 17, "error2": 18, "error3": 19, "error4": 20,
+    "fatal": 21, "fatal2": 22, "fatal3": 23, "fatal4": 24,
+}
+# default text aliases (stanza severity presets)
+SEVERITY_ALIASES = {
+    "trace": "trace", "debug": "debug", "info": "info",
+    "information": "info", "notice": "info2",
+    "warn": "warn", "warning": "warn",
+    "err": "error", "error": "error",
+    "crit": "fatal", "critical": "fatal", "fatal": "fatal",
+    "alert": "fatal2", "emerg": "fatal3", "emergency": "fatal3",
+    "panic": "fatal4",
+}
+SEVERITY_TEXT = {
+    1: "TRACE", 5: "DEBUG", 9: "INFO", 10: "INFO2", 13: "WARN",
+    17: "ERROR", 21: "FATAL", 22: "FATAL2", 23: "FATAL3", 24: "FATAL4",
+}
+
+
+@dataclass
+class SeverityParser:
+    """Text -> (severity_number, severity_text)
+    (pkg/stanza/operator/helper/severity.go; enum entry/severity.go:10-52).
+    Compiles the alias table into one CASE expression."""
+
+    parse_from: str = "severity_text"
+    mapping: dict[str, str] = field(default_factory=lambda: dict(SEVERITY_ALIASES))
+    on_error: str = "send"
+    if_expr: str | None = None
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        src = F.lower(field_get(self.parse_from))
+        num = F.lit(None).cast("int")
+        expr = None
+        for alias, name in self.mapping.items():
+            n = SEVERITY_NUMBERS[name]
+            cond = src == alias.lower()
+            expr = F.when(cond, n) if expr is None else expr.when(cond, n)
+        num = expr.otherwise(F.lit(0))  # Default severity = 0
+        canonical = None
+        for n, txt in SEVERITY_TEXT.items():
+            c = num == n
+            canonical = F.when(c, txt) if canonical is None else canonical.when(c, txt)
+        canonical = canonical.otherwise(F.upper(field_get(self.parse_from)))
+        ok = num != 0
+        out = df.withColumn("severity_number", num).withColumn(
+            "severity_text", canonical
+        )
+        return apply_on_error(out, ok, self.on_error, self.if_expr)
+
+
+@dataclass
+class TraceParser:
+    """Hex trace/span ids -> binary (parser/trace/parser.go)."""
+
+    trace_from: str | None = None
+    span_from: str | None = None
+    flags_from: str | None = None
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        if self.trace_from:
+            df = df.withColumn("trace_id", F.unhex(field_get(self.trace_from)))
+        if self.span_from:
+            df = df.withColumn("span_id", F.unhex(field_get(self.span_from)))
+        if self.flags_from:
+            df = df.withColumn("trace_flags", F.unhex(field_get(self.flags_from)))
+        return df
+
+
+@dataclass
+class UriParser:
+    """URI -> components (parser/uri/parser.go:36-48) via parse_url."""
+
+    parse_from: str = "body"
+    parse_to: str | None = None
+    prefix: str = ""
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        src = field_get(self.parse_from)
+        p = self.prefix
+        values = {
+            f"{p}scheme": F.lower(F.parse_url(src, F.lit("PROTOCOL"))),
+            f"{p}host": F.parse_url(src, F.lit("HOST")),
+            f"{p}path": F.parse_url(src, F.lit("PATH")),
+            f"{p}query": F.parse_url(src, F.lit("QUERY")),
+        }
+        return _write_groups(df, values, self.parse_to)
+
+
+@dataclass
+class JsonArrayParser:
+    """JSON array string -> array column, optionally zipped with header
+    names into columns (parser/jsonarray/parser.go:25-125)."""
+
+    parse_from: str = "body"
+    parse_to: str = "parsed"
+    header: list[str] | None = None
+    on_error: str = "send"
+    if_expr: str | None = None
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        src = field_get(self.parse_from)
+        arr = F.from_json(src, "array<string>")
+        ok = arr.isNotNull()
+        if self.header:
+            values = {h: F.element_at(arr, i + 1) for i, h in enumerate(self.header)}
+            out = _write_groups(df, values, None)
+        else:
+            out = df.withColumn(self.parse_to, arr)
+        return apply_on_error(out, ok, self.on_error, self.if_expr)

@@ -1,0 +1,171 @@
+"""Table-driven parser tests (model: reference operator unit tests,
+e.g. pkg/stanza/operator/parser/regex/parser_test.go)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators import (
+    CsvParser,
+    JsonArrayParser,
+    JsonParser,
+    KeyValueParser,
+    RegexParser,
+    SeverityParser,
+    TimeParser,
+    TraceParser,
+    UriParser,
+)
+from opentelemetry_collector_contrib_spark.operators.parsers import strptime_to_jvm
+
+LINE = "at=2024-01-01T02:22:23 ERROR [bash] evt=error code=4 dur_ms=29 k=76"
+BAD = "garbled error !!"
+PATTERN = (
+    r"^at=(?P<at>\S+) (?P<level>[A-Z]+) \[(?P<tool_name>\w+)\] "
+    r"evt=(?P<evt>\w+) code=(?P<code>\d+) dur_ms=(?P<dur_ms>\d+) k=(?P<k>\d+)$"
+)
+
+
+@pytest.fixture(scope="module")
+def lines(spark):
+    return spark.createDataFrame([(1, LINE), (2, BAD)], "id int, body string")
+
+
+def test_regex_named_groups_send(lines):
+    out = RegexParser(PATTERN, on_error="send")(lines).orderBy("id").collect()
+    assert len(out) == 2  # send keeps the malformed row
+    assert out[0]["level"] == "ERROR" and out[0]["code"] == "4"
+    assert out[0]["tool_name"] == "bash" and out[0]["dur_ms"] == "29"
+    assert out[1]["level"] is None  # unparsed row passes through unmodified
+
+
+def test_regex_drop(lines):
+    out = RegexParser(PATTERN, on_error="drop")(lines).collect()
+    assert len(out) == 1 and out[0]["id"] == 1
+
+
+def test_regex_if_guard_excludes_rows_from_drop(lines):
+    # rows excluded by `if` are NOT parse failures -> survive drop mode
+    out = RegexParser(PATTERN, on_error="drop", if_expr="id = 1")(lines).collect()
+    assert {r["id"] for r in out} == {1, 2}
+    by_id = {r["id"]: r for r in out}
+    assert by_id[1]["level"] == "ERROR" and by_id[2]["level"] is None
+
+
+def test_regex_parse_to_attributes(spark):
+    df = spark.createDataFrame(
+        [(LINE, {"pre": "x"})], "body string, attributes map<string,string>"
+    )
+    out = RegexParser(PATTERN, parse_to="attributes")(df).collect()[0]
+    assert out["attributes"]["level"] == "ERROR"
+    assert out["attributes"]["pre"] == "x"  # existing keys preserved
+
+
+def test_regex_requires_named_groups():
+    with pytest.raises(ValueError):
+        RegexParser(r"(\d+)")
+
+
+def test_regex_java_group_syntax(lines):
+    out = RegexParser(r"(?<level>[A-Z]{4,5}) ")(lines).orderBy("id").collect()
+    assert out[0]["level"] == "ERROR"
+
+
+def test_json_parser_map_and_schema(spark):
+    df = spark.createDataFrame(
+        [(1, '{"a": "x", "b": 2}'), (2, "not json")], "id int, body string"
+    )
+    out = JsonParser(parse_to="parsed")(df).orderBy("id").collect()
+    assert out[0]["parsed"]["a"] == "x" and out[1]["parsed"] is None
+    typed = JsonParser(schema="a string, b int")(df).orderBy("id").collect()
+    assert typed[0]["b"] == 2
+    dropped = JsonParser(parse_to="parsed", on_error="drop")(df).collect()
+    assert len(dropped) == 1
+
+
+def test_csv_parser(spark):
+    df = spark.createDataFrame([("a,1,z",)], "body string")
+    out = CsvParser(header=["x", "y", "z"])(df).collect()[0]
+    assert (out["x"], out["y"], out["z"]) == ("a", "1", "z")
+
+
+def test_kv_parser_lenient_extracts_embedded_pairs(lines):
+    out = KeyValueParser(parse_to=None, keys=["code", "dur_ms"])(lines).orderBy("id").collect()
+    assert out[0]["code"] == "4" and out[0]["dur_ms"] == "29"
+    assert out[1]["code"] is None
+
+
+def test_kv_parser_to_attributes(spark):
+    df = spark.createDataFrame(
+        [(LINE, {"code": "old", "keep": "1"})],
+        "body string, attributes map<string,string>",
+    )
+    out = KeyValueParser()(df).collect()[0]
+    assert out["attributes"]["code"] == "4"  # upserted
+    assert out["attributes"]["keep"] == "1"
+
+
+def test_kv_parser_strict(spark):
+    df = spark.createDataFrame([("a=1 b=2",)], "body string")
+    out = KeyValueParser(strict=True, parse_to="m")(df).collect()[0]
+    assert out["m"] == {"a": "1", "b": "2"}
+
+
+def test_strptime_translation():
+    assert strptime_to_jvm("%Y-%m-%dT%H:%M:%S") == "yyyy-MM-dd'T'HH:mm:ss"
+    assert strptime_to_jvm("%b %e %H:%M:%S") == "MMM d HH:mm:ss"
+    with pytest.raises(ValueError):
+        strptime_to_jvm("%Q")
+
+
+def test_time_parser_strptime(spark):
+    df = spark.createDataFrame([(1, "2024-03-05T10:11:12"), (2, "nope")], "id int, t string")
+    out = TimeParser(parse_from="t", on_error="send")(df).orderBy("id").collect()
+    assert out[0]["ts"] == datetime.datetime(2024, 3, 5, 10, 11, 12)
+    assert out[1]["ts"] is None
+    assert len(TimeParser(parse_from="t", on_error="drop")(df).collect()) == 1
+
+
+def test_time_parser_epoch(spark):
+    df = spark.createDataFrame([("1704067200",)], "t string")
+    for layout, val in [("s", 1704067200), ("ms", 1704067.2)]:
+        pass
+    out = TimeParser(parse_from="t", layout="s", layout_type="epoch")(df).collect()[0]
+    assert out["ts"] == datetime.datetime(2024, 1, 1, 0, 0)
+
+
+def test_severity_parser(spark):
+    df = spark.createDataFrame(
+        [(1, "err"), (2, "WARNING"), (3, "bogus")], "id int, severity_text string"
+    )
+    out = SeverityParser()(df).orderBy("id").collect()
+    assert (out[0]["severity_number"], out[0]["severity_text"]) == (17, "ERROR")
+    assert (out[1]["severity_number"], out[1]["severity_text"]) == (13, "WARN")
+    assert (out[2]["severity_number"], out[2]["severity_text"]) == (0, "BOGUS")
+
+
+def test_trace_parser(spark):
+    df = spark.createDataFrame([("0102ab", "ff01")], "t string, s string")
+    out = TraceParser(trace_from="t", span_from="s")(df).collect()[0]
+    assert out["trace_id"] == bytearray(b"\x01\x02\xab")
+    assert out["span_id"] == bytearray(b"\xff\x01")
+
+
+def test_uri_parser(spark):
+    df = spark.createDataFrame(
+        [("https://example.com:8080/a/b?x=1&y=2",)], "body string"
+    )
+    out = UriParser()(df).collect()[0]
+    assert out["scheme"] == "https"
+    assert out["host"] == "example.com"
+    assert out["path"] == "/a/b"
+    assert out["query"] == "x=1&y=2"
+
+
+def test_json_array_parser(spark):
+    df = spark.createDataFrame([('["a","b","c"]',)], "body string")
+    out = JsonArrayParser(header=["one", "two", "three"])(df).collect()[0]
+    assert (out["one"], out["two"], out["three"]) == ("a", "b", "c")
