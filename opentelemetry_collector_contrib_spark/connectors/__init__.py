@@ -1,0 +1,2 @@
+from .count import CountConnector, MetricDef  # noqa: F401
+from .routing import RoutingConnector, Route  # noqa: F401

@@ -99,7 +99,11 @@ def field_set(df: DataFrame, path: str, value: Column) -> DataFrame:
             F.col(head), F.from_json(F.lit("{}"), "map<string,string>")
         )
         cleaned = F.map_filter(existing, lambda k, _: k != F.lit(key))
-        updated = F.map_concat(cleaned, F.create_map(F.lit(key), value.cast("string")))
+        entry = F.create_map(F.lit(key), value.cast("string"))
+        # null value = key absent (map semantics parity with pdata maps)
+        updated = F.map_concat(
+            cleaned, F.map_filter(entry, lambda _, v: v.isNotNull())
+        )
         return df.withColumn(head, updated)
     if len(parts) == 1:
         return df.withColumn(head, value)

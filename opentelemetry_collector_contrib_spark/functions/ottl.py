@@ -1,0 +1,413 @@
+"""OTTL-lite compiler: statement strings -> DataFrame transformations.
+
+Lifecycle mirror of the reference (SURVEY.md 3.2): parse once on the
+driver (ast.py), bind the editor name to a factory (registry.py),
+resolve paths through the log context namespace
+(pkg/ottl/contexts/ottllog/log.go:201-252: time, severity_*, body,
+attributes, resource, cache), then hand the resulting Column AST to
+Catalyst. ``where`` clauses become ``F.when`` guards; mixed int/float
+comparisons promote like pkg/ottl/compare.go:114-134 (Spark numeric
+promotion matches).
+
+``cache`` paths (statement-scoped scratch) compile to temporary
+``__cache_<k>`` columns dropped at the end of a statement sequence.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..envelope import field_delete, field_get, field_set
+from .ast import BinOp, Call, ListExpr, Lit, Not, Path, parse_condition, parse_statement
+from .registry import CONST_ARGS, CONVERTERS
+
+# ---------------------------------------------------------------------------
+# value compilation
+
+
+def _path_str(p: Path) -> str:
+    return ".".join(str(x) for x in p.parts)
+
+
+def _resolve_path(p: Path) -> Column:
+    head = p.parts[0]
+    if head == "cache":
+        return F.col("__cache_" + "_".join(str(x) for x in p.parts[1:]))
+    if head == "instrumentation_scope":
+        return F.col("scope")
+    if head == "time":
+        return F.col("ts")
+    if head == "observed_time":
+        return F.col("observed_ts")
+    if head in ("attributes", "resource"):
+        col = F.col(head)
+        for key in p.parts[1:]:
+            col = F.element_at(col, key) if isinstance(key, str) else col[key]
+        return col
+    col = F.col(str(head))
+    for key in p.parts[1:]:
+        col = col.getField(key) if isinstance(key, str) else F.element_at(col, key + 1)
+    return col
+
+
+def compile_value(node, df: DataFrame | None = None) -> Column:
+    """AST value -> Column. ``df`` enables schema-directed choices."""
+    if isinstance(node, Lit):
+        return F.lit(node.value)
+    if isinstance(node, Path):
+        return _resolve_path(node)
+    if isinstance(node, ListExpr):
+        return F.array(*[compile_value(i, df) for i in node.items])
+    if isinstance(node, Call):
+        return _compile_call(node, df)
+    if isinstance(node, BinOp):
+        return _compile_binop(node, df)
+    if isinstance(node, Not):
+        return ~compile_value(node.expr, df)
+    raise TypeError(f"cannot compile {node!r}")
+
+
+def _raw(node):
+    """Python literal for args that must be compile-time constants
+    (regex patterns, formats, durations)."""
+    if isinstance(node, Lit):
+        return node.value
+    if isinstance(node, ListExpr):
+        items = [_raw(i) for i in node.items]
+        return items if all(x is not None for x in items) else None
+    if isinstance(node, Call) and node.name == "Duration" and node.args:
+        inner = _raw(node.args[0])
+        if isinstance(inner, str):
+            from .registry import _dur_to_seconds
+
+            return _dur_to_seconds(inner)
+    return None
+
+
+def _compile_call(call: Call, df: DataFrame | None) -> Column:
+    name = call.name
+    if name == "Len" and df is not None and call.args and isinstance(call.args[0], Path):
+        try:
+            dtype = df.select(compile_value(call.args[0], df)).schema[0].dataType.simpleString()
+            if dtype.startswith(("array", "map")):
+                return F.size(compile_value(call.args[0], df))
+        except Exception:
+            pass
+    if name not in CONVERTERS:
+        raise NameError(f"unknown converter {name}")
+    fn = CONVERTERS[name]
+    const_pos = CONST_ARGS.get(name, set())
+    args = []
+    for i, a in enumerate(call.args):
+        if i in const_pos:
+            raw = _raw(a)
+            if raw is None:
+                raise ValueError(
+                    f"{name} argument {i} must be a compile-time constant"
+                )
+            args.append(raw)
+        else:
+            args.append(compile_value(a, df))
+    return fn(*args)
+
+
+def _dtype(df: DataFrame | None, col: Column) -> str | None:
+    if df is None:
+        return None
+    try:
+        return df.select(col).schema[0].dataType.simpleString()
+    except Exception:
+        return None
+
+
+def _compile_binop(node: BinOp, df: DataFrame | None) -> Column:
+    if node.op in ("and", "or"):
+        l, r = compile_value(node.left, df), compile_value(node.right, df)
+        return (l & r) if node.op == "and" else (l | r)
+    l, r = compile_value(node.left, df), compile_value(node.right, df)
+    if node.op == "-":
+        # OTTL: timestamp - timestamp yields a time.Duration
+        # (pkg/ottl/math.go:102-150) — represent as seconds (double)
+        lt, rt = _dtype(df, l), _dtype(df, r)
+        if lt and rt and lt.startswith("timestamp") and rt.startswith("timestamp"):
+            return (F.unix_micros(l) - F.unix_micros(r)) / 1000000.0
+    ops = {
+        "==": lambda a, b: a == b,
+        "!=": lambda a, b: a != b,
+        "<": lambda a, b: a < b,
+        "<=": lambda a, b: a <= b,
+        ">": lambda a, b: a > b,
+        ">=": lambda a, b: a >= b,
+        "+": lambda a, b: a + b,
+        "-": lambda a, b: a - b,
+        "*": lambda a, b: a * b,
+        "/": lambda a, b: a / b,
+    }
+    return ops[node.op](l, r)
+
+
+def compile_condition(text: str, df: DataFrame | None = None) -> Column:
+    """OTTL condition string -> boolean Column (ConditionSequence.Eval
+    counterpart; null comparisons follow Spark three-valued logic)."""
+    return compile_value(parse_condition(text), df)
+
+
+# ---------------------------------------------------------------------------
+# editors (pkg/ottl/ottlfuncs/README.md:36-404)
+
+
+def _target(args) -> Path:
+    t = args[0]
+    if not isinstance(t, Path):
+        raise TypeError("editor target must be a path")
+    return t
+
+
+def _set_path(df: DataFrame, p: Path, value: Column, where: Column | None) -> DataFrame:
+    head = p.parts[0]
+    if head == "cache":
+        col = "__cache_" + "_".join(str(x) for x in p.parts[1:])
+        if where is not None:
+            value = F.when(where, value)
+        return df.withColumn(col, value)
+    if head == "time":
+        head, p = "ts", Path(["ts"])
+    if where is not None:
+        try:
+            current = _resolve_path(p)
+            df.select(current)
+        except Exception:
+            current = F.lit(None)
+        value = F.when(where, value).otherwise(current)
+    if head in ("attributes", "resource") and len(p.parts) == 2:
+        key = str(p.parts[1])
+        existing = F.coalesce(
+            F.col(head), F.from_json(F.lit("{}"), "map<string,string>")
+        )
+        cleaned = F.map_filter(existing, lambda k, _: k != F.lit(key))
+        entry = F.create_map(F.lit(key), value.cast("string"))
+        updated = F.map_concat(cleaned, F.map_filter(entry, lambda _, v: v.isNotNull()))
+        return df.withColumn(head, updated)
+    if len(p.parts) == 1:
+        return df.withColumn(str(head), value)
+    raise ValueError(f"cannot set path {_path_str(p)}")
+
+
+def _editor_set(df, args, where, dfctx):
+    # func_set.go: setting nil is a no-op
+    val = compile_value(args[1], dfctx)
+    if isinstance(args[1], Lit) and args[1].value is None:
+        return df
+    return _set_path(df, _target(args), val, where)
+
+
+def _editor_delete_key(df, args, where, dfctx):
+    p = _target(args)
+    key = compile_value(args[1], dfctx)
+    m = _resolve_path(p)
+    new = F.map_filter(m, lambda k, _: k != key)
+    return _set_path(df, p, new if where is None else F.when(where, new).otherwise(m), None)
+
+
+def _editor_delete_matching_keys(df, args, where, dfctx):
+    p = _target(args)
+    pattern = _raw(args[1])
+    m = _resolve_path(p)
+    new = F.map_filter(m, lambda k, _: ~k.rlike(pattern))
+    return _set_path(df, p, new if where is None else F.when(where, new).otherwise(m), None)
+
+
+def _editor_keep_keys(df, args, where, dfctx):
+    p = _target(args)
+    keys = _raw(args[1]) or []
+    m = _resolve_path(p)
+    new = F.map_filter(m, lambda k, _: k.isin(keys))
+    return _set_path(df, p, new if where is None else F.when(where, new).otherwise(m), None)
+
+
+def _editor_keep_matching_keys(df, args, where, dfctx):
+    p = _target(args)
+    pattern = _raw(args[1])
+    m = _resolve_path(p)
+    new = F.map_filter(m, lambda k, _: k.rlike(pattern))
+    return _set_path(df, p, new if where is None else F.when(where, new).otherwise(m), None)
+
+
+def _editor_replace_pattern(df, args, where, dfctx):
+    p = _target(args)
+    pattern, repl = _raw(args[1]), _raw(args[2])
+    src = _resolve_path(p)
+    new = F.regexp_replace(src, pattern, repl)
+    return _set_path(df, p, new if where is None else F.when(where, new).otherwise(src), None)
+
+
+def _glob_to_regex(glob: str) -> str:
+    import re as _re2
+
+    return "^" + "".join(
+        ".*" if ch == "*" else "." if ch == "?" else _re2.escape(ch) for ch in glob
+    ) + "$"
+
+
+def _editor_replace_match(df, args, where, dfctx):
+    p = _target(args)
+    glob, repl = _raw(args[1]), _raw(args[2])
+    src = _resolve_path(p)
+    new = F.when(src.rlike(_glob_to_regex(glob)), F.lit(repl)).otherwise(src)
+    return _set_path(df, p, new if where is None else F.when(where, new).otherwise(src), None)
+
+
+def _editor_replace_all_patterns(df, args, where, dfctx):
+    # replace_all_patterns(attributes, "value"|"key", pattern, repl)
+    p = _target(args)
+    mode, pattern, repl = _raw(args[1]), _raw(args[2]), _raw(args[3])
+    m = _resolve_path(p)
+    if mode == "value":
+        new = F.transform_values(m, lambda _, v: F.regexp_replace(v, pattern, repl))
+    else:
+        new = F.map_from_entries(
+            F.transform(
+                F.map_entries(m),
+                lambda e: F.struct(
+                    F.regexp_replace(e.getField("key"), pattern, repl).alias("key"),
+                    e.getField("value").alias("value"),
+                ),
+            )
+        )
+    return _set_path(df, p, new if where is None else F.when(where, new).otherwise(m), None)
+
+
+def _editor_replace_all_matches(df, args, where, dfctx):
+    p = _target(args)
+    glob, repl = _raw(args[1]), _raw(args[2])
+    m = _resolve_path(p)
+    regex = _glob_to_regex(glob)
+    new = F.transform_values(
+        m, lambda _, v: F.when(v.rlike(regex), F.lit(repl)).otherwise(v)
+    )
+    return _set_path(df, p, new if where is None else F.when(where, new).otherwise(m), None)
+
+
+def _editor_truncate_all(df, args, where, dfctx):
+    p = _target(args)
+    limit = _raw(args[1])
+    m = _resolve_path(p)
+    new = F.transform_values(m, lambda _, v: F.substring(v, 1, int(limit)))
+    return _set_path(df, p, new if where is None else F.when(where, new).otherwise(m), None)
+
+
+def _editor_limit(df, args, where, dfctx):
+    # limit(map, n, [priority_keys]) — func_limit.go: keep priority keys
+    # first, then arbitrary-but-deterministic others up to n
+    p = _target(args)
+    n = _raw(args[1])
+    priority = _raw(args[2]) if len(args) > 2 else []
+    m = _resolve_path(p)
+    entries = F.map_entries(m)
+    ranked = F.transform(
+        entries,
+        lambda e: F.struct(
+            (~e.getField("key").isin(priority or ["\x00"])).cast("int").alias("prio"),
+            e.getField("key").alias("key"),
+            e.getField("value").alias("value"),
+        ),
+    )
+    kept = F.slice(F.sort_array(ranked), 1, int(n))
+    new = F.map_from_entries(
+        F.transform(kept, lambda e: F.struct(e.getField("key").alias("key"), e.getField("value").alias("value")))
+    )
+    return _set_path(df, p, new if where is None else F.when(where, new).otherwise(m), None)
+
+
+def _editor_merge_maps(df, args, where, dfctx):
+    # merge_maps(to, from, strategy) — func_merge_maps.go:88
+    p = _target(args)
+    src = compile_value(args[1], dfctx)
+    strategy = _raw(args[2]) if len(args) > 2 else "upsert"
+    to = _resolve_path(p)
+    to_keys = F.map_keys(to)
+    if strategy == "insert":
+        add = F.map_filter(src, lambda k, _: ~F.array_contains(to_keys, k))
+        new = F.map_concat(to, add)
+    elif strategy == "update":
+        upd = F.map_filter(src, lambda k, _: F.array_contains(to_keys, k))
+        new = F.map_concat(F.map_filter(to, lambda k, _: ~F.array_contains(F.map_keys(upd), k)), upd)
+    else:  # upsert
+        new = F.map_concat(F.map_filter(to, lambda k, _: ~F.array_contains(F.map_keys(src), k)), src)
+    return _set_path(df, p, new if where is None else F.when(where, new).otherwise(to), None)
+
+
+def _editor_append(df, args, where, dfctx):
+    # append(target, ...values) — func_append.go: target becomes an array
+    p = _target(args)
+    vals = [compile_value(a, dfctx) for a in args[1:]]
+    try:
+        current = _resolve_path(p)
+        df.select(current)
+        dtype = df.select(current).schema[0].dataType.simpleString()
+    except Exception:
+        current, dtype = None, None
+    if dtype and dtype.startswith("array"):
+        new = F.concat(current, F.array(*vals))
+    elif current is not None:
+        new = F.concat(F.array(current.cast("string")), F.array(*[v.cast("string") for v in vals]))
+    else:
+        new = F.array(*vals)
+    return _set_path(df, p, new, where)
+
+
+def _editor_flatten(df, args, where, dfctx):
+    # flatten(map) over string maps is identity (no nested maps representable)
+    return df
+
+
+EDITORS: dict[str, Callable] = {
+    "set": _editor_set,
+    "append": _editor_append,
+    "delete_key": _editor_delete_key,
+    "delete_matching_keys": _editor_delete_matching_keys,
+    "keep_keys": _editor_keep_keys,
+    "keep_matching_keys": _editor_keep_matching_keys,
+    "replace_pattern": _editor_replace_pattern,
+    "replace_match": _editor_replace_match,
+    "replace_all_patterns": _editor_replace_all_patterns,
+    "replace_all_matches": _editor_replace_all_matches,
+    "truncate_all": _editor_truncate_all,
+    "limit": _editor_limit,
+    "merge_maps": _editor_merge_maps,
+    "flatten": _editor_flatten,
+}
+
+
+def compile_statement(text: str, error_mode: str = "propagate") -> Callable[[DataFrame], DataFrame]:
+    """One OTTL statement -> DataFrame step.
+
+    error_mode (parser.go:230-280): Spark's non-ANSI expression semantics
+    (invalid casts/parses -> null) already give per-row ``ignore``
+    behavior; ``propagate`` differences (abort batch) only arise for
+    statements that cannot even compile — those raise at compile time in
+    both modes.
+    """
+    stmt = parse_statement(text)
+    if stmt.editor.name not in EDITORS:
+        raise NameError(f"unknown editor {stmt.editor.name}")
+    editor = EDITORS[stmt.editor.name]
+
+    def step(df: DataFrame) -> DataFrame:
+        where = compile_value(stmt.where, df) if stmt.where is not None else None
+        try:
+            return editor(df, stmt.editor.args, where, df)
+        except Exception:
+            if error_mode in ("ignore", "silent"):
+                return df
+            raise
+
+    return step
+
+
+def drop_cache_columns(df: DataFrame) -> DataFrame:
+    """End of a statement sequence: cache is statement-scoped scratch."""
+    return df.drop(*[c for c in df.columns if c.startswith("__cache_")])

@@ -1,0 +1,84 @@
+"""Checkpointed lineage + idempotent resume.
+
+Reference analog: the filelog receiver persists reader offsets
+(fingerprint + byte offset) every poll via the storage extension
+(pkg/stanza/fileconsumer/internal/checkpoint/checkpoint.go:20-80), so a
+restarted collector resumes tailing without re-emitting. Under table
+semantics the "offset" is a snapshot id: each pipeline run consumes
+input snapshots (from_id, to_id]; the sink commit itself carries that
+range in its snapshot properties, making the commit the checkpoint —
+resume reads the sink's last committed range and continues from there.
+A run killed mid-write leaves no committed sink snapshot, so the rerun
+reprocesses the same increment and commits once: exactly-once sink
+contents without a coordinator (Iceberg-style atomic commit protocol).
+
+The lineage table (FIXTURES.md section 8 schema) is emitted alongside
+for observability: one row per (run, sink) commit.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .sources.table import SnapshotTable
+
+LINEAGE_SCHEMA = (
+    "run_id string, sink string, from_snapshot long, to_snapshot long, "
+    "rows_out long, status string, updated_at double"
+)
+
+
+@dataclass
+class CheckpointedWriter:
+    """Write per-sink outputs with snapshot-range dedup."""
+
+    lineage: SnapshotTable
+
+    def last_processed(self, sink_table: SnapshotTable) -> int:
+        """Highest input snapshot id already committed to this sink."""
+        last = 0
+        for s in sink_table.snapshots():
+            rng = s.get("properties", {}).get("source_range")
+            if rng:
+                last = max(last, int(rng[1]))
+        return last
+
+    def commit(
+        self,
+        sink_table: SnapshotTable,
+        df: DataFrame,
+        from_snapshot: int,
+        to_snapshot: int,
+        run_id: str | None = None,
+    ) -> int | None:
+        """Append ``df`` to the sink unless that range is already
+        committed (idempotent rerun)."""
+        run_id = run_id or uuid.uuid4().hex
+        already = self.last_processed(sink_table)
+        if to_snapshot <= already:
+            return None  # rerun of a completed increment: no-op
+        sid = sink_table.append(
+            df, properties={"source_range": [from_snapshot, to_snapshot], "run_id": run_id}
+        )
+        spark = df.sparkSession
+        self.lineage.append(
+            spark.createDataFrame(
+                [
+                    (
+                        run_id,
+                        sink_table.path,
+                        from_snapshot,
+                        to_snapshot,
+                        df.count(),
+                        "committed",
+                        time.time(),
+                    )
+                ],
+                LINEAGE_SCHEMA,
+            )
+        )
+        return sid

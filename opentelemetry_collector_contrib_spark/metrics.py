@@ -1,0 +1,58 @@
+"""obsreport-style pipeline metrics.
+
+Reference: receivers wrap delivery in StartLogsOp/EndLogsOp counters
+(pkg/stanza/adapter/receiver.go:124-131); processors expose counters
+like ``processor_filter_logs.filtered`` (filterprocessor/telemetry.go:
+60-99). Spark restatement: ``df.observe(name, exprs)`` accumulates
+per-stage counters DURING the action with zero extra passes; this
+module snapshots them into a metrics table after the run.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.observation import Observation
+
+
+@dataclass
+class MetricsCollector:
+    run_id: str
+    observations: dict[str, Observation] = field(default_factory=dict)
+    static: list[tuple[str, str, float]] = field(default_factory=list)
+
+    def observe(self, df: DataFrame, stage: str, **exprs) -> DataFrame:
+        """Attach counters to a frame; exprs default to a row count."""
+        obs = Observation(f"{self.run_id}:{stage}")
+        cols = (
+            [e.alias(n) for n, e in exprs.items()]
+            if exprs
+            else [F.count(F.lit(1)).alias("rows")]
+        )
+        self.observations[stage] = obs
+        return df.observe(obs, *cols)
+
+    def add(self, stage: str, metric: str, value: float) -> None:
+        self.static.append((stage, metric, float(value)))
+
+    def snapshot(self, spark: SparkSession) -> DataFrame:
+        """Metrics table: run_id, stage, metric, value, ts (obsreport
+        analog; one row per counter)."""
+        rows = []
+        now = time.time()
+        for stage, obs in self.observations.items():
+            try:
+                got = obs.get
+            except Exception:
+                continue  # action not yet run for this frame
+            for metric, value in got.items():
+                if value is not None:
+                    rows.append((self.run_id, stage, metric, float(value), now))
+        for stage, metric, value in self.static:
+            rows.append((self.run_id, stage, metric, value, now))
+        return spark.createDataFrame(
+            rows, "run_id string, stage string, metric string, value double, ts double"
+        )

@@ -1,0 +1,120 @@
+"""Declarative pipeline config -> compiled DataFrame DAG.
+
+Mirror of the collector's YAML topology (receivers -> processors ->
+connectors/pipelines -> exporters) compiled the way the collector builds
+its operator DAG (pkg/stanza/pipeline/directed.go:26-60: registered
+names -> directed acyclic pipeline), but into Column-expression stages
+Catalyst can fuse, instead of per-record visitors.
+
+Example
+-------
+    cfg = PipelineConfig(stages=[
+        StageConfig("regex_parser", {"pattern": ..., "parse_from": "text"}),
+        StageConfig("lookup", {"dim": "tool_catalog", "keys": ["tool"]}),
+        StageConfig("router", {"routes": [...], "default": "sink_default"}),
+    ])
+    df_out = compile_pipeline(cfg, dims={"tool_catalog": dim_df})(df_in)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame
+
+from ..connectors import CountConnector, MetricDef, Route, RoutingConnector
+from ..operators import (
+    Add,
+    CsvParser,
+    Filter,
+    JsonParser,
+    KeyValueParser,
+    Move,
+    Recombine,
+    RegexParser,
+    Remove,
+    Retain,
+    Router,
+    SeverityParser,
+    TimeParser,
+    UriParser,
+)
+from ..processors import (
+    Action,
+    AttributesProcessor,
+    FilterProcessor,
+    GroupByAttrs,
+    LookupEnrich,
+    ProbabilisticSampler,
+    Redaction,
+    TransformProcessor,
+)
+
+OPERATOR_REGISTRY: dict[str, Callable[..., Callable[[DataFrame], DataFrame]]] = {
+    # stanza operators (registered-by-name parity: pkg/stanza/operator/registry.go)
+    "regex_parser": RegexParser,
+    "json_parser": JsonParser,
+    "csv_parser": CsvParser,
+    "key_value_parser": KeyValueParser,
+    "time_parser": TimeParser,
+    "severity_parser": SeverityParser,
+    "uri_parser": UriParser,
+    "add": Add,
+    "remove": Remove,
+    "move": Move,
+    "retain": Retain,
+    "filter": Filter,
+    "router": Router,
+    "recombine": Recombine,
+    # processors
+    "attributes": lambda actions, **kw: AttributesProcessor(
+        [Action(**a) for a in actions], **kw
+    ),
+    "filter_processor": FilterProcessor,
+    "transform": TransformProcessor,
+    "groupbyattrs": GroupByAttrs,
+    "redaction": Redaction,
+    "probabilistic_sampler": ProbabilisticSampler,
+    # connectors
+    "count": lambda metrics: CountConnector([MetricDef(**m) for m in metrics]),
+    "routing": lambda routes, **kw: RoutingConnector(
+        [Route(**r) for r in routes], **kw
+    ),
+}
+
+
+@dataclass
+class StageConfig:
+    kind: str
+    options: dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
+class PipelineConfig:
+    stages: list[StageConfig]
+
+
+def compile_pipeline(
+    cfg: PipelineConfig, dims: dict[str, DataFrame] | None = None
+) -> Callable[[DataFrame], DataFrame]:
+    """Build the stage chain once (driver-side compile, SURVEY.md 3.2);
+    returns a composed DataFrame -> DataFrame."""
+    dims = dims or {}
+    ops = []
+    for st in cfg.stages:
+        if st.kind == "lookup":
+            opts = dict(st.options)
+            dim = opts.pop("dim")
+            ops.append(LookupEnrich(dims[dim] if isinstance(dim, str) else dim, **opts))
+            continue
+        if st.kind not in OPERATOR_REGISTRY:
+            raise KeyError(f"unknown stage kind {st.kind!r}")
+        ops.append(OPERATOR_REGISTRY[st.kind](**st.options))
+
+    def run(df: DataFrame) -> DataFrame:
+        for op in ops:
+            df = op(df)
+        return df
+
+    return run

@@ -1,0 +1,7 @@
+from .attributes import AttributesProcessor, Action  # noqa: F401
+from .enrich import LookupEnrich  # noqa: F401
+from .filter import FilterProcessor  # noqa: F401
+from .groupbyattrs import GroupByAttrs  # noqa: F401
+from .redaction import Redaction  # noqa: F401
+from .sampler import ProbabilisticSampler  # noqa: F401
+from .transform import TransformProcessor  # noqa: F401

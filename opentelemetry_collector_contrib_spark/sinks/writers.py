@@ -1,0 +1,67 @@
+"""Exporter-shaped sinks.
+
+Reference mapping (SURVEY.md 2.7):
+- file exporter (exporter/fileexporter/config.go:22-59): ``format``
+  json|parquet, write to a path
+- file exporter ``group_by`` (grouping_file_exporter.go:115-130):
+  separate files keyed by an attribute -> ``partitionBy`` — Spark's
+  partitioned write IS this operator, without the LRU bookkeeping
+- batchperresourceattr (pkg/batchperresourceattr): same partitionBy
+- loadbalancing exporter (consistent_hashing.go): ``repartition(n, key)``
+  — the Spark shuffle IS consistent routing to N buckets
+
+Routed fan-out: ``write_routed`` writes every sink of a tagged frame in
+ONE job via ``partitionBy(route_col)`` — single scan, no per-sink
+re-read; retries are Spark task retries (idempotent overwrite).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class FileSink:
+    path: str
+    format: str = "parquet"  # parquet|json|csv
+    group_by: str | None = None  # attribute/column -> partitioned files
+    mode: str = "overwrite"
+
+    def __call__(self, df: DataFrame) -> None:
+        if self.group_by and self.group_by not in df.columns:
+            df = df.withColumn(
+                self.group_by, F.element_at(F.col("attributes"), self.group_by)
+            )
+        writer = df.write.mode(self.mode).format(self.format)
+        if self.group_by:
+            writer = writer.partitionBy(self.group_by)
+        writer.save(self.path)
+
+
+def write_routed(
+    tagged: DataFrame,
+    base_path: str,
+    route_col: str = "route",
+    format: str = "parquet",
+    mode: str = "overwrite",
+) -> dict[str, str]:
+    """Write a route-tagged frame to per-sink directories in one job:
+    ``base_path/route=<sink>/``. Returns sink -> path."""
+    (
+        tagged.write.mode(mode)
+        .format(format)
+        .partitionBy(route_col)
+        .save(base_path)
+    )
+    sinks = [r[route_col] for r in tagged.select(route_col).distinct().collect()]
+    return {s: os.path.join(base_path, f"{route_col}={s}") for s in sinks}
+
+
+def load_balance(df: DataFrame, n: int, key: str) -> DataFrame:
+    """loadbalancingexporter semantics: consistent-hash rows on ``key``
+    into n buckets (repartition shuffle = the routing fabric)."""
+    return df.repartition(n, F.col(key))

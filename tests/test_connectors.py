@@ -1,0 +1,165 @@
+"""Routing + count connector golden tests — fixtures mirror
+connector/routingconnector/testdata/config_logs.yaml routing cases and
+connector/countconnector/testdata/logs/*.yaml variants (FIXTURES.md 4-5)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.connectors import (
+    CountConnector,
+    MetricDef,
+    Route,
+    RoutingConnector,
+)
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame(
+        [
+            (1, "ERROR", "exec", "user"),
+            (2, "INFO", "exec", "assistant"),
+            (3, "ERROR", "retrieval", "user"),
+            (4, "DEBUG", "none", "tool"),
+        ],
+        "id int, level string, tool_category string, role string",
+    )
+
+
+ROUTES = [
+    Route("level = 'ERROR'", "sink_errors"),
+    Route("tool_category = 'exec'", "sink_exec"),
+]
+
+
+def test_match_once_first_wins(df):
+    rc = RoutingConnector(ROUTES, default_sinks=["sink_default"], match_once=True)
+    out = {r["id"]: r["route"] for r in rc(df).collect()}
+    # id=1 matches BOTH -> first route in table order wins (logs.go:84-90)
+    assert out == {1: "sink_errors", 2: "sink_exec", 3: "sink_errors", 4: "sink_default"}
+
+
+def test_multi_match_duplicates(df):
+    rc = RoutingConnector(ROUTES, default_sinks=["sink_default"], match_once=False)
+    out = rc(df).groupBy("id").agg(F.sort_array(F.collect_list("route")).alias("r"))
+    got = {r["id"]: list(r["r"]) for r in out.collect()}
+    # id=1 lands in BOTH sinks (match_once=false fan-out, logs.go:62-103)
+    assert got == {
+        1: ["sink_errors", "sink_exec"],
+        2: ["sink_exec"],
+        3: ["sink_errors"],
+        4: ["sink_default"],
+    }
+
+
+def test_multi_default_sinks(df):
+    rc = RoutingConnector(
+        [Route("level = 'FATAL'", "s")], default_sinks=["d1", "d2"], match_once=False
+    )
+    out = rc(df)
+    assert out.count() == 8  # every row duplicated to both default sinks
+
+
+def test_split_row_equality(df):
+    rc = RoutingConnector(ROUTES, default_sinks=["sink_default"], match_once=True)
+    parts = rc.split(df)
+    assert {r["id"] for r in parts["sink_errors"].collect()} == {1, 3}
+    assert {r["id"] for r in parts["sink_exec"].collect()} == {2}
+    assert {r["id"] for r in parts["sink_default"].collect()} == {4}
+    # routed-row union equals input (no loss, no duplication)
+    total = sum(p.count() for p in parts.values())
+    assert total == df.count()
+
+
+def test_error_condition_routes_to_default(df):
+    # error_mode=ignore: an error-ing condition (null comparison) -> default
+    rc = RoutingConnector(
+        [Route("cast(level as int) > 0", "weird")], default_sinks=["d"], match_once=True
+    )
+    assert {r["route"] for r in rc(df).collect()} == {"d"}
+
+
+# --- count connector (countconnector/testdata/logs/*.yaml variants) ---------
+
+def test_count_zero_conditions(df):
+    out = CountConnector()(df).collect()
+    assert len(out) == 1
+    assert out[0]["metric_name"] == "log.record.count"
+    assert out[0]["count"] == 4 and out[0]["attrs"] == {}
+
+
+def test_count_one_condition(df):
+    out = CountConnector([MetricDef("errors", conditions=["level = 'ERROR'"])])(df).collect()
+    assert out[0]["count"] == 2
+
+
+def test_count_multiple_conditions_or(df):
+    out = CountConnector(
+        [MetricDef("m", conditions=["level = 'ERROR'", "role = 'tool'"])]
+    )(df).collect()
+    assert out[0]["count"] == 3  # OR semantics
+
+
+def test_count_one_attribute(df):
+    out = CountConnector([MetricDef("by_role", attributes=[("role", None)])])(df)
+    got = {r["attrs"]["role"]: r["count"] for r in out.collect()}
+    assert got == {"user": 2, "assistant": 1, "tool": 1}
+
+
+def test_count_multiple_attributes(df):
+    out = CountConnector(
+        [MetricDef("m", attributes=[("role", None), ("level", None)])]
+    )(df)
+    got = {(r["attrs"]["role"], r["attrs"]["level"]): r["count"] for r in out.collect()}
+    assert got == {("user", "ERROR"): 2, ("assistant", "INFO"): 1, ("tool", "DEBUG"): 1}
+
+
+def test_count_default_attribute_value(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None)], "id int, k string"
+    )
+    # with default: missing -> default bucket
+    out = CountConnector([MetricDef("m", attributes=[("k", "unknown")])])(df)
+    got = {r["attrs"]["k"]: r["count"] for r in out.collect()}
+    assert got == {"a": 1, "unknown": 2}
+    # without default: missing -> row EXCLUDED (counter.go:70-73)
+    out = CountConnector([MetricDef("m", attributes=[("k", None)])])(df)
+    got = {r["attrs"]["k"]: r["count"] for r in out.collect()}
+    assert got == {"a": 1}
+
+
+def test_count_condition_and_attribute(df):
+    out = CountConnector(
+        [MetricDef("m", conditions=["level = 'ERROR'"], attributes=[("role", None)])]
+    )(df)
+    got = {r["attrs"]["role"]: r["count"] for r in out.collect()}
+    assert got == {"user": 2}
+
+
+def test_count_multiple_metrics_one_pass(df):
+    out = CountConnector(
+        [
+            MetricDef("total"),
+            MetricDef("errors", conditions=["level = 'ERROR'"]),
+            MetricDef("by_role", attributes=[("role", None)]),
+        ]
+    )(df)
+    rows = out.collect()
+    by_name = {}
+    for r in rows:
+        by_name.setdefault(r["metric_name"], []).append(r)
+    assert by_name["total"][0]["count"] == 4
+    assert by_name["errors"][0]["count"] == 2
+    assert len(by_name["by_role"]) == 3
+
+
+def test_count_from_attributes_map(spark):
+    df = spark.createDataFrame(
+        [({"env": "prod"},), ({"env": "dev"},), ({},)],
+        "attributes map<string,string>",
+    )
+    out = CountConnector([MetricDef("m", attributes=[("env", "none")])])(df)
+    got = {r["attrs"]["env"]: r["count"] for r in out.collect()}
+    assert got == {"prod": 1, "dev": 1, "none": 1}

@@ -1,0 +1,163 @@
+"""OTTL-lite e2e corpus — port of pkg/ottl/e2e/e2e_test.go cases
+(statement applied to a one-row frame; assert the mutated row).
+
+Input row mirrors the reference's constructLogTelemetry fixture:
+attributes {http.method: get, http.path: /health, http.url: http://...,
+flags: A, total.string: 123456789} over the envelope columns.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.functions.ottl import (
+    compile_condition,
+    compile_statement,
+    drop_cache_columns,
+)
+
+ATTRS = {
+    "http.method": "get",
+    "http.path": "/health",
+    "http.url": "http://localhost/health",
+    "flags": "A",
+    "total.string": "123456789",
+}
+
+
+@pytest.fixture(scope="module")
+def row(spark):
+    return spark.createDataFrame(
+        [("operationA", ATTRS)], "body string, attributes map<string,string>"
+    )
+
+
+def run(df, stmt):
+    return drop_cache_columns(compile_statement(stmt)(df)).collect()[0]
+
+
+# --- editors ----------------------------------------------------------------
+
+CASES_EDITORS = [
+    ('delete_key(attributes, "http.method")',
+     lambda a: "http.method" not in a and a["flags"] == "A"),
+    ('delete_matching_keys(attributes, "^http")',
+     lambda a: set(a) == {"flags", "total.string"}),
+    ('keep_matching_keys(attributes, "^http")',
+     lambda a: set(a) == {"http.method", "http.path", "http.url"}),
+    ('keep_keys(attributes, ["flags", "total.string"])',
+     lambda a: set(a) == {"flags", "total.string"}),
+    ('limit(attributes, 100, [])', lambda a: len(a) == 5),
+    ('limit(attributes, 1, ["total.string"])',
+     lambda a: a == {"total.string": "123456789"}),
+    ('replace_all_matches(attributes, "*/*", "test")',
+     lambda a: a["http.path"] == "test" and a["http.method"] == "get"),
+    ('replace_all_patterns(attributes, "key", "^http", "test")',
+     lambda a: "test.method" in a and "flags" in a),
+    ('replace_all_patterns(attributes, "value", "/", "@")',
+     lambda a: a["http.path"] == "@health"),
+    ('replace_match(attributes["http.path"], "*/*", "test")',
+     lambda a: a["http.path"] == "test"),
+    ('replace_pattern(attributes["http.path"], "/", "@")',
+     lambda a: a["http.path"] == "@health"),
+    ('set(attributes["test"], "pass")', lambda a: a["test"] == "pass"),
+    ('set(attributes["test"], nil)', lambda a: "test" not in a),
+    ('set(attributes["test"], attributes["unknown"])',
+     lambda a: "test" not in a or a["test"] is None),
+    ('truncate_all(attributes, 100)', lambda a: a["total.string"] == "123456789"),
+    ('truncate_all(attributes, 1)',
+     lambda a: a["http.method"] == "g" and a["total.string"] == "1"),
+    ('merge_maps(attributes, ParseJSON("{\\"json_test\\":\\"pass\\"}"), "insert")',
+     lambda a: a["json_test"] == "pass" and a["http.method"] == "get"),
+]
+
+
+@pytest.mark.parametrize("stmt,check", CASES_EDITORS, ids=[c[0][:48] for c in CASES_EDITORS])
+def test_editor(row, stmt, check):
+    out = run(row, stmt)
+    assert check(out["attributes"]), f"{stmt} -> {out['attributes']}"
+
+
+# --- converters --------------------------------------------------------------
+
+CASES_CONVERTERS = [
+    ('set(attributes["test"], Base64Decode("cGFzcw=="))', "pass"),
+    ('set(attributes["test"], Concat(["A","B"], ":"))', "A:B"),
+    ('set(attributes["test"], ConvertCase(attributes["http.method"], "upper"))', "GET"),
+    ('set(attributes["test"], ConvertCase("PASS", "lower"))', "pass"),
+    ('set(attributes["test"], ConvertCase("fooBar", "snake"))', "foo_bar"),
+    ('set(attributes["test"], ConvertCase("foo_bar", "camel"))', "FooBar"),
+    ('set(attributes["test"], Double("1"))', "1.0"),
+    ('set(attributes["test"], Int("1"))', "1"),
+    ('set(attributes["test"], Int(1.9))', "1"),
+    ('set(attributes["test"], Len(attributes["total.string"]))', "9"),
+    ('set(attributes["test"], SHA256("pass"))',
+     "d74ff0ee8da3b9806b18c877dbf29bbde50b5bd8e4dad7a3a725000feb82e8f1"),
+    ('set(attributes["test"], Split(attributes["flags"], "|"))', "[A]"),
+    ('set(attributes["test"], Substring("pass", 0, 2))', "pa"),
+    ('set(attributes["test"], Hour(Time("12", "%H")))', "12"),
+    ('set(attributes["test"], Minutes(Duration("1h")))', "60.0"),
+    ('set(attributes["test"], Seconds(Duration("100ms")))', "0.1"),
+    ('set(attributes["test"], ExtractPatterns("aa123bb", "(?P<numbers>\\\\d+)"))',
+     "{numbers -> 123}"),
+    ('set(attributes["test"], UnixSeconds(Time("2023-04-12", "%Y-%m-%d")))',
+     "1681257600"),
+]
+
+
+@pytest.mark.parametrize("stmt,expected", CASES_CONVERTERS, ids=[c[0][:48] for c in CASES_CONVERTERS])
+def test_converter(row, stmt, expected):
+    out = run(row, stmt)["attributes"]["test"]
+    assert out == expected, f"{stmt} -> {out!r}"
+
+
+# --- where clauses / conditions ----------------------------------------------
+
+CASES_WHERE = [
+    ('set(attributes["test"], "pass") where body == "operationA"', True),
+    ('set(attributes["test"], "pass") where body == "operationB"', False),
+    ('set(attributes["test"], "pass") where attributes["http.method"] == "get"', True),
+    ('set(attributes["test"], "pass") where attributes["unknown"] == "get"', False),
+    ('set(attributes["test"], "pass") where IsMatch("aa123bb", "\\\\d{3}")', True),
+    ('set(attributes["test"], "pass") where not IsMatch("aa123bb", "\\\\d{3}")', False),
+    ('set(attributes["test"], "pass") where Len(attributes["total.string"]) == 9', True),
+    ('set(attributes["test"], "pass") where 1 < 2.5', True),   # int/float promotion
+    ('set(attributes["test"], "pass") where 3 < 2.5', False),
+    ('set(attributes["test"], "pass") where body == "operationA" and attributes["flags"] == "A"', True),
+    ('set(attributes["test"], "pass") where body == "x" or attributes["flags"] == "A"', True),
+    ('set(attributes["test"], "pass") where Time("10", "%M") - Time("01", "%M") < Duration("10m")', True),
+]
+
+
+@pytest.mark.parametrize("stmt,applied", CASES_WHERE, ids=[c[0][30:78] for c in CASES_WHERE])
+def test_where(row, stmt, applied):
+    out = run(row, stmt)
+    got = out["attributes"].get("test")
+    assert (got == "pass") == applied, f"{stmt} -> {out['attributes']}"
+
+
+def test_cache_scratch(row):
+    df = compile_statement('set(cache.tmp, "42")')(row)
+    df = compile_statement('set(attributes["test"], cache.tmp)')(df)
+    out = drop_cache_columns(df)
+    r = out.collect()[0]
+    assert r["attributes"]["test"] == "42"
+    assert not [c for c in out.columns if c.startswith("__cache_")]
+
+
+def test_condition_compile(spark):
+    df = spark.createDataFrame([(5, "x")], "n int, s string")
+    assert df.filter(compile_condition('n * 2 == 10', df)).count() == 1
+    assert df.filter(compile_condition('n + 1 > 7', df)).count() == 0
+
+
+def test_error_modes(row):
+    with pytest.raises(NameError):
+        compile_statement('bogus_editor(attributes, 1)')
+    # unknown converter surfaces at compile; ignore mode still surfaces
+    # compile-time errors (parity: reference validates at parse time)
+    with pytest.raises(NameError):
+        compile_statement('set(attributes["x"], BogusConverter(1))')('x')

@@ -1,0 +1,140 @@
+"""Processor tests (attributes/attraction actions, filter, enrich,
+groupbyattrs, redaction, sampler, transform)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.processors import (
+    Action,
+    AttributesProcessor,
+    FilterProcessor,
+    GroupByAttrs,
+    LookupEnrich,
+    ProbabilisticSampler,
+    Redaction,
+    TransformProcessor,
+)
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame(
+        [
+            (1, "ERROR", "bash", {"region": "us", "secret": "tok-123"}),
+            (2, "INFO", "search", {"region": "eu"}),
+            (3, "ERROR", "none", {}),
+        ],
+        "id int, level string, tool string, attributes map<string,string>",
+    )
+
+
+def test_attraction_insert_update_upsert(df):
+    p = AttributesProcessor([
+        Action("insert", key="attributes.region", value="default"),  # only if absent
+        Action("update", key="attributes.secret", value="***"),       # only if present
+        Action("upsert", key="attributes.stage", value="prod"),
+    ])
+    out = {r["id"]: r["attributes"] for r in p(df).collect()}
+    assert out[1]["region"] == "us" and out[3]["region"] == "default"
+    assert out[1]["secret"] == "***" and "secret" not in out[2]
+    assert all(a["stage"] == "prod" for a in out.values())
+
+
+def test_attraction_delete_hash_convert(df):
+    p = AttributesProcessor([
+        Action("hash", key="attributes.secret"),
+        Action("delete", key="attributes.region"),
+        Action("upsert", key="attributes.id_str", from_attribute="id"),
+    ])
+    out = {r["id"]: r["attributes"] for r in p(df).collect()}
+    assert len(out[1]["secret"]) == 40  # sha1 hex
+    assert "region" not in out[1] and "region" not in out[2]
+    assert out[2]["id_str"] == "2"
+
+
+def test_attraction_extract(df):
+    p = AttributesProcessor([
+        Action("extract", key="attributes.secret", pattern=r"tok-(?P<toknum>\d+)"),
+    ])
+    rows = {r["id"]: r for r in p(df).collect()}
+    assert rows[1]["toknum"] == "123"
+    assert rows[2]["toknum"] is None
+
+
+def test_attraction_include_exclude(df):
+    p = AttributesProcessor(
+        [Action("upsert", key="attributes.flag", value="y")],
+        include="level = 'ERROR'",
+        exclude="tool = 'none'",
+    )
+    out = {r["id"]: r["attributes"].get("flag") for r in p(df).collect()}
+    assert out == {1: "y", 2: None, 3: None}
+
+
+def test_filter_processor_or_conditions(df):
+    fp = FilterProcessor(["level = 'ERROR'", "tool = 'search'"])
+    assert fp(df).count() == 0
+    fp = FilterProcessor(["tool = 'search'"])
+    assert {r["id"] for r in fp(df).collect()} == {1, 3}
+
+
+def test_filter_observe_counts(df):
+    fp = FilterProcessor(["level = 'ERROR'"], observe_name="flt")
+    out = fp(df)
+    assert out.count() == 1
+    assert fp.observation.get == {"filtered": 2, "seen": 3}
+
+
+def test_lookup_enrich(spark, df):
+    dim = spark.createDataFrame(
+        [("bash", "exec"), ("search", "retrieval")], "tool string, category string"
+    )
+    out = LookupEnrich(dim, keys=["tool"])(df)
+    rows = {r["id"]: r["category"] for r in out.collect()}
+    assert rows == {1: "exec", 2: "retrieval", 3: None}
+    # broadcast hint must appear in the physical plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_groupbyattrs_promotes_and_hashes(df):
+    out = GroupByAttrs(keys=["region"])(df)
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["region"] == "us" and rows[3]["region"] is None
+    assert rows[1]["resource_hash"] is not None
+
+
+def test_redaction(df):
+    r = Redaction(
+        allowed_keys=["region", "secret"],
+        blocked_value_patterns=[r"tok-\d+"],
+    )
+    out = {row["id"]: row for row in r(df).collect()}
+    assert out[1]["attributes"]["secret"] == "****"
+    assert out[1]["redaction_masked_count"] == 1
+    assert out[2]["attributes"] == {"region": "eu"}
+
+
+def test_sampler_deterministic_and_proportional(spark):
+    df = spark.range(10000).withColumn("key", F.col("id").cast("string"))
+    s = ProbabilisticSampler(25.0, attribute_source="key")
+    a = s(df).count()
+    b = s(df).count()
+    assert a == b  # deterministic
+    assert 2200 <= a <= 2800  # ~25%
+    assert ProbabilisticSampler(100.0, attribute_source="key")(df).count() == 10000
+    with pytest.raises(ValueError):
+        ProbabilisticSampler(150.0)
+
+
+def test_transform_processor_statement_order(spark):
+    df = spark.createDataFrame([("x", {"a": "1"})], "body string, attributes map<string,string>")
+    tp = TransformProcessor([
+        'set(attributes["b"], attributes["a"])',
+        'set(attributes["a"], "2")',
+        'set(attributes["c"], attributes["a"])',  # sees the NEW value (order!)
+    ])
+    out = tp(df).collect()[0]["attributes"]
+    assert out == {"a": "2", "b": "1", "c": "2"}

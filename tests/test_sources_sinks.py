@@ -1,0 +1,142 @@
+"""Sources (filelog, otlpjson, SnapshotTable) + sinks + lineage/resume."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.lineage import CheckpointedWriter
+from opentelemetry_collector_contrib_spark.sinks import FileSink, write_routed
+from opentelemetry_collector_contrib_spark.sources import (
+    FileLogSource,
+    OtlpJsonFileSource,
+    SnapshotTable,
+)
+
+
+def test_filelog_source(spark, tmp_path):
+    p = tmp_path / "app.log"
+    p.write_text("line one\nline two\nline three\n")
+    df = FileLogSource(str(p))(spark)
+    rows = df.collect()
+    assert {r["body"] for r in rows} == {"line one", "line two", "line three"}
+    assert all(r["log_file_name"] == "app.log" for r in rows)
+
+
+def test_filelog_multiline_recombine(spark, tmp_path):
+    p = tmp_path / "stack.log"
+    p.write_text(
+        "2024-01-01 ERROR boom\n  at frame1\n  at frame2\n2024-01-01 INFO ok\n"
+    )
+    df = FileLogSource(str(p), line_start_pattern=r"^\d{4}-\d{2}-\d{2}")(spark)
+    bodies = sorted(r["body"] for r in df.collect())
+    assert bodies == [
+        "2024-01-01 ERROR boom\n  at frame1\n  at frame2",
+        "2024-01-01 INFO ok",
+    ]
+
+
+def test_otlpjson_source(spark, tmp_path):
+    doc = {
+        "resourceLogs": [
+            {
+                "resource": {"attributes": [
+                    {"key": "service.name", "value": {"stringValue": "svc"}}]},
+                "scopeLogs": [
+                    {
+                        "scope": {"name": "lib"},
+                        "logRecords": [
+                            {
+                                "timeUnixNano": "1704067200000000000",
+                                "observedTimeUnixNano": "1704067201000000000",
+                                "severityNumber": 17,
+                                "severityText": "ERROR",
+                                "body": {"stringValue": "kaboom"},
+                                "attributes": [
+                                    {"key": "k", "value": {"stringValue": "v"}}],
+                                "traceId": "0102030405060708090a0b0c0d0e0f10",
+                                "spanId": "0102030405060708",
+                            }
+                        ],
+                    }
+                ],
+            }
+        ]
+    }
+    p = tmp_path / "otlp.json"
+    p.write_text(json.dumps(doc) + "\n")
+    row = OtlpJsonFileSource(str(p))(spark).collect()[0]
+    assert row["body"] == "kaboom"
+    assert row["severity_number"] == 17
+    assert row["resource"]["service.name"] == "svc"
+    assert row["attributes"]["k"] == "v"
+    assert row["trace_id"].hex() == "0102030405060708090a0b0c0d0e0f10"
+    assert str(row["ts"]).startswith("2024-01-01 00:00:00")
+
+
+def test_snapshot_table_append_and_incremental(spark, tmp_path):
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    s1 = tbl.append(spark.range(3).select(F.col("id")))
+    s2 = tbl.append(spark.range(10, 12).select(F.col("id")))
+    assert (s1, s2) == (1, 2)
+    assert tbl.read(spark).count() == 5
+    assert tbl.read(spark, snapshot_id=1).count() == 3  # time travel
+    inc = tbl.read_incremental(spark, from_snapshot_id=1)
+    assert sorted(r["id"] for r in inc.collect()) == [10, 11]
+
+
+def test_snapshot_table_overwrite_blocks_incremental(spark, tmp_path):
+    tbl = SnapshotTable(str(tmp_path / "t2"))
+    tbl.append(spark.range(3))
+    tbl.overwrite(spark.range(5))
+    assert tbl.read(spark).count() == 5
+    with pytest.raises(ValueError):
+        tbl.read_incremental(spark, from_snapshot_id=1)
+
+
+def test_file_sink_group_by(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("a", "x1"), ("b", "x2"), ("a", "x3")], "grp string, v string"
+    )
+    FileSink(str(tmp_path / "out"), group_by="grp")(df)
+    dirs = {d for d in os.listdir(tmp_path / "out") if d.startswith("grp=")}
+    assert dirs == {"grp=a", "grp=b"}
+
+
+def test_write_routed_single_job(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "sink_a"), (2, "sink_b"), (3, "sink_a")], "id int, route string"
+    )
+    paths = write_routed(df, str(tmp_path / "routed"))
+    assert set(paths) == {"sink_a", "sink_b"}
+    a = spark.read.parquet(paths["sink_a"])
+    assert sorted(r["id"] for r in a.collect()) == [1, 3]
+
+
+def test_checkpointed_resume_idempotent(spark, tmp_path):
+    """Kill-rerun produces identical sinks (FIXTURES.md section 8)."""
+    inp = SnapshotTable(str(tmp_path / "in"))
+    sink = SnapshotTable(str(tmp_path / "sink"))
+    lineage = SnapshotTable(str(tmp_path / "lineage"))
+    w = CheckpointedWriter(lineage)
+
+    s1 = inp.append(spark.range(5))
+    # first run: process snapshot range (0, s1]
+    df1 = inp.read_incremental(spark, 0)
+    assert w.commit(sink, df1, 0, s1) == 1
+    # simulated crash AFTER sink commit, BEFORE next input: rerun the
+    # same increment -> no-op (no duplicates)
+    assert w.commit(sink, df1, 0, s1) is None
+    assert sink.read(spark).count() == 5
+    # new input arrives; resume from the sink's own checkpoint
+    s2 = inp.append(spark.range(100, 103))
+    frm = w.last_processed(sink)
+    assert frm == s1
+    df2 = inp.read_incremental(spark, frm)
+    w.commit(sink, df2, frm, s2)
+    assert sink.read(spark).count() == 8
+    # lineage table records both commits
+    assert lineage.read(spark).count() == 2
