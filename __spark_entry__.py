@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship parse -> enrich -> route -> aggregate
+pipeline (SURVEY.md 7.2). ``queries()`` exposes one entry per
+implemented operator family from SURVEY.md section 2 plus the
+training-data ops; ``oracle_sql()`` carries the DuckDB-lockstep SQL for
+each (tables ``events documents embeddings`` are driver-registered
+views; transcripts derive from ``events`` via the shared CTE in
+``opentelemetry_collector_contrib_spark.data.transcripts`` so Spark and DuckDB compute from
+identical inputs).
+
+Ops with no SQL-expressible twin (xxhash64 sampling, mapInPandas
+multimodal decode) appear in ``queries()`` only -> rows-only check.
 """
 
 from __future__ import annotations
@@ -12,27 +18,453 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.connectors import Route, RoutingConnector
+from opentelemetry_collector_contrib_spark.data import derive_transcripts
+from opentelemetry_collector_contrib_spark.data.transcripts import (
+    ROLE_GROUPS_ORACLE_CTE,
+    TOOL_CATALOG_ORACLE_CTE,
+    TRANSCRIPTS_ORACLE_CTE,
+)
+from opentelemetry_collector_contrib_spark.operators import Recombine
+from opentelemetry_collector_contrib_spark.pipeline import (
+    ROUTES,
+    TranscriptPipeline,
+    run_flagship,
+)
+from opentelemetry_collector_contrib_spark.processors import (
+    Action,
+    AttributesProcessor,
+    FilterProcessor,
+    ProbabilisticSampler,
+)
+from opentelemetry_collector_contrib_spark.functions import compile_statement
+from opentelemetry_collector_contrib_spark.training import (
+    binary_table,
+    brute_force_topk,
+    cosine_pairs,
+    exact_dedup,
+    extract_features,
+    fingerprint,
+    hyperplane_buckets,
+    lang_id,
+    lsh_candidate_pairs,
+    make_planes,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    quality_score,
+    simhash,
+    token_stats,
+)
+
+# ---------------------------------------------------------------------------
+# shared loaders
+
+def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return derive_transcripts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _pipe() -> TranscriptPipeline:
+    return TranscriptPipeline()
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL builders (DuckDB dialect, lockstep with the Spark ops)
+
+_PAT = r"^at=(\S+) ([A-Z]+) \[(\w+)\] evt=(\w+) code=(\d+) dur_ms=(\d+) k=(\d+)$"
+_GROUPS = ["at", "level", "tool_name", "evt", "code", "dur_ms", "k"]
+
+_PARSE_COLS = ",\n    ".join(
+    f"CASE WHEN regexp_matches(text, '{_PAT}') THEN regexp_extract(text, '{_PAT}', {i+1}) END AS {g}"
+    for i, g in enumerate(_GROUPS)
+)
+
+_SEV_NUM = (
+    "CASE lower(level) WHEN 'fatal' THEN 21 WHEN 'error' THEN 17 "
+    "WHEN 'warn' THEN 13 WHEN 'info' THEN 9 WHEN 'debug' THEN 5 ELSE 0 END"
+)
+
+_BASE_CTES = f"""WITH {TRANSCRIPTS_ORACLE_CTE.strip()},
+{TOOL_CATALOG_ORACLE_CTE.strip()},
+{ROLE_GROUPS_ORACLE_CTE.strip()},
+parsed AS (
+  SELECT t.*,
+    {_PARSE_COLS}
+  FROM transcripts t
+),
+enriched AS (
+  SELECT p.*, c.tool_category, c.risk_level, g.role_group,
+         {_SEV_NUM} AS severity_number
+  FROM parsed p
+  LEFT JOIN tool_catalog c USING (tool)
+  LEFT JOIN role_groups g USING (role)
+),
+routed AS (
+  SELECT *,
+    CASE WHEN level IN ('ERROR','FATAL') THEN 'sink_errors'
+         WHEN tool_category = 'exec' THEN 'sink_exec'
+         ELSE 'sink_default' END AS route
+  FROM enriched
+)"""
+
+# DuckDB-lockstep text primitives (match training.dedup/textstats)
+_TOKS = "list_filter(string_split(text, ' '), t -> t != '')"
+_SH3 = (
+    f"list_transform(range(0, greatest(len({_TOKS})-2, 0)), "
+    f"i -> array_to_string(list_slice({_TOKS}, i+1, i+3), ' '))"
+)
+_STOP = "['the','a','an','and','of','to','in','is','it']"
+
+_MINHASH_N, _BANDS, _ROWS = 8, 4, 2
+_SIG = "[" + ",".join(
+    f"list_min(list_transform({_SH3}, s -> md5('{j}|' || s)))"
+    for j in range(_MINHASH_N)
+) + "]"
+
+_HEXVAL = "+".join(
+    f"(ascii(substring(md5(tok),{i},1)) - CASE WHEN ascii(substring(md5(tok),{i},1)) >= 97 THEN 87 ELSE 48 END)::BIGINT * {16 ** (8 - i)}"
+    for i in range(1, 9)
+)
+_BITSUMS = ",".join(
+    f"sum(CASE WHEN (hv // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS s{j}"
+    for j in range(32)
+)
+_SIMH = "+".join(f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(32))
+
+_DOT_AB = (
+    "list_reduce(list_transform(list_zip(a.embedding::DOUBLE[], b.embedding::DOUBLE[]),"
+    " z -> z[1]*z[2]), (x,y) -> x+y)"
+)
+
+
+def _nrm(t: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_transform({t}.embedding::DOUBLE[], x -> x*x),"
+        " (p,q) -> p+q))"
+    )
+
+
+_PLANES = make_planes(8, 64)
+
+
+def _plane_dot(p: int) -> str:
+    lit = "[" + ",".join(repr(v) for v in _PLANES[p]) + "]"
+    return (
+        f"list_reduce(list_transform(list_zip(embedding::DOUBLE[], {lit}::DOUBLE[]),"
+        " z -> z[1]*z[2]), (x,y) -> x+y)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship DAG over sf0.001: per-sink aggregate counts."""
+    return run_flagship(spark, "/root/testdata/sf0.001")
+
+
+def _q_flagship(spark, sf_dir):
+    return run_flagship(spark, sf_dir)
+
+
+def _q_transcripts(spark, sf_dir):
+    return _transcripts(spark, sf_dir)
+
+
+def _q_parse_regex(spark, sf_dir):
+    parsed = _pipe().parse(_transcripts(spark, sf_dir))
+    return parsed.select("conv_id", "turn_idx", *_GROUPS)
+
+
+def _q_parse_time_severity(spark, sf_dir):
+    parsed = _pipe().parse(_transcripts(spark, sf_dir))
+    return parsed.select(
+        "conv_id", "turn_idx", "event_ts", "severity_number", "severity_text"
+    )
+
+
+def _q_enrich(spark, sf_dir):
+    df = _pipe().enrich(_pipe().parse(_transcripts(spark, sf_dir)))
+    return df.select(
+        "conv_id", "turn_idx", "tool", "tool_category", "risk_level", "role_group"
+    )
+
+
+def _q_route_once(spark, sf_dir):
+    routed, _ = _pipe()(_transcripts(spark, sf_dir))
+    return routed.select("conv_id", "turn_idx", "route")
+
+
+def _q_route_multi(spark, sf_dir):
+    p = TranscriptPipeline(match_once=False)
+    rc = RoutingConnector(ROUTES, default_sinks=["sink_default"], match_once=False)
+    df = p.enrich(p.parse(_transcripts(spark, sf_dir)))
+    return rc(df).select("conv_id", "turn_idx", "route")
+
+
+def _q_counts(spark, sf_dir):
+    _, counts = _pipe()(_transcripts(spark, sf_dir))
+    return counts.select(
+        "metric_name",
+        F.element_at("attrs", "route").alias("route"),
+        F.element_at("attrs", "role").alias("role"),
+        "count",
+    )
+
+
+def _q_recombine(spark, sf_dir):
+    out = Recombine()(_transcripts(spark, sf_dir))
+    return out.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
+def _q_recombine_sessions(spark, sf_dir):
+    out = Recombine(is_first_entry="turn_idx % 5 = 0")(_transcripts(spark, sf_dir))
+    return out.select("conv_id", "turn_idx", "text")
+
+
+def _q_filter(spark, sf_dir):
+    fp = FilterProcessor(conditions=["role = 'system'", "tool = 'none'"])
+    return fp(_transcripts(spark, sf_dir)).select("conv_id", "turn_idx", "role", "tool")
+
+
+def _q_attributes(spark, sf_dir):
+    parsed = _pipe().parse(_transcripts(spark, sf_dir))
+    proc = AttributesProcessor(
+        actions=[
+            Action("upsert", key="env", value="prod"),
+            Action("insert", key="k", value="0"),
+            Action("convert", key="dur_ms", converted_type="int"),
+            Action("extract", key="at", pattern=r"(?P<day_part>\d{4}-\d{2}-\d{2})"),
+        ]
+    )
+    return proc(parsed).select("conv_id", "turn_idx", "env", "k", "dur_ms", "day_part")
+
+
+def _q_ottl(spark, sf_dir):
+    df = _transcripts(spark, sf_dir)
+    for stmt in [
+        'set(flag, "hot") where Len(text) > 80',
+        'set(role, ConvertCase(role, "upper"))',
+        'replace_pattern(text, "code=\\\\d+", "code=*")',
+    ]:
+        df = compile_statement(stmt)(df)
+    return df.select("conv_id", "turn_idx", "role", "flag", "text")
+
+
+def _q_sampler(spark, sf_dir):
+    # deterministic hash sampling (no DuckDB twin for xxhash64)
+    s = ProbabilisticSampler(percentage=25.0, attribute_source="conv_id")
+    return s(_transcripts(spark, sf_dir)).select("conv_id", "turn_idx")
+
+
+def _q_dedup_exact(spark, sf_dir):
+    return exact_dedup(_docs(spark, sf_dir)).select("doc_id")
+
+
+def _q_dedup_lsh(spark, sf_dir):
+    sigs = minhash_signatures(_docs(spark, sf_dir), n_hashes=_MINHASH_N)
+    return lsh_candidate_pairs(sigs, bands=_BANDS, rows_per_band=_ROWS)
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    return simhash(_docs(spark, sf_dir))
+
+
+def _q_dedup_jaccard(spark, sf_dir):
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.2)
+
+
+def _q_dedup_cosine(spark, sf_dir):
+    return cosine_pairs(_emb(spark, sf_dir), threshold=0.8)
+
+
+def _q_ann_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return brute_force_topk(emb, emb.filter("vec_id < 5"), k=5)
+
+
+def _q_ann_lsh(spark, sf_dir):
+    return hyperplane_buckets(_emb(spark, sf_dir), n_planes=8)
+
+
+def _q_token_stats(spark, sf_dir):
+    return token_stats(_docs(spark, sf_dir))
+
+
+def _q_quality(spark, sf_dir):
+    return quality_score(_docs(spark, sf_dir))
+
+
+def _q_lang_id(spark, sf_dir):
+    return lang_id(_docs(spark, sf_dir))
+
+
+def _q_fingerprint(spark, sf_dir):
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def _q_multimodal(spark, sf_dir):
+    return extract_features(binary_table(_docs(spark, sf_dir)))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "flagship": _q_flagship,
+        "transcripts_derive": _q_transcripts,
+        "parse_regex": _q_parse_regex,
+        "parse_time_severity": _q_parse_time_severity,
+        "enrich_lookup": _q_enrich,
+        "route_match_once": _q_route_once,
+        "route_multi_match": _q_route_multi,
+        "count_connector": _q_counts,
+        "recombine": _q_recombine,
+        "recombine_sessions": _q_recombine_sessions,
+        "filter_processor": _q_filter,
+        "attributes_processor": _q_attributes,
+        "transform_ottl": _q_ottl,
+        "sampler_deterministic": _q_sampler,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_lsh": _q_dedup_lsh,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_ngram_jaccard": _q_dedup_jaccard,
+        "dedup_embedding_cosine": _q_dedup_cosine,
+        "ann_bruteforce_topk": _q_ann_topk,
+        "ann_lsh_buckets": _q_ann_lsh,
+        "text_token_stats": _q_token_stats,
+        "text_quality_score": _q_quality,
+        "text_lang_id": _q_lang_id,
+        "doc_fingerprint": _q_fingerprint,
+        "multimodal_features": _q_multimodal,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    counts_sql = f"""{_BASE_CTES}
+SELECT 'log.record.count' AS metric_name, route, role, count(*)::BIGINT AS count
+FROM routed GROUP BY route, role
+UNION ALL
+SELECT 'log.error.count' AS metric_name, route, NULL AS role,
+       sum(CASE WHEN severity_number >= 17 THEN 1 ELSE 0 END)::BIGINT AS count
+FROM routed GROUP BY route
+HAVING sum(CASE WHEN severity_number >= 17 THEN 1 ELSE 0 END) > 0"""
+    return {
+        "flagship": counts_sql,
+        "count_connector": counts_sql,
+        "transcripts_derive": f"WITH {TRANSCRIPTS_ORACLE_CTE.strip()} SELECT * FROM transcripts",
+        "parse_regex": f"""{_BASE_CTES}
+SELECT conv_id, turn_idx, {', '.join(_GROUPS)} FROM parsed""",
+        "parse_time_severity": f"""{_BASE_CTES}
+SELECT conv_id, turn_idx,
+  try_strptime(at, '%Y-%m-%dT%H:%M:%S') AS event_ts,
+  {_SEV_NUM} AS severity_number,
+  upper(level) AS severity_text
+FROM parsed""",
+        "enrich_lookup": f"""{_BASE_CTES}
+SELECT conv_id, turn_idx, tool, tool_category, risk_level, role_group FROM enriched""",
+        "route_match_once": f"""{_BASE_CTES}
+SELECT conv_id, turn_idx, route FROM routed""",
+        "route_multi_match": f"""{_BASE_CTES}
+SELECT conv_id, turn_idx, 'sink_errors' AS route FROM enriched WHERE level IN ('ERROR','FATAL')
+UNION ALL
+SELECT conv_id, turn_idx, 'sink_exec' AS route FROM enriched WHERE tool_category = 'exec'
+UNION ALL
+SELECT conv_id, turn_idx, 'sink_default' AS route FROM enriched
+WHERE NOT (coalesce(level IN ('ERROR','FATAL'), false) OR tool_category = 'exec')""",
+        "recombine": f"""WITH {TRANSCRIPTS_ORACLE_CTE.strip()}
+SELECT conv_id, min(turn_idx) AS turn_idx, arg_min(role, turn_idx) AS role,
+       string_agg(text, chr(10) ORDER BY turn_idx) AS text,
+       arg_min(tool, turn_idx) AS tool, arg_min(ts, turn_idx) AS ts
+FROM transcripts GROUP BY conv_id""",
+        "recombine_sessions": f"""WITH {TRANSCRIPTS_ORACLE_CTE.strip()},
+g AS (SELECT *, sum(CASE WHEN turn_idx % 5 = 0 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY conv_id ORDER BY turn_idx) AS grp
+      FROM transcripts)
+SELECT conv_id, min(turn_idx) AS turn_idx,
+       string_agg(text, chr(10) ORDER BY turn_idx) AS text
+FROM g GROUP BY conv_id, grp""",
+        "filter_processor": f"""WITH {TRANSCRIPTS_ORACLE_CTE.strip()}
+SELECT conv_id, turn_idx, role, tool FROM transcripts
+WHERE NOT (coalesce(role = 'system', false) OR coalesce(tool = 'none', false))""",
+        "attributes_processor": f"""{_BASE_CTES}
+SELECT conv_id, turn_idx, 'prod' AS env,
+       CASE WHEN k IS NULL THEN '0' ELSE k END AS k,
+       CAST(dur_ms AS BIGINT) AS dur_ms,
+       CASE WHEN regexp_matches(at, '(\\d{{4}}-\\d{{2}}-\\d{{2}})')
+            THEN regexp_extract(at, '(\\d{{4}}-\\d{{2}}-\\d{{2}})', 1) END AS day_part
+FROM parsed""",
+        "transform_ottl": f"""WITH {TRANSCRIPTS_ORACLE_CTE.strip()}
+SELECT conv_id, turn_idx, upper(role) AS role,
+       CASE WHEN len(text) > 80 THEN 'hot' END AS flag,
+       regexp_replace(text, 'code=\\d+', 'code=*', 'g') AS text
+FROM transcripts""",
+        "dedup_exact": """WITH h AS (
+  SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents)
+SELECT doc_id FROM h WHERE rn = 1""",
+        "dedup_minhash_lsh": f"""WITH sigs AS (SELECT doc_id, {_SIG} AS sig FROM documents),
+bands AS (SELECT doc_id, band,
+                 md5(array_to_string(list_slice(sig, band*{_ROWS}+1, band*{_ROWS}+{_ROWS}), '|')) AS bh
+          FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, {_BANDS - 1})) AS band))
+SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id""",
+        "dedup_simhash": f"""WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+hv AS (SELECT doc_id, {_HEXVAL} AS hv FROM toks),
+sums AS (SELECT doc_id, {_BITSUMS} FROM hv GROUP BY doc_id)
+SELECT doc_id, ({_SIMH})::BIGINT AS simhash FROM sums""",
+        "dedup_ngram_jaccard": f"""WITH sh AS (SELECT doc_id, list_distinct({_SH3}) AS sh FROM documents),
+inv AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
+pairs AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS inter
+          FROM inv x JOIN inv y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)
+SELECT a_id, b_id, round(inter::DOUBLE / (na.n + nb.n - inter), 4) AS jaccard
+FROM pairs JOIN sizes na ON na.doc_id = a_id JOIN sizes nb ON nb.doc_id = b_id
+WHERE round(inter::DOUBLE / (na.n + nb.n - inter), 4) >= 0.2""",
+        "dedup_embedding_cosine": f"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       round({_DOT_AB} / ({_nrm('a')} * {_nrm('b')}), 4) AS cos
+FROM embeddings a CROSS JOIN embeddings b
+WHERE a.vec_id < b.vec_id
+  AND round({_DOT_AB} / ({_nrm('a')} * {_nrm('b')}), 4) >= 0.8""",
+        "ann_bruteforce_topk": f"""WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({_DOT_AB.replace('a.embedding', 'q.embedding').replace('b.embedding', 'c.embedding')}
+               / ({_nrm('q')} * {_nrm('c')}), 4) AS cos
+  FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+  WHERE q.vec_id != c.vec_id)
+SELECT query_id, neighbor_id, rank, cos FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored) WHERE rank <= 5""",
+        "ann_lsh_buckets": "SELECT vec_id, "
+        + " || ".join(
+            f"(CASE WHEN {_plane_dot(p)} >= 0 THEN '1' ELSE '0' END)" for p in range(8)
+        )
+        + " AS bucket FROM embeddings",
+        "text_token_stats": f"""SELECT doc_id, len({_TOKS}) AS n_tokens,
+       len(list_distinct({_TOKS})) AS n_distinct,
+       round(len(list_distinct({_TOKS}))::DOUBLE / len({_TOKS}), 4) AS distinct_ratio,
+       round(list_reduce(list_transform({_TOKS}, t -> len(t)), (a,b) -> a+b)::DOUBLE
+             / len({_TOKS}), 4) AS avg_token_len
+FROM documents""",
+        "text_quality_score": f"""SELECT doc_id,
+  floor((0.3 * least(len(text)::DOUBLE / 500.0, 1.0)
+      + 0.4 * (len(list_distinct({_TOKS}))::DOUBLE / len({_TOKS}))
+      + 0.3 * least(4.0 * len(list_filter({_TOKS}, t -> list_contains({_STOP}, t)))::DOUBLE
+                    / len({_TOKS}), 1.0)) * 10000 + 0.5)::BIGINT AS quality_q4
+FROM documents""",
+        "text_lang_id": f"""SELECT doc_id,
+  CASE WHEN len(list_filter({_TOKS}, t -> list_contains({_STOP}, t)))::DOUBLE
+            / len({_TOKS}) > 0.02 THEN 'en' ELSE 'unknown' END AS pred_lang
+FROM documents""",
+        "doc_fingerprint": f"""SELECT doc_id,
+  list_min(list_transform({_SH3}, s -> md5(s))) AS fp
+FROM documents""",
+    }

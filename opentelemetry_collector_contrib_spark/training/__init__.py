@@ -1,0 +1,47 @@
+"""Training-data pipeline operators (extension beyond the reference).
+
+Large-scale training corpora need dedup / similarity / text-quality /
+multimodal plumbing alongside the log-pipeline semantics. Everything
+here is expression-first (whole-stage codegen), with shuffles only
+where the semantics demand a join or grouped aggregation, and each op
+has a DuckDB-lockstep oracle (the ``*_SQL`` builders) so the driver's
+correctness gate covers it.
+"""
+
+from .dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash,
+    tokens,
+)
+from .multimodal import binary_table, extract_features
+from .similarity import (
+    brute_force_topk,
+    cosine_pairs,
+    hyperplane_buckets,
+    make_planes,
+)
+from .textstats import fingerprint, lang_id, quality_score, token_stats
+
+__all__ = [
+    "binary_table",
+    "brute_force_topk",
+    "cosine_pairs",
+    "exact_dedup",
+    "extract_features",
+    "fingerprint",
+    "hyperplane_buckets",
+    "lang_id",
+    "lsh_candidate_pairs",
+    "make_planes",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "quality_score",
+    "shingles",
+    "simhash",
+    "token_stats",
+    "tokens",
+]

@@ -1,0 +1,198 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale posture (100 TB corpus):
+
+- ``exact_dedup``: one shuffle on the content hash; AQE splits skewed
+  hash buckets (boilerplate dup clusters are the classic hot key).
+- ``minhash_signatures``: pure projection — zero shuffle; signatures
+  are computed inside whole-stage codegen from the token array, no
+  Python in the row path.
+- ``lsh_candidate_pairs``: explodes b band rows per doc and self-joins
+  on (band, band_hash) — the join key is the bucket, so only docs
+  sharing a bucket ever meet (|candidates| << n^2). A giant bucket
+  (e.g. empty docs) is quadratic in that bucket only; cap via
+  ``max_bucket`` which drops degenerate buckets, mirroring how the
+  reference caps unbounded state (recombine ``max_unmatched_batch_size``,
+  /root/reference pkg/stanza/operator/transformer/recombine/transformer.go:151-158).
+- ``simhash``: one explode + one grouped aggregation (map-side partial
+  combine applies); 32 conditional sums per group, all codegen.
+- ``ngram_jaccard_pairs``: exact pairwise set overlap via a shingle
+  inverted index join — the exact (expensive) baseline that MinHash/LSH
+  approximates; at scale run it only on LSH candidates.
+
+Hashes are md5 hex strings: identical byte-for-byte in Spark and
+DuckDB, so every op here is oracle-checkable (minhash "permutations"
+are md5 with a seed prefix; lexicographic min over uniform hex strings
+is a valid min-hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens with empties removed (DuckDB-lockstep:
+    ``list_filter(string_split(x, ' '), t -> t != '')``)."""
+    return F.filter(F.split(col, " "), lambda t: t != "")
+
+
+def shingles(toks: Column, k: int = 3) -> Column:
+    """k-word shingles joined by a single space."""
+    idx = F.when(
+        F.size(toks) >= k, F.sequence(F.lit(0), F.size(toks) - k)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
+    )
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest-id row per exact content hash (hash-groupBy)."""
+    h = F.md5(F.col(text_col))
+    w = Window.partitionBy("__h").orderBy(id_col)
+    return (
+        df.withColumn("__h", h)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__h", "__rn")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """(id, sig ARRAY<STRING>[n_hashes]) — sig_j = min over shingles of
+    md5('<j>|' + shingle). Pure projection, no shuffle."""
+    sh = shingles(tokens(F.col(text_col)), k)
+
+    def seeded(j: int):
+        # NB: must close over j and stay arity-1 — an arity-2 lambda is
+        # treated by F.transform as an (element, index) lambda
+        prefix = f"{j}|"
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    sig = F.array(
+        *[F.array_min(F.transform(sh, seeded(j))) for j in range(n_hashes)]
+    )
+    return df.select(F.col(id_col), sig.alias("sig"))
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 4,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Banded LSH: docs sharing any band hash become a candidate pair
+    (a < b). ``max_bucket`` drops buckets larger than the cap (skew
+    guard for degenerate content)."""
+    band_rows = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|", F.slice("sig", i * rows_per_band + 1, rows_per_band)
+                            )
+                        ).alias("bh"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "b.band", "b.bh")
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "bh")
+        band_rows = band_rows.withColumn("__n", F.count(F.lit(1)).over(w)).filter(
+            F.col("__n") <= max_bucket
+        ).drop("__n")
+    a = band_rows.select(
+        F.col(id_col).alias("a_id"), "band", "bh"
+    )
+    b = band_rows.select(F.col(id_col).alias("b_id"), "band", "bh")
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """(id, simhash BIGINT) — sign-sum over token hashes. Token hash =
+    first 8 hex chars of md5 as a 32-bit int; bit j of the signature is
+    1 iff sum over tokens of (+1 if bit j set else -1) > 0.
+
+    One explode + one grouped agg; partial (map-side) combine applies.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    hv = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+    tok = tok.select(id_col, hv.alias("hv"))
+    sums = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.floor(F.col("hv") / (1 << j)) % 2 == 1, 1).otherwise(-1)
+            ).alias(f"s{j}")
+            for j in range(bits)
+        ]
+    )
+    sig = None
+    for j in range(bits):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return sums.select(F.col(id_col), sig.cast("bigint").alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard over distinct k-shingle sets via an inverted-index
+    self-join; returns (a_id, b_id, jaccard) with jaccard >= threshold.
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.array_distinct(shingles(tokens(F.col(text_col)), k)).alias("sh"),
+    )
+    sizes = sh.select(id_col, F.size("sh").alias("n"))
+    inv = sh.select(id_col, F.explode("sh").alias("s"))
+    pairs = (
+        inv.alias("x")
+        .join(inv.alias("y"), "s")
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .groupBy(
+            F.col(f"x.{id_col}").alias("a_id"), F.col(f"y.{id_col}").alias("b_id")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("a_id"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("b_id"), F.col("n").alias("nb"))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        pairs.join(F.broadcast(na), "a_id")
+        .join(F.broadcast(nb), "b_id")
+        .select("a_id", "b_id", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

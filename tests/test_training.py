@@ -1,0 +1,166 @@
+"""Training-data operators: dedup, similarity, text stats, multimodal.
+
+Semantics-focused unit tests on tiny in-memory frames (fast, exact
+expectations) plus plumbing checks on the driver documents/embeddings
+tables. The full DuckDB-oracle cross-check runs via
+tools/check_contract.py and the driver's CORRECTNESS gate.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.training import (
+    binary_table,
+    brute_force_topk,
+    cosine_pairs,
+    exact_dedup,
+    extract_features,
+    fingerprint,
+    hyperplane_buckets,
+    lang_id,
+    lsh_candidate_pairs,
+    make_planes,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    quality_score,
+    simhash,
+    token_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+        (2, "the quick brown fox jumps over the sleepy dog"),  # near dup
+        (3, "completely different content about spark engines"),
+        (4, "x"),  # fewer tokens than shingle size
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_lowest_id(docs):
+    kept = sorted(r.doc_id for r in exact_dedup(docs).collect())
+    assert kept == [0, 2, 3, 4]
+
+
+def test_minhash_identical_docs_identical_sigs(docs):
+    sigs = {r.doc_id: r.sig for r in minhash_signatures(docs, n_hashes=8).collect()}
+    assert sigs[0] == sigs[1]
+    assert sigs[0] != sigs[3]
+    # near-dup shares most minhashes
+    overlap = sum(a == b for a, b in zip(sigs[0], sigs[2]))
+    assert overlap >= 4
+    # sub-shingle-size doc -> all-null signature, not an error
+    assert all(v is None for v in sigs[4])
+
+
+def test_lsh_finds_exact_and_near_dups(docs):
+    sigs = minhash_signatures(docs, n_hashes=8)
+    pairs = {(r.a_id, r.b_id) for r in
+             lsh_candidate_pairs(sigs, bands=4, rows_per_band=2).collect()}
+    assert (0, 1) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_lsh_max_bucket_drops_degenerate(docs):
+    sigs = minhash_signatures(docs, n_hashes=8)
+    none = lsh_candidate_pairs(sigs, bands=4, rows_per_band=2, max_bucket=1)
+    assert none.count() == 0
+
+
+def test_simhash_near_dups_close(docs):
+    sh = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    assert sh[0] == sh[1]
+    ham = bin(sh[0] ^ sh[2]).count("1")
+    ham_far = bin(sh[0] ^ sh[3]).count("1")
+    assert ham < ham_far
+
+
+def test_jaccard_exact(docs):
+    got = {(r.a_id, r.b_id): r.jaccard for r in
+           ngram_jaccard_pairs(docs, threshold=0.1).collect()}
+    assert got[(0, 1)] == 1.0
+    # 7 shingles each, 5 shared (the two containing 'lazy' differ) -> 5/9
+    assert got[(0, 2)] == 0.5556
+
+
+def test_fingerprint_stable_under_identity(docs):
+    fps = {r.doc_id: r.fp for r in fingerprint(docs).collect()}
+    assert fps[0] == fps[1]
+    assert fps[0] != fps[3]
+
+
+def test_token_stats(docs):
+    r = {x.doc_id: x for x in token_stats(docs).collect()}
+    assert r[0].n_tokens == 9
+    assert r[0].n_distinct == 8  # 'the' twice
+    assert r[4].n_tokens == 1
+
+
+def test_quality_and_lang(docs):
+    q = {r.doc_id: r.quality_q4 for r in quality_score(docs).collect()}
+    assert 0 <= q[0] <= 10000
+    langs = {r.doc_id: r.pred_lang for r in lang_id(docs).collect()}
+    assert langs[0] == "en"       # 'the' x2 of 9 tokens
+    assert langs[3] == "unknown"  # no stopwords
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.01, 0.0, 0.0]),   # near dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),    # orthogonal
+        (3, [-1.0, 0.0, 0.0, 0.0]),   # opposite
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_pairs(vecs):
+    pairs = {(r.a_id, r.b_id): r.cos for r in cosine_pairs(vecs, threshold=0.9).collect()}
+    assert list(pairs) == [(0, 1)]
+    assert pairs[(0, 1)] == pytest.approx(1.0, abs=1e-3)
+
+
+def test_topk_excludes_self_and_ranks(vecs):
+    out = brute_force_topk(vecs, vecs.filter("vec_id = 0"), k=3).collect()
+    assert [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)] == [1, 2, 3]
+    assert all(r.query_id == 0 and r.neighbor_id != 0 for r in out)
+
+
+def test_hyperplane_buckets_group_near_dups(vecs):
+    b = {r.vec_id: r.bucket for r in
+         hyperplane_buckets(vecs, n_planes=8, dim=4).collect()}
+    assert b[0] == b[1]          # near-identical vectors share the bucket
+    assert b[0] != b[3]          # opposite vector flips every sign bit
+    assert len(b[0]) == 8 and set(b[0]) <= {"0", "1"}
+
+
+def test_make_planes_deterministic():
+    assert make_planes(2, 4) == make_planes(2, 4)
+    assert all(-1.0 <= v <= 1.0 for row in make_planes(3, 16) for v in row)
+
+
+def test_multimodal_plumbing(docs):
+    mm = binary_table(docs)
+    assert dict(mm.dtypes)["payload"] == "binary"
+    feats = extract_features(mm)
+    rows = {r.doc_id: r for r in feats.collect()}
+    assert len(rows) == 5
+    assert rows[0].n_bytes == len(b"the quick brown fox jumps over the lazy dog")
+    assert rows[0].checksum == rows[1].checksum  # deterministic on content
+    assert rows[0].head == b"the quic".hex()
+    assert 1 <= rows[0].width <= 640 and 1 <= rows[0].height <= 480
+
+
+def test_training_ops_on_driver_tables(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assert exact_dedup(docs).count() <= docs.count()
+    sigs = minhash_signatures(docs, n_hashes=8)
+    assert sigs.filter(F.size("sig") != 8).count() == 0
+    assert hyperplane_buckets(emb, n_planes=4).count() == emb.count()
