@@ -10,16 +10,17 @@ config.go:29,43-51,186-192):
 - default metric name ``log.record.count``
 - output: delta monotonic Sum datapoints keyed by (metric x attr-set)
 
-Spark plan: one ``groupBy(attrs).agg(sum(when(cond,1)))`` per distinct
-grouping-key-set; metrics sharing a key-set share a single aggregation
-(partial map-side combine is automatic). Output schema matches
-FIXTURES.md section 5: ``metric_name, attrs MAP<STRING,STRING>, count``.
+Spark plan: ONE aggregation pass for every metric def via GROUPING SETS
+(one set per distinct grouping-key signature), ``sum(when(cond,1))``
+per metric, ``grouping_id()`` to route output rows back to their
+metric. One scan + one shuffle total; partial map-side combine is
+automatic. Output schema matches FIXTURES.md section 5:
+``metric_name, attrs MAP<STRING,STRING>, count``.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from itertools import groupby
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -48,51 +49,103 @@ class CountConnector:
         return F.lit(None).cast("string")
 
     def __call__(self, df: DataFrame) -> DataFrame:
-        outs = []
-        # group metric defs by their grouping-key signature so each
-        # signature costs one aggregation over the input
-        sig_fn = lambda m: tuple((k, d if d is not None else "\x00") for k, d in m.attributes)  # noqa: E731
-        keyed = sorted(self.metrics, key=sig_fn)
-        for sig, defs in groupby(keyed, key=sig_fn):
-            defs = list(defs)
-            base = df
-            key_cols = []
-            for key, default in defs[0].attributes:
-                col = self._attr_col(df, key)
-                if default is not None:
-                    col = F.coalesce(col, F.lit(default))
-                key_cols.append(col.alias(f"__k_{key}"))
-            proj = base.select(
-                *key_cols,
-                *[
-                    self._metric_flag(df, m).alias(f"__m_{i}")
-                    for i, m in enumerate(defs)
-                ],
-            )
-            # missing attr with no default -> excluded (counter.go:70-73)
-            for key, default in defs[0].attributes:
+        # ALL metrics are computed in ONE aggregation pass using
+        # GROUPING SETS (one signature per distinct grouping-key set):
+        # one scan of the input + one shuffle regardless of how many
+        # metric defs are configured — the reference accumulates all
+        # counters in a single pass too (counter.go:38-106). grouping_id
+        # disambiguates which signature produced each output row.
+        pairs: list[tuple[str, str | None]] = []
+        for m in self.metrics:
+            for kd in m.attributes:
+                if kd not in pairs:
+                    pairs.append(kd)
+        if not pairs:
+            return self._global_counts(df)
+        colname = {kd: f"__k_{i}" for i, kd in enumerate(pairs)}
+        key_cols = []
+        for kd in pairs:
+            key, default = kd
+            col = self._attr_col(df, key)
+            if default is not None:
+                col = F.coalesce(col, F.lit(default))
+            key_cols.append(col.alias(colname[kd]))
+        flags = []
+        for i, m in enumerate(self.metrics):
+            flag = self._metric_flag(df, m)
+            # missing attr with no default -> row excluded from THIS
+            # metric only (counter.go:70-73)
+            for key, default in m.attributes:
                 if default is None:
-                    proj = proj.filter(F.col(f"__k_{key}").isNotNull())
-            gcols = [f"__k_{k}" for k, _ in defs[0].attributes]
-            agg = proj.groupBy(*gcols).agg(
-                *[F.sum(F.col(f"__m_{i}")).alias(f"__c_{i}") for i in range(len(defs))]
-            )
+                    flag = F.when(
+                        self._attr_col(df, key).isNotNull(), flag
+                    ).otherwise(F.lit(0))
+            flags.append(flag.alias(f"__m_{i}"))
+        proj = df.select(*key_cols, *flags)
+
+        all_cols = [colname[kd] for kd in pairs]
+        metric_cols = [[colname[kd] for kd in m.attributes] for m in self.metrics]
+        uniq_sets: list[list[str]] = []
+        for g in metric_cols:
+            if g not in uniq_sets:
+                uniq_sets.append(g)
+        agg = proj.groupingSets(
+            [[F.col(c) for c in g] for g in uniq_sets],
+            *[F.col(c) for c in all_cols],
+        ).agg(
+            F.grouping_id().alias("__gid"),
+            *[
+                F.sum(F.col(f"__m_{i}")).alias(f"__c_{i}")
+                for i in range(len(self.metrics))
+            ],
+        )
+
+        def mask(cols: list[str]) -> int:
+            bits = 0
+            for idx, c in enumerate(all_cols):
+                if c not in cols:
+                    bits |= 1 << (len(all_cols) - 1 - idx)
+            return bits
+
+        outs = []
+        for i, m in enumerate(self.metrics):
             attr_map = (
                 F.map_from_arrays(
-                    F.array(*[F.lit(k) for k, _ in defs[0].attributes]),
-                    F.array(*[F.col(f"__k_{k}") for k, _ in defs[0].attributes]),
+                    F.array(*[F.lit(k) for k, _ in m.attributes]),
+                    F.array(*[F.col(colname[kd]) for kd in m.attributes]),
                 )
-                if defs[0].attributes
+                if m.attributes
                 else F.from_json(F.lit("{}"), "map<string,string>")
             )
-            for i, m in enumerate(defs):
-                outs.append(
-                    agg.select(
-                        F.lit(m.name).alias("metric_name"),
-                        attr_map.alias("attrs"),
-                        F.col(f"__c_{i}").cast("long").alias("count"),
-                    ).filter(F.col("count") > 0)
+            outs.append(
+                agg.filter(F.col("__gid") == mask(metric_cols[i]))
+                .select(
+                    F.lit(m.name).alias("metric_name"),
+                    attr_map.alias("attrs"),
+                    F.col(f"__c_{i}").cast("long").alias("count"),
                 )
+                .filter(F.col("count") > 0)
+            )
+        result = outs[0]
+        for o in outs[1:]:
+            result = result.unionByName(o)
+        return result
+
+    def _global_counts(self, df: DataFrame) -> DataFrame:
+        agg = df.select(
+            *[self._metric_flag(df, m).alias(f"__m_{i}") for i, m in enumerate(self.metrics)]
+        ).agg(
+            *[F.sum(F.col(f"__m_{i}")).alias(f"__c_{i}") for i in range(len(self.metrics))]
+        )
+        empty = F.from_json(F.lit("{}"), "map<string,string>")
+        outs = [
+            agg.select(
+                F.lit(m.name).alias("metric_name"),
+                empty.alias("attrs"),
+                F.col(f"__c_{i}").cast("long").alias("count"),
+            ).filter(F.col("count") > 0)
+            for i, m in enumerate(self.metrics)
+        ]
         result = outs[0]
         for o in outs[1:]:
             result = result.unionByName(o)

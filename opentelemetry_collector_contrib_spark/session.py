@@ -29,6 +29,12 @@ DEFAULT_CONFS = {
     # Loose string-to-timestamp etc. (OTTL ignore-mode default); operators
     # that need strictness use try_* / explicit casts instead of ANSI mode.
     "spark.sql.ansi.enabled": "false",
+    # local-mode driver == executor: size the heap for 32 concurrent tasks
+    # (default 1g GC-thrashes; oversized heaps amplify page-fault noise
+    # under the VM). Only honored at JVM launch; cluster deployments
+    # override via spark-submit as usual.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    "spark.driver.maxResultSize": "4g",
 }
 
 

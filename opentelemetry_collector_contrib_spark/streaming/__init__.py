@@ -1,0 +1,27 @@
+"""Structured Streaming surface of the pipeline.
+
+The batch operators (parsers, transformers, enrich, route) are pure
+projections / broadcast joins, so they apply unchanged to streaming
+DataFrames. This package adds the pieces that only make sense on a
+stream: watermarked windowed counts (the interval-processor semantics),
+session-window recombine (``force_flush_timeout`` semantics that have
+no batch meaning, SURVEY.md 7.3 hard-part 3), and per-sink streaming
+writes.
+"""
+
+from .pipeline import (
+    session_recombine,
+    streaming_pipeline,
+    windowed_counts,
+    write_routed_stream,
+)
+from .source import file_stream, rate_transcripts
+
+__all__ = [
+    "file_stream",
+    "rate_transcripts",
+    "session_recombine",
+    "streaming_pipeline",
+    "windowed_counts",
+    "write_routed_stream",
+]

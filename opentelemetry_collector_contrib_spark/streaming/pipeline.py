@@ -1,0 +1,129 @@
+"""Streaming pipeline stages.
+
+The parse/enrich/route stages are stateless projections + broadcast
+joins, so ``TranscriptPipeline``'s builders apply to streaming frames
+unchanged. Stateful stages get streaming-native forms:
+
+- ``windowed_counts``: count-connector semantics per event-time window
+  with a watermark — the streaming restatement of the interval
+  processor (processor/intervalprocessor/config.go:20-31) feeding the
+  count connector (connector/countconnector/counter.go:38-128); late
+  rows beyond the watermark are dropped, mirroring ``max_stale``
+  eviction (deltatocumulativeprocessor/config.go:15-24).
+- ``session_recombine``: recombine with ``force_flush_timeout``
+  (transformer/recombine/transformer.go:60-83) as a session window —
+  a conversation's turns concatenate until a `gap` of event-time
+  silence flushes the session. This is the batch-meaningless timeout
+  semantics done right in streaming (SURVEY.md 7.3).
+- ``write_routed_stream``: per-sink fan-out from ONE tagged stream via
+  ``foreachBatch`` + ``partitionBy(route)`` — single pass per
+  micro-batch, the streaming twin of the routing connector write.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..pipeline import TranscriptPipeline
+
+
+def streaming_pipeline(
+    stream: DataFrame, match_once: bool = True
+) -> DataFrame:
+    """parse -> enrich -> route over a streaming transcript frame;
+    returns the route-tagged stream (aggregate separately — streaming
+    aggregation needs a watermark, see ``windowed_counts``)."""
+    p = TranscriptPipeline(match_once=match_once)
+    return p.route(p.enrich(p.parse(stream)))
+
+
+def windowed_counts(
+    routed: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-(window, route, role) record counts with late-data bound."""
+    return (
+        routed.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), "route", "role")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "route",
+            "role",
+            "count",
+        )
+    )
+
+
+def session_recombine(
+    stream: DataFrame,
+    gap: str = "5 minutes",
+    watermark: str = "10 minutes",
+    source_identifier: str = "conv_id",
+    combine_field: str = "text",
+    combine_with: str = "\n",
+    order_by: str = "turn_idx",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Concatenate a conversation's turns per event-time session; a
+    ``gap`` of silence flushes the session (force_flush_timeout)."""
+    collected = F.sort_array(
+        F.collect_list(
+            F.struct(F.col(order_by).alias("__o__"), F.col(combine_field).alias("__v__"))
+        )
+    )
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("session"),
+            F.col(source_identifier),
+        )
+        .agg(
+            F.array_join(
+                F.transform(collected, lambda s: s.getField("__v__")),
+                combine_with,
+            ).alias(combine_field),
+            F.count(F.lit(1)).alias("n_turns"),
+            F.min(order_by).alias(order_by),
+        )
+        .select(
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            source_identifier,
+            order_by,
+            combine_field,
+            "n_turns",
+        )
+    )
+
+
+def write_routed_stream(
+    routed: DataFrame,
+    base_path: str,
+    checkpoint: str,
+    fmt: str = "parquet",
+    trigger_available_now: bool = False,
+):
+    """Fan the tagged stream out to per-sink directories in one pass
+    per micro-batch (file-exporter group_by semantics,
+    exporter/fileexporter/grouping_file_exporter.go:115-130)."""
+
+    def sink_batch(batch: DataFrame, batch_id: int) -> None:
+        (
+            batch.write.mode("append")
+            .partitionBy("route")
+            .format(fmt)
+            .save(base_path)
+        )
+
+    writer = (
+        routed.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

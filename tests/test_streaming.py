@@ -1,0 +1,127 @@
+"""Structured Streaming pipeline: file source -> parse/enrich/route ->
+windowed counts / session recombine / per-sink writes.
+
+Each test feeds a small parquet directory through the streaming path
+with ``availableNow`` + memory/foreachBatch sinks and compares against
+the batch pipeline on the same rows (stream/batch parity is the
+invariant — same operators, same results).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.data import synth_transcripts
+from opentelemetry_collector_contrib_spark.pipeline import TranscriptPipeline
+from opentelemetry_collector_contrib_spark.streaming import (
+    file_stream,
+    session_recombine,
+    streaming_pipeline,
+    windowed_counts,
+    write_routed_stream,
+)
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("stream_in"))
+    synth_transcripts(spark, n_conv=50, max_turns=8, parallelism=4).write.mode(
+        "overwrite"
+    ).parquet(d)
+    return d
+
+
+def _drain(q):
+    q.awaitTermination(120)
+
+
+def test_stream_batch_parity_routing(spark, stream_dir, tmp_path):
+    stream = file_stream(spark, stream_dir)
+    assert stream.isStreaming
+    routed = streaming_pipeline(stream)
+    q = (
+        routed.writeStream.format("memory")
+        .queryName("routed_mem")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .start()
+    )
+    _drain(q)
+    got = spark.sql(
+        "SELECT route, count(*) AS n FROM routed_mem GROUP BY route"
+    ).collect()
+    batch_df = spark.read.parquet(stream_dir)
+    p = TranscriptPipeline()
+    want = (
+        p.route(p.enrich(p.parse(batch_df)))
+        .groupBy("route")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert {(r.route, r.n) for r in got} == {(r.route, r.n) for r in want}
+
+
+def test_windowed_counts(spark, stream_dir, tmp_path):
+    routed = streaming_pipeline(file_stream(spark, stream_dir))
+    wc = windowed_counts(routed, window="1 hour", watermark="2 hours")
+    q = (
+        wc.writeStream.format("memory")
+        .queryName("wc_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .start()
+    )
+    _drain(q)
+    rows = spark.sql("SELECT * FROM wc_mem").collect()
+    # availableNow + watermark: completed windows are emitted
+    assert rows, "no windows emitted"
+    total = sum(r["count"] for r in rows)
+    n_input = spark.read.parquet(stream_dir).count()
+    assert total <= n_input
+    assert all(r.window_start < r.window_end for r in rows)
+
+
+def test_session_recombine_parity(spark, stream_dir, tmp_path):
+    stream = file_stream(spark, stream_dir)
+    sr = session_recombine(stream, gap="30 minutes", watermark="1 hour")
+    q = (
+        sr.writeStream.format("memory")
+        .queryName("sr_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .start()
+    )
+    _drain(q)
+    rows = spark.sql("SELECT * FROM sr_mem").collect()
+    assert rows
+    # per-conv turns are 7s apart, sessions gap at 30min -> one session
+    # per conv among EMITTED (watermark-closed) sessions; text must be
+    # ordered by turn_idx within the session
+    by_conv = {r.conv_id: r for r in rows}
+    batch = spark.read.parquet(stream_dir)
+    for conv_id, r in list(by_conv.items())[:5]:
+        want = "\n".join(
+            x.text
+            for x in batch.filter(F.col("conv_id") == conv_id)
+            .orderBy("turn_idx")
+            .collect()
+        )
+        assert r.text == want
+        assert r.n_turns == 8
+
+
+def test_routed_stream_fanout_writes(spark, stream_dir, tmp_path):
+    routed = streaming_pipeline(file_stream(spark, stream_dir))
+    out = str(tmp_path / "sinks")
+    q = write_routed_stream(
+        routed, out, str(tmp_path / "ck4"), trigger_available_now=True
+    )
+    _drain(q)
+    written = spark.read.parquet(out)
+    n_input = spark.read.parquet(stream_dir).count()
+    assert written.count() == n_input
+    routes = {r.route for r in written.select("route").distinct().collect()}
+    assert "sink_default" in routes and "sink_errors" in routes
