@@ -27,7 +27,14 @@ from opentelemetry_collector_contrib_spark.data.transcripts import (
     TOOL_CATALOG_ORACLE_CTE,
     TRANSCRIPTS_ORACLE_CTE,
 )
-from opentelemetry_collector_contrib_spark.operators import Recombine
+from opentelemetry_collector_contrib_spark.operators import (
+    CsvParser,
+    JsonParser,
+    KeyValueParser,
+    Recombine,
+    UriParser,
+)
+from opentelemetry_collector_contrib_spark.processors.redaction import Redaction
 from opentelemetry_collector_contrib_spark.pipeline import (
     ROUTES,
     TranscriptPipeline,
@@ -125,9 +132,25 @@ _SH3 = (
 _STOP = "['the','a','an','and','of','to','in','is','it']"
 
 _MINHASH_N, _BANDS, _ROWS = 8, 4, 2
+_MINHASH_P = 1_000_000_007
+# 60-bit int from the first 15 hex chars of md5(shingle), mod p —
+# portable nibble-parse (DuckDB has no hex->int cast)
+_H15 = "(" + "+".join(
+    f"(ascii(substring(md5(s),{i},1)) - CASE WHEN ascii(substring(md5(s),{i},1)) >= 97 THEN 87 ELSE 48 END)::BIGINT * {16 ** (15 - i)}"
+    for i in range(1, 16)
+) + f") % {_MINHASH_P}"
+
+
+def _minhash_params(n: int) -> list[tuple[int, int]]:
+    return [
+        ((j * 2 + 1) * 40503 % _MINHASH_P, (j * 7919 + 13) % _MINHASH_P)
+        for j in range(n)
+    ]
+
+
 _SIG = "[" + ",".join(
-    f"list_min(list_transform({_SH3}, s -> md5('{j}|' || s)))"
-    for j in range(_MINHASH_N)
+    f"list_min(list_transform({_SH3}, s -> ({a} * ({_H15}) + {b}) % {_MINHASH_P}))"
+    for a, b in _minhash_params(_MINHASH_N)
 ) + "]"
 
 _HEXVAL = "+".join(
@@ -261,6 +284,68 @@ def _q_ottl(spark, sf_dir):
     return df.select("conv_id", "turn_idx", "role", "flag", "text")
 
 
+def _q_parse_json(spark, sf_dir):
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    parsed = JsonParser(parse_from="props", parse_to=None)(events)
+    return parsed.select(
+        "event_id", F.element_at("parsed", "k").alias("k_prop")
+    )
+
+
+def _q_parse_kv(spark, sf_dir):
+    df = _transcripts(spark, sf_dir)
+    parsed = KeyValueParser(
+        parse_from="text", parse_to=None, keys=["evt", "code", "dur_ms", "k"]
+    )(df)
+    return parsed.select("conv_id", "turn_idx", "evt", "code", "dur_ms", "k")
+
+
+def _q_parse_csv(spark, sf_dir):
+    df = _transcripts(spark, sf_dir).withColumn(
+        "line", F.concat_ws(",", "role", "tool", "conv_id")
+    )
+    parsed = CsvParser(
+        header=["role2", "tool2", "conv2"], parse_from="line", parse_to=None
+    )(df)
+    return parsed.select("conv_id", "turn_idx", "role2", "tool2", "conv2")
+
+
+def _q_parse_uri(spark, sf_dir):
+    df = _transcripts(spark, sf_dir).withColumn(
+        "uri",
+        F.concat(
+            F.lit("https://"), F.col("tool"), F.lit(".example.com/"),
+            F.col("role"), F.lit("?turn="), F.col("turn_idx").cast("string"),
+        ),
+    )
+    parsed = UriParser(parse_from="uri")(df)
+    return parsed.select(
+        "conv_id", "turn_idx", "scheme", "host", "path", "query"
+    )
+
+
+def _q_redaction(spark, sf_dir):
+    df = _transcripts(spark, sf_dir).withColumn(
+        "attributes",
+        F.map_from_arrays(
+            F.array(F.lit("role"), F.lit("tool"), F.lit("secret")),
+            F.array(F.col("role"), F.col("tool"), F.lit("hunter2")),
+        ),
+    )
+    red = Redaction(
+        allowed_keys=["role", "tool"],
+        blocked_value_patterns=["^bash$", "^http$"],
+    )(df)
+    return red.select(
+        "conv_id",
+        "turn_idx",
+        F.element_at("attributes", "role").alias("role_attr"),
+        F.element_at("attributes", "tool").alias("tool_attr"),
+        F.array_join(F.array_sort("redaction_ignored_keys"), ",").alias("ignored"),
+        "redaction_masked_count",
+    )
+
+
 def _q_sampler(spark, sf_dir):
     # deterministic hash sampling (no DuckDB twin for xxhash64)
     s = ProbabilisticSampler(percentage=25.0, attribute_source="conv_id")
@@ -332,6 +417,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_processor": _q_filter,
         "attributes_processor": _q_attributes,
         "transform_ottl": _q_ottl,
+        "parse_json": _q_parse_json,
+        "parse_kv": _q_parse_kv,
+        "parse_csv": _q_parse_csv,
+        "parse_uri": _q_parse_uri,
+        "redaction": _q_redaction,
         "sampler_deterministic": _q_sampler,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_lsh,
@@ -407,13 +497,41 @@ SELECT conv_id, turn_idx, upper(role) AS role,
        CASE WHEN len(text) > 80 THEN 'hot' END AS flag,
        regexp_replace(text, 'code=\\d+', 'code=*', 'g') AS text
 FROM transcripts""",
+        "parse_json": """SELECT event_id, json_extract_string(props, '$.k') AS k_prop FROM events""",
+        "parse_kv": f"""WITH {TRANSCRIPTS_ORACLE_CTE.strip()}
+SELECT conv_id, turn_idx,
+  CASE WHEN regexp_matches(text, '(^| )evt=') THEN regexp_extract(text, '(^| )evt=(\\S+)', 2) END AS evt,
+  CASE WHEN regexp_matches(text, '(^| )code=') THEN regexp_extract(text, '(^| )code=(\\S+)', 2) END AS code,
+  CASE WHEN regexp_matches(text, '(^| )dur_ms=') THEN regexp_extract(text, '(^| )dur_ms=(\\S+)', 2) END AS dur_ms,
+  CASE WHEN regexp_matches(text, '(^| )k=') THEN regexp_extract(text, '(^| )k=(\\S+)', 2) END AS k
+FROM transcripts""",
+        "parse_csv": f"""WITH {TRANSCRIPTS_ORACLE_CTE.strip()}
+SELECT conv_id, turn_idx,
+  string_split(role || ',' || tool || ',' || conv_id, ',')[1] AS role2,
+  string_split(role || ',' || tool || ',' || conv_id, ',')[2] AS tool2,
+  string_split(role || ',' || tool || ',' || conv_id, ',')[3] AS conv2
+FROM transcripts""",
+        "parse_uri": f"""WITH {TRANSCRIPTS_ORACLE_CTE.strip()}
+SELECT conv_id, turn_idx,
+  'https' AS scheme,
+  tool || '.example.com' AS host,
+  '/' || role AS path,
+  'turn=' || CAST(turn_idx AS VARCHAR) AS query
+FROM transcripts""",
+        "redaction": f"""WITH {TRANSCRIPTS_ORACLE_CTE.strip()}
+SELECT conv_id, turn_idx,
+  role AS role_attr,
+  CASE WHEN tool IN ('bash','http') THEN '****' ELSE tool END AS tool_attr,
+  'secret' AS ignored,
+  CASE WHEN tool IN ('bash','http') THEN 1 ELSE 0 END AS redaction_masked_count
+FROM transcripts""",
         "dedup_exact": """WITH h AS (
   SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
   FROM documents)
 SELECT doc_id FROM h WHERE rn = 1""",
         "dedup_minhash_lsh": f"""WITH sigs AS (SELECT doc_id, {_SIG} AS sig FROM documents),
 bands AS (SELECT doc_id, band,
-                 md5(array_to_string(list_slice(sig, band*{_ROWS}+1, band*{_ROWS}+{_ROWS}), '|')) AS bh
+                 md5(array_to_string(list_transform(list_slice(sig, band*{_ROWS}+1, band*{_ROWS}+{_ROWS}), x -> CAST(x AS VARCHAR)), '|')) AS bh
           FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, {_BANDS - 1})) AS band))
 SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
 FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id""",

@@ -38,15 +38,17 @@ class Redaction:
                 attrs_allowed,
                 lambda _, v: F.when(v.rlike(pattern), F.lit("****")).otherwise(v),
             )
-        out = df.withColumn(self.attributes_col, masked)
+        # single withColumns: every expression resolves against the
+        # INPUT frame (a chained withColumn would resolve the summary's
+        # attribute references against the already-masked column)
+        new = {self.attributes_col: masked}
         if self.summary:
-            dropped = F.array_except(before_keys, F.map_keys(masked))
             masked_keys = F.map_keys(
                 F.map_filter(masked, lambda _, v: v == F.lit("****"))
             ) if self.blocked_value_patterns else F.array().cast("array<string>")
-            out = (
-                out.withColumn("redaction_ignored_keys", dropped)
-                .withColumn("redaction_masked_keys", masked_keys)
-                .withColumn("redaction_masked_count", F.size(masked_keys))
+            new["redaction_ignored_keys"] = F.array_except(
+                before_keys, F.map_keys(masked)
             )
-        return out
+            new["redaction_masked_keys"] = masked_keys
+            new["redaction_masked_count"] = F.size(masked_keys)
+        return df.withColumns(new)
