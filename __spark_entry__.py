@@ -20,7 +20,11 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from opentelemetry_collector_contrib_spark.connectors import Route, RoutingConnector
+from opentelemetry_collector_contrib_spark.connectors import (
+    Route,
+    RoutingConnector,
+    SpanMetricsConnector,
+)
 from opentelemetry_collector_contrib_spark.data import derive_transcripts
 from opentelemetry_collector_contrib_spark.data.transcripts import (
     ROLE_GROUPS_ORACLE_CTE,
@@ -32,8 +36,10 @@ from opentelemetry_collector_contrib_spark.operators import (
     JsonParser,
     KeyValueParser,
     Recombine,
+    SyslogParser,
     UriParser,
 )
+from opentelemetry_collector_contrib_spark.processors.groupbyattrs import GroupByAttrs
 from opentelemetry_collector_contrib_spark.processors.redaction import Redaction
 from opentelemetry_collector_contrib_spark.pipeline import (
     ROUTES,
@@ -346,6 +352,52 @@ def _q_redaction(spark, sf_dir):
     )
 
 
+def _q_parse_syslog(spark, sf_dir):
+    df = _transcripts(spark, sf_dir).withColumn(
+        "line",
+        F.concat(
+            F.lit("<"), (F.lit(8) + F.col("turn_idx") % 8).cast("string"),
+            F.lit(">1 "), F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"),
+            F.lit(" h-"), F.col("conv_id"), F.lit(" "), F.col("tool"),
+            F.lit(" "), F.col("turn_idx").cast("string"), F.lit(" - - "),
+            F.col("text"),
+        ),
+    )
+    parsed = SyslogParser(protocol="rfc5424", parse_from="line")(df)
+    return parsed.select(
+        "conv_id", "turn_idx", "priority", "facility", "severity_number",
+        "version", "event_ts", "hostname", "appname", "proc_id", "msg_id",
+        "structured_data", "message",
+    )
+
+
+def _q_spanmetrics(spark, sf_dir):
+    parsed = _pipe().enrich(_pipe().parse(_transcripts(spark, sf_dir)))
+    sm = SpanMetricsConnector(
+        duration_col="dur_ms",
+        dimensions=["tool_category"],
+        buckets=[100, 500, 1000, 2500],
+    )
+    return sm(parsed)
+
+
+def _q_groupbyattrs(spark, sf_dir):
+    # record attrs live in the map; promote (role, tool) to resource
+    # identity and regroup — output is the per-identity record count
+    df = _transcripts(spark, sf_dir).select(
+        "conv_id",
+        "turn_idx",
+        F.map_from_arrays(
+            F.array(F.lit("role"), F.lit("tool")),
+            F.array(F.col("role"), F.col("tool")),
+        ).alias("attributes"),
+    )
+    grouped = GroupByAttrs(keys=["role", "tool"], hash_col=None)(df)
+    return grouped.groupBy("role", "tool").agg(
+        F.count(F.lit(1)).alias("records")
+    )
+
+
 def _q_sampler(spark, sf_dir):
     # deterministic hash sampling (no DuckDB twin for xxhash64)
     s = ProbabilisticSampler(percentage=25.0, attribute_source="conv_id")
@@ -422,6 +474,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_csv": _q_parse_csv,
         "parse_uri": _q_parse_uri,
         "redaction": _q_redaction,
+        "groupbyattrs": _q_groupbyattrs,
+        "parse_syslog": _q_parse_syslog,
+        "spanmetrics_hist": _q_spanmetrics,
         "sampler_deterministic": _q_sampler,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_lsh,
@@ -525,6 +580,35 @@ SELECT conv_id, turn_idx,
   'secret' AS ignored,
   CASE WHEN tool IN ('bash','http') THEN 1 ELSE 0 END AS redaction_masked_count
 FROM transcripts""",
+        "groupbyattrs": f"""WITH {TRANSCRIPTS_ORACLE_CTE.strip()}
+SELECT role, tool, count(*)::BIGINT AS records FROM transcripts GROUP BY role, tool""",
+        "parse_syslog": f"""WITH {TRANSCRIPTS_ORACLE_CTE.strip()}
+SELECT conv_id, turn_idx,
+  (8 + turn_idx % 8) AS priority,
+  1 AS facility,
+  CASE turn_idx % 8 WHEN 0 THEN 23 WHEN 1 THEN 22 WHEN 2 THEN 21 WHEN 3 THEN 17
+                    WHEN 4 THEN 13 WHEN 5 THEN 10 WHEN 6 THEN 9 ELSE 5 END AS severity_number,
+  1 AS version,
+  try_strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S'), '%Y-%m-%dT%H:%M:%S') AS event_ts,
+  'h-' || conv_id AS hostname,
+  tool AS appname,
+  CAST(turn_idx AS VARCHAR) AS proc_id,
+  '-' AS msg_id,
+  '-' AS structured_data,
+  text AS message
+FROM transcripts""",
+        "spanmetrics_hist": f"""{_BASE_CTES}
+SELECT tool_category,
+  CASE WHEN CAST(dur_ms AS BIGINT) <= 100 THEN '100'
+       WHEN CAST(dur_ms AS BIGINT) <= 500 THEN '500'
+       WHEN CAST(dur_ms AS BIGINT) <= 1000 THEN '1000'
+       WHEN CAST(dur_ms AS BIGINT) <= 2500 THEN '2500'
+       ELSE '+Inf' END AS le,
+  count(*)::BIGINT AS bucket_count,
+  sum(CAST(dur_ms AS DOUBLE)) AS duration_sum
+FROM enriched
+WHERE dur_ms IS NOT NULL
+GROUP BY 1, 2""",
         "dedup_exact": """WITH h AS (
   SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
   FROM documents)

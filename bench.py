@@ -91,8 +91,10 @@ def _throughput(cores: int, rows: int) -> float:
     )
     total = df.count()
     pipe = TranscriptPipeline()
-    # one full warm-up run (JIT/codegen dominates the first pass),
-    # then best of 2 timed runs (the sandbox VM has bursty steal)
+    # one full warm-up run (JIT/codegen dominates the first pass), then
+    # best of 2 timed runs. Each timed run rebuilds the DataFrame so the
+    # shuffle executes fresh (re-collecting one frame would reuse AQE's
+    # materialized shuffle stages and skip the actual work).
     _, counts = pipe(df)
     counts.collect()
     times = []

@@ -1,2 +1,3 @@
 from .count import CountConnector, MetricDef  # noqa: F401
 from .routing import RoutingConnector, Route  # noqa: F401
+from .spanmetrics import SpanMetricsConnector  # noqa: F401

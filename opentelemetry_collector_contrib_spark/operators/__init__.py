@@ -6,6 +6,7 @@ from .parsers import (  # noqa: F401
     KeyValueParser,
     RegexParser,
     SeverityParser,
+    SyslogParser,
     TimeParser,
     TraceParser,
     UriParser,

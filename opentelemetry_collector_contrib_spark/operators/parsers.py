@@ -295,6 +295,20 @@ SEVERITY_TEXT = {
 }
 
 
+# severity dim frames cached per (session, mapping): createDataFrame
+# costs ~0.5s of driver time and pipelines are often rebuilt per batch
+_SEV_DIM_CACHE: dict = {}
+
+
+def _severity_dim(spark, rows: tuple):
+    key = (id(spark), rows)
+    if key not in _SEV_DIM_CACHE:
+        _SEV_DIM_CACHE[key] = spark.createDataFrame(
+            list(rows), "__sev_alias string, __sev_num int, __sev_text string"
+        )
+    return _SEV_DIM_CACHE[key]
+
+
 @dataclass
 class SeverityParser:
     """Text -> (severity_number, severity_text)
@@ -314,13 +328,11 @@ class SeverityParser:
         # the parse cost at 2M rows. A 16-row broadcast hash join probes
         # the source ONCE per row (SURVEY.md 2.8: severity alias maps
         # are lookup enrichment, same as k8sattributes).
-        rows = []
-        for alias, name in self.mapping.items():
-            n = SEVERITY_NUMBERS[name]
-            rows.append((alias.lower(), n, SEVERITY_TEXT.get(n)))
-        dim = df.sparkSession.createDataFrame(
-            rows, "__sev_alias string, __sev_num int, __sev_text string"
+        rows = tuple(
+            (alias.lower(), SEVERITY_NUMBERS[name], SEVERITY_TEXT.get(SEVERITY_NUMBERS[name]))
+            for alias, name in self.mapping.items()
         )
+        dim = _severity_dim(df.sparkSession, rows)
         src = F.lower(field_get(self.parse_from))
         joined = df.join(
             F.broadcast(dim), src == F.col("__sev_alias"), "left"
@@ -354,6 +366,82 @@ class TraceParser:
         if self.flags_from:
             df = df.withColumn("trace_flags", F.unhex(field_get(self.flags_from)))
         return df
+
+
+# syslog severity (0-7) -> OTel severity number, per the stanza alias
+# presets (entry/severity.go:10-52: emerg->fatal3, alert->fatal2,
+# crit->fatal, err->error, warning->warn, notice->info2, info->info,
+# debug->debug)
+SYSLOG_SEVERITY_TO_OTEL = {0: 23, 1: 22, 2: 21, 3: 17, 4: 13, 5: 10, 6: 9, 7: 5}
+
+RFC5424_PATTERN = (
+    r"^<(\d{1,3})>(\d+) (\S+) (\S+) (\S+) (\S+) (\S+) (-|\[.*?\]) ?(.*)$"
+)
+RFC3164_PATTERN = (
+    r"^<(\d{1,3})>([A-Z][a-z]{2} [ \d]\d \d{2}:\d{2}:\d{2}) (\S+) "
+    r"([^:\[ ]+)(?:\[(\d+)\])?: ?(.*)$"
+)
+
+
+@dataclass
+class SyslogParser:
+    """RFC5424 / RFC3164 syslog line -> structured fields
+    (parser/syslog/parser.go:39-319).
+
+    Emits ``facility`` (= priority / 8), ``severity_number`` (syslog
+    severity mapped to the OTel enum via the stanza alias presets),
+    plus protocol fields: rfc5424 -> version, event_ts, hostname,
+    appname, proc_id, msg_id, structured_data, message; rfc3164 ->
+    event_ts (year-less ctime), hostname, tag, proc_id, message.
+    Pure regexp_extract + arithmetic — codegen'd, no UDF.
+    """
+
+    protocol: str = "rfc5424"
+    parse_from: str = "body"
+    on_error: str = "send"
+    if_expr: str | None = None
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        src = field_get(self.parse_from)
+        pat = RFC5424_PATTERN if self.protocol == "rfc5424" else RFC3164_PATTERN
+        ok = src.rlike(pat)
+
+        def g(i: int) -> Column:
+            return F.when(ok, F.regexp_extract(src, pat, i))
+
+        pri = g(1).cast("int")
+        sev_expr = None
+        for s, otel in SYSLOG_SEVERITY_TO_OTEL.items():
+            c = pri % 8 == s
+            sev_expr = F.when(c, otel) if sev_expr is None else sev_expr.when(c, otel)
+        common = {
+            "priority": pri,
+            "facility": F.floor(pri / 8).cast("int"),
+            "severity_number": sev_expr.otherwise(F.lit(None)).cast("int"),
+        }
+        if self.protocol == "rfc5424":
+            values = {
+                **common,
+                "version": g(2).cast("int"),
+                "event_ts": g(3).try_cast("timestamp"),
+                "hostname": g(4),
+                "appname": g(5),
+                "proc_id": g(6),
+                "msg_id": g(7),
+                "structured_data": g(8),
+                "message": g(9),
+            }
+        else:
+            values = {
+                **common,
+                "event_ts": F.try_to_timestamp(g(2), F.lit("MMM d HH:mm:ss")),
+                "hostname": g(3),
+                "tag": g(4),
+                "proc_id": g(5),
+                "message": g(6),
+            }
+        out = df.withColumns(values)
+        return apply_on_error(out, ok, self.on_error, self.if_expr)
 
 
 @dataclass

@@ -169,3 +169,52 @@ def test_json_array_parser(spark):
     df = spark.createDataFrame([('["a","b","c"]',)], "body string")
     out = JsonArrayParser(header=["one", "two", "three"])(df).collect()[0]
     assert (out["one"], out["two"], out["three"]) == ("a", "b", "c")
+
+
+# --- syslog parser (parser/syslog/parser.go:39-319) -------------------------
+
+def test_syslog_rfc5424(spark):
+    from opentelemetry_collector_contrib_spark.operators import SyslogParser
+
+    line = "<165>1 2024-01-02T03:04:05 web01 nginx 4242 ID47 - GET /index"
+    df = spark.createDataFrame([(line,), ("not syslog",)], "body string")
+    out = {r.body: r for r in SyslogParser(protocol="rfc5424")(df).collect()}
+    r = out[line]
+    assert r.priority == 165 and r.facility == 20
+    assert r.severity_number == 10  # syslog notice -> OTel INFO2
+    assert r.version == 1 and r.hostname == "web01" and r.appname == "nginx"
+    assert r.proc_id == "4242" and r.msg_id == "ID47"
+    assert r.structured_data == "-" and r.message == "GET /index"
+    assert r.event_ts.year == 2024 and r.event_ts.second == 5
+    bad = out["not syslog"]  # on_error=send keeps the row, fields null
+    assert bad.priority is None and bad.message is None
+
+
+def test_syslog_rfc3164(spark):
+    from opentelemetry_collector_contrib_spark.operators import SyslogParser
+
+    line = "<34>Oct 11 22:14:15 mymachine su[231]: 'su root' failed"
+    df = spark.createDataFrame([(line,)], "body string")
+    r = SyslogParser(protocol="rfc3164")(df).collect()[0]
+    assert r.priority == 34 and r.facility == 4
+    assert r.severity_number == 21  # syslog crit -> OTel FATAL
+    assert r.hostname == "mymachine" and r.tag == "su" and r.proc_id == "231"
+    assert r.message == "'su root' failed"
+    assert r.event_ts.month == 10 and r.event_ts.day == 11
+
+
+def test_spanmetrics_histogram(spark):
+    from opentelemetry_collector_contrib_spark.connectors import SpanMetricsConnector
+
+    df = spark.createDataFrame(
+        [("a", 50), ("a", 99), ("a", 600), ("b", 3000), ("b", None)],
+        "svc string, dur int",
+    )
+    sm = SpanMetricsConnector(duration_col="dur", dimensions=["svc"],
+                              buckets=[100, 1000])
+    rows = {(r.svc, r.le): (r.bucket_count, r.duration_sum)
+            for r in sm(df).collect()}
+    assert rows[("a", "100")] == (2, 149.0)
+    assert rows[("a", "1000")] == (1, 600.0)
+    assert rows[("b", "+Inf")] == (1, 3000.0)
+    assert ("b", "100") not in rows  # null duration excluded
