@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from opentelemetry_collector_contrib_spark.connectors import (
     Route,
     RoutingConnector,
+    ServiceGraphConnector,
     SpanMetricsConnector,
 )
 from opentelemetry_collector_contrib_spark.data import derive_transcripts
@@ -34,6 +35,7 @@ from opentelemetry_collector_contrib_spark.data.transcripts import (
 from opentelemetry_collector_contrib_spark.operators import (
     CsvParser,
     JsonParser,
+    ContainerParser,
     KeyValueParser,
     Recombine,
     SyslogParser,
@@ -49,7 +51,11 @@ from opentelemetry_collector_contrib_spark.pipeline import (
 from opentelemetry_collector_contrib_spark.processors import (
     Action,
     AttributesProcessor,
+    CumulativeToDelta,
+    DeltaToCumulative,
+    DeltaToRate,
     FilterProcessor,
+    IntervalProcessor,
     ProbabilisticSampler,
 )
 from opentelemetry_collector_contrib_spark.functions import compile_statement
@@ -381,6 +387,38 @@ def _q_spanmetrics(spark, sf_dir):
     return sm(parsed)
 
 
+def _q_parse_container(spark, sf_dir):
+    ts_str = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss")
+    docker = F.concat(
+        F.lit('{"log": "'), F.col("text"), F.lit('", "stream": "stdout", "time": "'),
+        ts_str, F.lit('"}'),
+    )
+    cri = F.concat(
+        ts_str, F.lit(" stderr "),
+        F.when(F.col("turn_idx") % 3 == 0, "P").otherwise("F"),
+        F.lit(" "), F.col("text"),
+    )
+    df = _transcripts(spark, sf_dir).withColumn(
+        "body", F.when(F.col("turn_idx") % 2 == 0, docker).otherwise(cri)
+    )
+    parsed = ContainerParser()(df)
+    return parsed.select(
+        "conv_id", "turn_idx", "log", "stream", "event_ts", "partial"
+    )
+
+
+def _q_servicegraph(spark, sf_dir):
+    sg = ServiceGraphConnector(
+        client_condition="role = 'user'",
+        server_condition="role = 'tool'",
+    )
+    out = sg(_transcripts(spark, sf_dir))
+    return out.select(
+        "client", "server", "request_count",
+        F.round("latency_sum_s", 6).alias("latency_sum_s"),
+    )
+
+
 def _q_groupbyattrs(spark, sf_dir):
     # record attrs live in the map; promote (role, tool) to resource
     # identity and regroup — output is the per-identity record count
@@ -395,6 +433,47 @@ def _q_groupbyattrs(spark, sf_dir):
     grouped = GroupByAttrs(keys=["role", "tool"], hash_col=None)(df)
     return grouped.groupBy("role", "tool").agg(
         F.count(F.lit(1)).alias("records")
+    )
+
+
+def _q_delta_to_cumulative(spark, sf_dir):
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = DeltaToCumulative(
+        value_col="value", stream_keys=["user_id"], order_col="event_id"
+    )(events)
+    return out.select(
+        "user_id", "event_id", F.round("cumulative", 6).alias("cumulative")
+    )
+
+
+def _q_cumulative_to_delta(spark, sf_dir):
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = CumulativeToDelta(
+        value_col="value", stream_keys=["user_id"], order_col="event_id"
+    )(events)
+    return out.select(
+        "user_id", "event_id", F.round("delta", 6).alias("delta")
+    )
+
+
+def _q_delta_to_rate(spark, sf_dir):
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = DeltaToRate(
+        value_col="value", stream_keys=["user_id"], order_col="ts"
+    )(events)
+    return out.select(
+        "user_id", "event_id", F.round("rate", 6).alias("rate")
+    )
+
+
+def _q_interval_last(spark, sf_dir):
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = IntervalProcessor(
+        interval="1 hour", value_col="value", stream_keys=["user_id"],
+        order_col="ts", tiebreak_col="event_id",
+    )(events)
+    return out.select(
+        "user_id", "interval_start", "event_id", F.round("value", 6).alias("value")
     )
 
 
@@ -477,6 +556,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupbyattrs": _q_groupbyattrs,
         "parse_syslog": _q_parse_syslog,
         "spanmetrics_hist": _q_spanmetrics,
+        "delta_to_cumulative": _q_delta_to_cumulative,
+        "cumulative_to_delta": _q_cumulative_to_delta,
+        "delta_to_rate": _q_delta_to_rate,
+        "interval_last": _q_interval_last,
+        "servicegraph_edges": _q_servicegraph,
+        "parse_container": _q_parse_container,
         "sampler_deterministic": _q_sampler,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_lsh,
@@ -609,6 +694,43 @@ SELECT tool_category,
 FROM enriched
 WHERE dur_ms IS NOT NULL
 GROUP BY 1, 2""",
+        "delta_to_cumulative": """SELECT user_id, event_id,
+  round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cumulative
+FROM events""",
+        "cumulative_to_delta": """SELECT user_id, event_id, round(delta, 6) AS delta FROM (
+  SELECT user_id, event_id,
+    value - lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS delta
+  FROM events) WHERE delta IS NOT NULL""",
+        "delta_to_rate": """SELECT user_id, event_id, round(rate, 6) AS rate FROM (
+  SELECT user_id, event_id,
+    value / (epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))) AS rate,
+    epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS el
+  FROM events) WHERE el > 0 AND rate IS NOT NULL""",
+        "interval_last": """SELECT user_id, date_trunc('hour', ts) AS interval_start,
+       event_id, round(value, 6) AS value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                           ORDER BY ts DESC, event_id DESC) = 1""",
+        "parse_container": f"""WITH {TRANSCRIPTS_ORACLE_CTE.strip()}
+SELECT conv_id, turn_idx,
+  CASE WHEN turn_idx % 2 = 0 THEN text ELSE text END AS log,
+  CASE WHEN turn_idx % 2 = 0 THEN 'stdout' ELSE 'stderr' END AS stream,
+  try_strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S'), '%Y-%m-%dT%H:%M:%S') AS event_ts,
+  CASE WHEN turn_idx % 2 = 0 THEN false ELSE turn_idx % 3 = 0 END AS partial
+FROM transcripts""",
+        "servicegraph_edges": f"""WITH {TRANSCRIPTS_ORACLE_CTE.strip()},
+paired AS (
+  SELECT role AS client, ts,
+    lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_role,
+    lead(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS server,
+    lead(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS server_ts
+  FROM transcripts)
+SELECT client, server, count(*)::BIGINT AS request_count,
+       round(sum(epoch(server_ts) - epoch(ts)), 6) AS latency_sum_s
+FROM paired
+WHERE client = 'user' AND next_role = 'tool'
+GROUP BY client, server""",
         "dedup_exact": """WITH h AS (
   SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
   FROM documents)

@@ -1,0 +1,61 @@
+"""servicegraph-shaped connector: request/response pair matching -> edges.
+
+Reference: connector/servicegraphconnector/config.go:11-56 — pairs
+client and server spans of the same trace through an in-memory store
+(TTL, max items) and emits per-edge request counts + latency metrics.
+
+Batch restatement: pairing is a window ``lead()`` within the
+correlation group (trace ≅ conversation) ordered by event order — a
+client row pairs with the IMMEDIATELY FOLLOWING row when that row
+matches the server predicate. One shuffle (partitionBy correlation
+key); the store's TTL/max-items caps are replaced by exact grouping
+(batch has no unbounded state). The streaming twin would be a
+stream-stream self-join with watermarks (SURVEY.md 2.6).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+@dataclass
+class ServiceGraphConnector:
+    client_condition: str            # SQL predicate marking request rows
+    server_condition: str            # predicate for the paired response row
+    correlation_key: str = "conv_id"
+    order_col: str = "turn_idx"
+    ts_col: str = "ts"
+    client_dim: str = "role"         # edge source attribute
+    server_dim: str = "tool"         # edge target attribute
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(self.correlation_key).orderBy(self.order_col)
+        nxt = df.select(
+            F.col(self.correlation_key),
+            F.col(self.order_col),
+            F.col(self.ts_col),
+            F.col(self.client_dim),
+            F.col(self.server_dim),
+            F.expr(self.client_condition).alias("__is_client"),
+            F.lead(F.expr(self.server_condition)).over(w).alias("__next_is_server"),
+            F.lead(F.col(self.server_dim)).over(w).alias("__server"),
+            F.lead(F.col(self.ts_col)).over(w).alias("__server_ts"),
+        )
+        edges = nxt.filter(
+            F.coalesce(F.col("__is_client"), F.lit(False))
+            & F.coalesce(F.col("__next_is_server"), F.lit(False))
+        )
+        latency = (
+            F.unix_micros(F.col("__server_ts").cast("timestamp"))
+            - F.unix_micros(F.col(self.ts_col).cast("timestamp"))
+        ) / 1e6
+        return edges.groupBy(
+            F.col(self.client_dim).alias("client"),
+            F.col("__server").alias("server"),
+        ).agg(
+            F.count(F.lit(1)).alias("request_count"),
+            F.sum(latency).alias("latency_sum_s"),
+        )

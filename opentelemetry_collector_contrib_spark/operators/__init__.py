@@ -1,5 +1,6 @@
 from .base import Operator, chain  # noqa: F401
 from .parsers import (  # noqa: F401
+    ContainerParser,
     CsvParser,
     JsonArrayParser,
     JsonParser,

@@ -368,6 +368,58 @@ class TraceParser:
         return df
 
 
+CRI_PATTERN = (
+    r"^(\S+) (stdout|stderr) ([PF]) ?(.*)$"
+)  # containerd / CRI-O: "<rfc3339-ts> <stream> <P|F> <log>"
+
+
+@dataclass
+class ContainerParser:
+    """Docker / containerd / CRI-O log line autodetect
+    (parser/container/parser.go:57-358).
+
+    - docker JSON: ``{"log": "...", "stream": "stdout", "time": "..."}``
+    - containerd/CRI-O: ``<rfc3339> <stdout|stderr> <P|F> <line>``
+
+    Emits ``log`` (body), ``stream`` (-> ``log.iostream`` attr),
+    ``event_ts``, ``partial`` (CRI 'P' tag; docker lines are complete).
+    Partial-line assembly is the standard :class:`Recombine` with
+    ``is_last_entry="NOT partial"`` — same internal-recombine semantics
+    as the reference's ``recombineInternal``.
+    Detection and both parse paths are one codegen'd projection.
+    """
+
+    parse_from: str = "body"
+    on_error: str = "send"
+    if_expr: str | None = None
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        src = field_get(self.parse_from)
+        is_docker = src.startswith("{")
+        docker = F.from_json(
+            src, "log string, stream string, time string"
+        )
+        cri_ok = src.rlike(CRI_PATTERN)
+
+        def g(i: int) -> Column:
+            return F.regexp_extract(src, CRI_PATTERN, i)
+
+        log = F.when(is_docker, docker.getField("log")).when(cri_ok, g(4))
+        stream = F.when(is_docker, docker.getField("stream")).when(cri_ok, g(2))
+        ts_str = F.when(is_docker, docker.getField("time")).when(cri_ok, g(1))
+        partial = F.when(is_docker, F.lit(False)).when(cri_ok, g(3) == "P")
+        ok = (is_docker & docker.isNotNull()) | cri_ok
+        out = df.withColumns(
+            {
+                "log": log,
+                "stream": stream,
+                "event_ts": F.try_to_timestamp(ts_str),
+                "partial": partial,
+            }
+        )
+        return apply_on_error(out, ok, self.on_error, self.if_expr)
+
+
 # syslog severity (0-7) -> OTel severity number, per the stanza alias
 # presets (entry/severity.go:10-52: emerg->fatal3, alert->fatal2,
 # crit->fatal, err->error, warning->warn, notice->info2, info->info,

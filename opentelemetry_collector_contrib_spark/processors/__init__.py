@@ -5,3 +5,9 @@ from .groupbyattrs import GroupByAttrs  # noqa: F401
 from .redaction import Redaction  # noqa: F401
 from .sampler import ProbabilisticSampler  # noqa: F401
 from .transform import TransformProcessor  # noqa: F401
+from .metrics_state import (  # noqa: F401
+    CumulativeToDelta,
+    DeltaToCumulative,
+    DeltaToRate,
+    IntervalProcessor,
+)

@@ -1,0 +1,111 @@
+"""Metrics-state processors: running-state transforms per stream identity.
+
+Reference semantics (SURVEY.md 2.5 metrics row):
+- ``delta_to_cumulative`` (processor/deltatocumulativeprocessor/config.go:15-24):
+  running sum of delta datapoints keyed by stream identity; ``max_stale``
+  eviction is a streaming concern (watermark) — in batch nothing goes
+  stale.
+- ``cumulative_to_delta`` (processor/cumulativetodeltaprocessor/config.go:17):
+  adjacent-point difference per stream; the first point of a stream has
+  no predecessor and is dropped (the reference emits nothing until it
+  has two points).
+- ``delta_to_rate`` (processor/deltatorateprocessor/config.go:11):
+  delta value divided by the elapsed seconds since the previous point.
+- ``interval`` (processor/intervalprocessor/config.go:20-31): aggregate
+  datapoints per tumbling interval per stream, keeping the LAST point
+  (the reference forwards the most recent datapoint per interval).
+
+All four are one-shuffle window/group operations: partitionBy(stream
+identity) is the only exchange, ordering is within-partition. Skew: a
+hot stream serializes its window — salt upstream if a single identity
+exceeds a task (same posture as recombine).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+@dataclass
+class DeltaToCumulative:
+    value_col: str = "value"
+    stream_keys: list[str] = field(default_factory=lambda: ["metric"])
+    order_col: str = "ts"
+    out_col: str = "cumulative"
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        w = (
+            Window.partitionBy(*self.stream_keys)
+            .orderBy(self.order_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return df.withColumn(self.out_col, F.sum(self.value_col).over(w))
+
+
+@dataclass
+class CumulativeToDelta:
+    value_col: str = "value"
+    stream_keys: list[str] = field(default_factory=lambda: ["metric"])
+    order_col: str = "ts"
+    out_col: str = "delta"
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(*self.stream_keys).orderBy(self.order_col)
+        prev = F.lag(self.value_col).over(w)
+        return (
+            df.withColumn(self.out_col, F.col(self.value_col) - prev)
+            .filter(F.col(self.out_col).isNotNull())
+        )
+
+
+@dataclass
+class DeltaToRate:
+    value_col: str = "value"
+    stream_keys: list[str] = field(default_factory=lambda: ["metric"])
+    order_col: str = "ts"  # timestamp column
+    out_col: str = "rate"
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(*self.stream_keys).orderBy(self.order_col)
+        prev_ts = F.lag(self.order_col).over(w)
+        # unix_micros keeps sub-second precision (unix_timestamp
+        # truncates to seconds); NTZ columns cast through TIMESTAMP in
+        # the session zone (pinned UTC)
+        def epoch(c: Column) -> Column:
+            return F.unix_micros(c.cast("timestamp")) / 1e6
+
+        elapsed = epoch(F.col(self.order_col)) - epoch(prev_ts)
+        rate = F.when(elapsed > 0, F.col(self.value_col) / elapsed)
+        return (
+            df.withColumn(self.out_col, rate)
+            .filter(F.col(self.out_col).isNotNull())
+        )
+
+
+@dataclass
+class IntervalProcessor:
+    """Keep the LAST datapoint per (stream, tumbling interval)."""
+
+    interval: str = "1 hour"  # any date_trunc-able unit ("1 minute", ...)
+    value_col: str = "value"
+    stream_keys: list[str] = field(default_factory=lambda: ["metric"])
+    order_col: str = "ts"
+    tiebreak_col: str | None = None  # deterministic pick on equal timestamps
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        unit = self.interval.split()[-1].rstrip("s")
+        bucket = F.date_trunc(unit, F.col(self.order_col))
+        order = [F.col(self.order_col).desc()]
+        if self.tiebreak_col:
+            order.append(F.col(self.tiebreak_col).desc())
+        w = Window.partitionBy(*self.stream_keys, "__bucket").orderBy(*order)
+        return (
+            df.withColumn("__bucket", bucket)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .withColumnRenamed("__bucket", "interval_start")
+        )

@@ -218,3 +218,47 @@ def test_spanmetrics_histogram(spark):
     assert rows[("a", "1000")] == (1, 600.0)
     assert rows[("b", "+Inf")] == (1, 3000.0)
     assert ("b", "100") not in rows  # null duration excluded
+
+
+def test_container_parser_autodetect(spark):
+    from opentelemetry_collector_contrib_spark.operators import ContainerParser
+
+    rows = [
+        ('{"log": "docker line", "stream": "stdout", "time": "2024-01-02T03:04:05Z"}',),
+        ("2024-01-02T03:04:06Z stderr F cri full line",),
+        ("2024-01-02T03:04:07Z stdout P cri partial",),
+        ("not a container line",),
+    ]
+    df = spark.createDataFrame(rows, "body string")
+    got = ContainerParser()(df).collect()
+    d = next(r for r in got if r.body.startswith("{"))
+    assert d.log == "docker line" and d.stream == "stdout" and d.partial is False
+    assert d.event_ts.second == 5
+    full = next(r for r in got if r.log == "cri full line")
+    part = next(r for r in got if r.log == "cri partial")
+    assert full.stream == "stderr" and full.partial is False
+    assert part.stream == "stdout" and part.partial is True
+    bad = next(r for r in got if r.body.startswith("not"))
+    assert bad.log is None and bad.partial is None
+
+
+def test_container_partial_recombine(spark):
+    from opentelemetry_collector_contrib_spark.operators import (
+        ContainerParser,
+        Recombine,
+    )
+
+    rows = [
+        ("c1", 0, "2024-01-02T03:04:05Z stdout P hello "),
+        ("c1", 1, "2024-01-02T03:04:05Z stdout P wor"),
+        ("c1", 2, "2024-01-02T03:04:06Z stdout F ld"),
+        ("c1", 3, "2024-01-02T03:04:07Z stdout F next"),
+    ]
+    df = spark.createDataFrame(rows, "src string, seq int, body string")
+    parsed = ContainerParser()(df)
+    joined = Recombine(
+        source_identifier="src", order_by="seq", combine_field="log",
+        combine_with="", is_last_entry="NOT partial",
+    )(parsed)
+    texts = sorted(r.log for r in joined.collect())
+    assert texts == ["hello world", "next"]

@@ -138,3 +138,57 @@ def test_transform_processor_statement_order(spark):
     ])
     out = tp(df).collect()[0]["attributes"]
     assert out == {"a": "2", "b": "1", "c": "2"}
+
+
+# --- metrics-state processors (SURVEY.md 2.5 metrics row) --------------------
+
+def test_delta_to_cumulative(spark):
+    from opentelemetry_collector_contrib_spark.processors import DeltaToCumulative
+
+    df = spark.createDataFrame(
+        [("m", 1, 5.0), ("m", 2, 3.0), ("m", 3, 2.0), ("n", 1, 10.0)],
+        "metric string, seq int, value double",
+    )
+    out = DeltaToCumulative(stream_keys=["metric"], order_col="seq")(df)
+    got = {(r.metric, r.seq): r.cumulative for r in out.collect()}
+    assert got[("m", 1)] == 5.0 and got[("m", 2)] == 8.0 and got[("m", 3)] == 10.0
+    assert got[("n", 1)] == 10.0
+
+
+def test_cumulative_to_delta_drops_first_point(spark):
+    from opentelemetry_collector_contrib_spark.processors import CumulativeToDelta
+
+    df = spark.createDataFrame(
+        [("m", 1, 5.0), ("m", 2, 8.0), ("m", 3, 10.0)],
+        "metric string, seq int, value double",
+    )
+    out = CumulativeToDelta(stream_keys=["metric"], order_col="seq")(df).collect()
+    assert {(r.seq, r.delta) for r in out} == {(2, 3.0), (3, 2.0)}
+
+
+def test_delta_to_rate_subsecond(spark):
+    from opentelemetry_collector_contrib_spark.processors import DeltaToRate
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    df = spark.createDataFrame(
+        [("m", t0, 4.0), ("m", t0 + dt.timedelta(milliseconds=500), 2.0)],
+        "metric string, ts timestamp, value double",
+    )
+    out = DeltaToRate(stream_keys=["metric"])(df).collect()
+    assert len(out) == 1 and out[0].rate == 4.0  # 2.0 / 0.5s
+
+
+def test_interval_keeps_last_per_bucket(spark):
+    from opentelemetry_collector_contrib_spark.processors import IntervalProcessor
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    df = spark.createDataFrame(
+        [("m", t0, 1.0), ("m", t0 + dt.timedelta(minutes=30), 2.0),
+         ("m", t0 + dt.timedelta(hours=1), 3.0)],
+        "metric string, ts timestamp, value double",
+    )
+    out = IntervalProcessor(interval="1 hour", stream_keys=["metric"])(df)
+    got = {(r.interval_start.hour, r.value) for r in out.collect()}
+    assert got == {(10, 2.0), (11, 3.0)}
