@@ -46,6 +46,12 @@ class Call:
 
 
 @dataclass
+class Index:
+    obj: object   # expression yielding a map/list (e.g. converter Call)
+    key: object   # str map key or int 0-based list index
+
+
+@dataclass
 class BinOp:
     op: str
     left: object
@@ -230,7 +236,21 @@ class Parser:
                 self.next()
                 return Lit(None)
             if self.peek(1)[1] == "(":
-                return self.parse_call()
+                out = self.parse_call()
+                # postfix indexing on converter results:
+                # ParseJSON(x)["k"], Split(s, ",")[0]  (grammar.go Keys
+                # on converter invocations)
+                while self.peek()[1] == "[":
+                    self.next()
+                    kind, key = self.next()
+                    if kind == "string":
+                        out = Index(out, key[1:-1])
+                    elif kind == "int":
+                        out = Index(out, int(key))
+                    else:
+                        raise SyntaxError(f"bad index {key!r}")
+                    self.expect("]")
+                return out
             return self.parse_path()
         raise SyntaxError(f"unexpected token {v!r}")
 

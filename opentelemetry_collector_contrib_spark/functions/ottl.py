@@ -21,7 +21,17 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..envelope import field_delete, field_get, field_set
-from .ast import BinOp, Call, ListExpr, Lit, Not, Path, parse_condition, parse_statement
+from .ast import (
+    BinOp,
+    Call,
+    Index,
+    ListExpr,
+    Lit,
+    Not,
+    Path,
+    parse_condition,
+    parse_statement,
+)
 from .registry import CONST_ARGS, CONVERTERS
 
 # ---------------------------------------------------------------------------
@@ -63,6 +73,12 @@ def compile_value(node, df: DataFrame | None = None) -> Column:
         return F.array(*[compile_value(i, df) for i in node.items])
     if isinstance(node, Call):
         return _compile_call(node, df)
+    if isinstance(node, Index):
+        obj = compile_value(node.obj, df)
+        if isinstance(node.key, int):
+            # OTTL list indexes are 0-based; element_at is 1-based
+            return F.element_at(obj, node.key + 1)
+        return F.element_at(obj, node.key)
     if isinstance(node, BinOp):
         return _compile_binop(node, df)
     if isinstance(node, Not):
@@ -102,6 +118,10 @@ def _compile_call(call: Call, df: DataFrame | None) -> Column:
     const_pos = CONST_ARGS.get(name, set())
     args = []
     for i, a in enumerate(call.args):
+        if name == "Format" and i == 1 and isinstance(a, ListExpr):
+            # Format's value list splats into format_string varargs
+            args.append([compile_value(x, df) for x in a.items])
+            continue
         if i in const_pos:
             raw = _raw(a)
             if raw is None:

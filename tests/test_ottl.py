@@ -161,3 +161,71 @@ def test_error_modes(row):
     # compile-time errors (parity: reference validates at parse time)
     with pytest.raises(NameError):
         compile_statement('set(attributes["x"], BogusConverter(1))')('x')
+
+
+# --- additional corpus cases (e2e_test.go parity widening) -------------------
+
+CASES_CONVERTERS_EXTRA = [
+    ('set(attributes["test"], SHA1("pass"))',
+     "9d4e1e23bd5b727046a9e3b4b7db57bd8d6ee684"),
+    ('set(attributes["test"], MD5("pass"))',
+     "1a1dc91c907325c69271ddf0c944bc72"),
+    ('set(attributes["test"], Hex("pass"))', "70617373"),
+    ('set(attributes["test"], Trim("  pass  "))', "pass"),
+    ('set(attributes["test"], Format("%s=%s", ["k", "v"]))', "k=v"),
+    ('set(attributes["test"], Log(1))', "0.0"),
+    ('set(attributes["test"], String(42))', "42"),
+    ('set(attributes["test"], Year(Time("2023-04-12", "%Y-%m-%d")))', "2023"),
+    ('set(attributes["test"], Month(Time("2023-04-12", "%Y-%m-%d")))', "4"),
+    ('set(attributes["test"], Day(Time("2023-04-12", "%Y-%m-%d")))', "12"),
+    ('set(attributes["test"], UnixMilli(Time("1970-01-01T00:00:01", "%Y-%m-%dT%H:%M:%S")))', "1000"),
+    ('set(attributes["test"], UnixMicro(Time("1970-01-01T00:00:01", "%Y-%m-%dT%H:%M:%S")))', "1000000"),
+    ('set(attributes["test"], UnixNano(Time("1970-01-01T00:00:01", "%Y-%m-%dT%H:%M:%S")))', "1000000000"),
+    ('set(attributes["test"], TruncateTime(Time("2023-04-12T07:08:09", "%Y-%m-%dT%H:%M:%S"), Duration("1h")))',
+     "2023-04-12 07:00:00"),
+    ('set(attributes["test"], Hours(Duration("90m")))', "1.5"),
+    ('set(attributes["test"], Milliseconds(Duration("1s")))', "1000.0"),
+    ('set(attributes["test"], Microseconds(Duration("1ms")))', "1000.0"),
+    ('set(attributes["test"], Nanoseconds(Duration("1us")))', "1000.0"),
+    ('set(attributes["test"], Sort(Split("b,a,c", ","), "asc"))', "[a, b, c]"),
+    ('set(attributes["test"], Sort(Split("b,a,c", ","), "desc"))', "[c, b, a]"),
+    ('set(attributes["test"], Concat(Keys(ParseJSON("{\\"x\\":\\"1\\"}")), ","))', "x"),
+    ('set(attributes["test"], Concat(Values(ParseJSON("{\\"x\\":\\"1\\"}")), ","))', "1"),
+    ('set(attributes["test"], ParseKeyValue("k1=v1 k2=v2")["k2"])', "v2"),
+    ('set(attributes["test"], ParseCSV("a,b,c", "h1,h2,h3")["h3"])', "c"),
+    ('set(attributes["test"], URL("https://ex.com/p?q=1")["url.scheme"])', "https"),
+    ('set(attributes["test"], URL("https://ex.com/p?q=1")["url.domain"])', "ex.com"),
+    ('set(attributes["test"], ExtractPatterns("code=7 x", "code=(?P<num>\\\\d+)")["num"])', "7"),
+    ('set(attributes["test"], IsMatch(attributes["http.method"], "^g"))', "true"),
+    ('set(attributes["test"], Substring(attributes["total.string"], 3, 3))', "456"),
+    ('set(attributes["test"], Minute(Time("2023-04-12T07:08:09", "%Y-%m-%dT%H:%M:%S")))', "8"),
+]
+
+
+@pytest.mark.parametrize("stmt,expected", CASES_CONVERTERS_EXTRA,
+                         ids=[c[0][25:73] for c in CASES_CONVERTERS_EXTRA])
+def test_converter_extra(row, stmt, expected):
+    out = run(row, stmt)["attributes"]["test"]
+    assert out == expected, f"{stmt} -> {out!r}"
+
+
+CASES_WHERE_EXTRA = [
+    ('set(attributes["test"], "pass") where IsString(body)', True),
+    ('set(attributes["test"], "pass") where IsInt(attributes["total.string"])', True),
+    ('set(attributes["test"], "pass") where IsInt(body)', False),
+    ('set(attributes["test"], "pass") where IsDouble(attributes["total.string"])', True),
+    ('set(attributes["test"], "pass") where Int(attributes["total.string"]) > 1000', True),
+    ('set(attributes["test"], "pass") where Len(body) == 10', True),
+    ('set(attributes["test"], "pass") where attributes["flags"] != "B"', True),
+    ('set(attributes["test"], "pass") where 2 * 3 == 6 and 10 / 2 == 5', True),
+    ('set(attributes["test"], "pass") where 7 - 3 >= 5', False),
+    ('set(attributes["test"], "pass") where not (1 == 1 and 2 == 3)', True),
+]
+
+
+@pytest.mark.parametrize("stmt,applied", CASES_WHERE_EXTRA,
+                         ids=[c[0][38:86] for c in CASES_WHERE_EXTRA])
+def test_where_extra(row, stmt, applied):
+    out = run(row, stmt)
+    got = out["attributes"].get("test")
+    assert (got == "pass") == applied, f"{stmt} -> {out['attributes']}"
