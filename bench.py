@@ -59,6 +59,10 @@ def _run_queries(spark) -> dict[str, float]:
     import __spark_entry__ as e
 
     qs = e.queries()
+    # session warm-up (JVM JIT, parquet footer cache, codegen) on the
+    # smallest SF so the per-query timings reflect the engine, not
+    # cold-start costs
+    e.entry(spark).collect()
     out: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = qs[name]

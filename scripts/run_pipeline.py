@@ -1,0 +1,62 @@
+"""spark-submit entry point: flagship pipeline over a transcript table.
+
+Usage (see submit_example.sh):
+
+    spark-submit --py-files pkg.zip scripts/run_pipeline.py \
+        [--table <iceberg_table> | --events <events.parquet>] \
+        [--out <sink_base_path>]
+
+Reads the transcript table (or derives transcripts from an events
+parquet for sandbox runs), runs parse -> enrich -> route -> aggregate,
+writes per-sink outputs partitioned by route plus the counts table, and
+prints the obsreport metrics row.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+# local runs resolve the package from the repo root; under spark-submit
+# the --py-files zip provides it instead
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from opentelemetry_collector_contrib_spark.data import derive_transcripts
+from opentelemetry_collector_contrib_spark.metrics import MetricsCollector
+from opentelemetry_collector_contrib_spark.pipeline import TranscriptPipeline
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--table", help="Iceberg/catalog transcript table name")
+    ap.add_argument(
+        "--events", default="/root/testdata/sf0.01/events.parquet",
+        help="events parquet to derive transcripts from (sandbox mode)",
+    )
+    ap.add_argument("--out", default="/tmp/logpipe_out")
+    args = ap.parse_args()
+
+    spark = SparkSession.builder.getOrCreate()
+    if args.table:
+        transcripts = spark.read.table(args.table)
+    else:
+        transcripts = derive_transcripts(spark.read.parquet(args.events))
+
+    collector = MetricsCollector(run_id="run_pipeline")
+    routed, counts = TranscriptPipeline(collector=collector)(transcripts)
+    (
+        routed.write.mode("overwrite")
+        .partitionBy("route")
+        .parquet(f"{args.out}/sinks")
+    )
+    counts.write.mode("overwrite").parquet(f"{args.out}/counts")
+    for row in collector.snapshot(spark).collect():
+        print(row)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
