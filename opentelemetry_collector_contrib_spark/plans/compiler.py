@@ -23,11 +23,20 @@ from typing import Any, Callable
 
 from pyspark.sql import DataFrame
 
-from ..connectors import CountConnector, MetricDef, Route, RoutingConnector
+from ..connectors import (
+    CountConnector,
+    MetricDef,
+    Route,
+    RoutingConnector,
+    ServiceGraphConnector,
+    SpanMetricsConnector,
+)
 from ..operators import (
     Add,
+    ContainerParser,
     CsvParser,
     Filter,
+    JsonArrayParser,
     JsonParser,
     KeyValueParser,
     Move,
@@ -37,14 +46,20 @@ from ..operators import (
     Retain,
     Router,
     SeverityParser,
+    SyslogParser,
     TimeParser,
+    TraceParser,
     UriParser,
 )
 from ..processors import (
     Action,
     AttributesProcessor,
+    CumulativeToDelta,
+    DeltaToCumulative,
+    DeltaToRate,
     FilterProcessor,
     GroupByAttrs,
+    IntervalProcessor,
     LookupEnrich,
     ProbabilisticSampler,
     Redaction,
@@ -60,6 +75,10 @@ OPERATOR_REGISTRY: dict[str, Callable[..., Callable[[DataFrame], DataFrame]]] = 
     "time_parser": TimeParser,
     "severity_parser": SeverityParser,
     "uri_parser": UriParser,
+    "syslog_parser": SyslogParser,
+    "container": ContainerParser,
+    "json_array_parser": JsonArrayParser,
+    "trace_parser": TraceParser,
     "add": Add,
     "remove": Remove,
     "move": Move,
@@ -76,11 +95,17 @@ OPERATOR_REGISTRY: dict[str, Callable[..., Callable[[DataFrame], DataFrame]]] = 
     "groupbyattrs": GroupByAttrs,
     "redaction": Redaction,
     "probabilistic_sampler": ProbabilisticSampler,
+    "interval": IntervalProcessor,
+    "deltatocumulative": DeltaToCumulative,
+    "cumulativetodelta": CumulativeToDelta,
+    "deltatorate": DeltaToRate,
     # connectors
     "count": lambda metrics: CountConnector([MetricDef(**m) for m in metrics]),
     "routing": lambda routes, **kw: RoutingConnector(
         [Route(**r) for r in routes], **kw
     ),
+    "spanmetrics": SpanMetricsConnector,
+    "servicegraph": ServiceGraphConnector,
 }
 
 
