@@ -140,3 +140,21 @@ def test_checkpointed_resume_idempotent(spark, tmp_path):
     assert sink.read(spark).count() == 8
     # lineage table records both commits
     assert lineage.read(spark).count() == 2
+
+
+def test_load_balance_consistent_hash(spark):
+    from opentelemetry_collector_contrib_spark.sinks.writers import load_balance
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 1000).withColumn("key", (F.col("id") % 50).cast("string"))
+    out = load_balance(df, n=8, key="key")
+    assert out.rdd.getNumPartitions() == 8
+    # consistent: every row of one key lands in exactly one partition
+    parts = (
+        out.withColumn("pid", F.spark_partition_id())
+        .groupBy("key")
+        .agg(F.countDistinct("pid").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    assert parts == 0
