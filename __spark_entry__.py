@@ -727,7 +727,7 @@ paired AS (
     lead(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS server_ts
   FROM transcripts)
 SELECT client, server, count(*)::BIGINT AS request_count,
-       round(sum(epoch(server_ts) - epoch(ts)), 6) AS latency_sum_s
+       round(sum(epoch_us(server_ts) - epoch_us(ts)) / 1000000.0, 6) AS latency_sum_s
 FROM paired
 WHERE client = 'user' AND next_role = 'tool'
 GROUP BY client, server""",

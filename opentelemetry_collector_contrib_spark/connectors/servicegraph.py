@@ -48,14 +48,18 @@ class ServiceGraphConnector:
             F.coalesce(F.col("__is_client"), F.lit(False))
             & F.coalesce(F.col("__next_is_server"), F.lit(False))
         )
-        latency = (
-            F.unix_micros(F.col("__server_ts").cast("timestamp"))
-            - F.unix_micros(F.col(self.ts_col).cast("timestamp"))
-        ) / 1e6
+        # Sum EXACT integer microseconds and divide once post-agg: float
+        # addition is order-sensitive across partitions, so summing
+        # per-row double seconds drifts in the last bits vs any oracle
+        # (the round-1 hash_match failure). BIGINT sums are associative,
+        # so the result is bit-stable at any parallelism.
+        latency_us = F.unix_micros(
+            F.col("__server_ts").cast("timestamp")
+        ) - F.unix_micros(F.col(self.ts_col).cast("timestamp"))
         return edges.groupBy(
             F.col(self.client_dim).alias("client"),
             F.col("__server").alias("server"),
         ).agg(
             F.count(F.lit(1)).alias("request_count"),
-            F.sum(latency).alias("latency_sum_s"),
+            (F.sum(latency_us) / F.lit(1000000.0)).alias("latency_sum_s"),
         )

@@ -14,6 +14,7 @@ inside whole-stage codegen; there is no Python in the row path.
 from __future__ import annotations
 
 import re as _re
+import weakref
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame
@@ -296,17 +297,20 @@ SEVERITY_TEXT = {
 
 
 # severity dim frames cached per (session, mapping): createDataFrame
-# costs ~0.5s of driver time and pipelines are often rebuilt per batch
-_SEV_DIM_CACHE: dict = {}
+# costs ~0.5s of driver time and pipelines are often rebuilt per batch.
+# WeakKeyDictionary keyed on the session itself (NOT id(spark)): entries
+# die with the session, so a garbage-collected session can never alias a
+# reused CPython id onto a stale DataFrame bound to a dead JVM handle.
+_SEV_DIM_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def _severity_dim(spark, rows: tuple):
-    key = (id(spark), rows)
-    if key not in _SEV_DIM_CACHE:
-        _SEV_DIM_CACHE[key] = spark.createDataFrame(
+    per_session = _SEV_DIM_CACHE.setdefault(spark, {})
+    if rows not in per_session:
+        per_session[rows] = spark.createDataFrame(
             list(rows), "__sev_alias string, __sev_num int, __sev_text string"
         )
-    return _SEV_DIM_CACHE[key]
+    return per_session[rows]
 
 
 @dataclass
@@ -328,10 +332,20 @@ class SeverityParser:
         # the parse cost at 2M rows. A 16-row broadcast hash join probes
         # the source ONCE per row (SURVEY.md 2.8: severity alias maps
         # are lookup enrichment, same as k8sattributes).
-        rows = tuple(
-            (alias.lower(), SEVERITY_NUMBERS[name], SEVERITY_TEXT.get(SEVERITY_NUMBERS[name]))
-            for alias, name in self.mapping.items()
-        )
+        # first-wins dedupe on the LOWERED alias: the join probes
+        # lower(source), so two mapping entries colliding after lower()
+        # (e.g. "warn" and "WARN") would fan the left join out and
+        # silently multiply row counts downstream
+        seen: dict[str, tuple] = {}
+        for alias, name in self.mapping.items():
+            low = alias.lower()
+            if low not in seen:
+                seen[low] = (
+                    low,
+                    SEVERITY_NUMBERS[name],
+                    SEVERITY_TEXT.get(SEVERITY_NUMBERS[name]),
+                )
+        rows = tuple(seen.values())
         dim = _severity_dim(df.sparkSession, rows)
         src = F.lower(field_get(self.parse_from))
         joined = df.join(
@@ -484,9 +498,18 @@ class SyslogParser:
                 "message": g(9),
             }
         else:
+            # ctime pads single-digit days with a space ("Aug  5 12:00:00");
+            # collapse runs of spaces so "MMM d" parses days 1-9, and graft
+            # the current year (rfc3164 timestamps are year-less; the
+            # reference stanza parser assumes the present year, not 1970)
+            ts3164 = F.concat_ws(
+                " ",
+                F.year(F.current_date()).cast("string"),
+                F.regexp_replace(g(2), "  +", " "),
+            )
             values = {
                 **common,
-                "event_ts": F.try_to_timestamp(g(2), F.lit("MMM d HH:mm:ss")),
+                "event_ts": F.try_to_timestamp(ts3164, F.lit("yyyy MMM d HH:mm:ss")),
                 "hostname": g(3),
                 "tag": g(4),
                 "proc_id": g(5),

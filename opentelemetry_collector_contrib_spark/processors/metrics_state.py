@@ -85,19 +85,62 @@ class DeltaToRate:
         )
 
 
+# fixed-width units -> microseconds (month/year are not fixed-width and
+# only support a count of 1 via date_trunc)
+_UNIT_US = {
+    "second": 1_000_000,
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+    "week": 7 * 86_400_000_000,
+}
+
+
 @dataclass
 class IntervalProcessor:
-    """Keep the LAST datapoint per (stream, tumbling interval)."""
+    """Keep the LAST datapoint per (stream, tumbling interval).
 
-    interval: str = "1 hour"  # any date_trunc-able unit ("1 minute", ...)
+    ``interval`` supports arbitrary fixed-width durations ("15 minutes",
+    "90 seconds", ...) like the reference's ``time.Duration`` config
+    (default 60s): the bucket is floor(unix_micros / interval_us) *
+    interval_us, NOT a date_trunc by unit — "15 minutes" must yield
+    15-minute buckets, not per-minute ones.
+    """
+
+    interval: str = "1 hour"
     value_col: str = "value"
     stream_keys: list[str] = field(default_factory=lambda: ["metric"])
     order_col: str = "ts"
     tiebreak_col: str | None = None  # deterministic pick on equal timestamps
 
+    def __post_init__(self):
+        parts = self.interval.split()
+        count = int(parts[0]) if len(parts) > 1 and parts[0].lstrip("-").isdigit() else 1
+        unit = parts[-1].rstrip("s").lower()
+        if unit in _UNIT_US:
+            if count < 1:
+                raise ValueError(f"interval count must be >= 1: {self.interval!r}")
+            self._interval_us: int | None = count * _UNIT_US[unit]
+            self._trunc_unit = None
+        elif unit in ("month", "year"):
+            if count != 1:
+                raise ValueError(
+                    f"{unit!r} intervals only support a count of 1 (got {self.interval!r})"
+                )
+            self._interval_us = None
+            self._trunc_unit = unit
+        else:
+            raise ValueError(f"unsupported interval unit in {self.interval!r}")
+
     def __call__(self, df: DataFrame) -> DataFrame:
-        unit = self.interval.split()[-1].rstrip("s")
-        bucket = F.date_trunc(unit, F.col(self.order_col))
+        ts = F.col(self.order_col).cast("timestamp")
+        if self._interval_us is not None:
+            ius = F.lit(self._interval_us)
+            bucket = F.timestamp_micros(
+                (F.floor(F.unix_micros(ts) / ius) * ius).cast("long")
+            )
+        else:
+            bucket = F.date_trunc(self._trunc_unit, ts)
         order = [F.col(self.order_col).desc()]
         if self.tiebreak_col:
             order.append(F.col(self.tiebreak_col).desc())

@@ -203,6 +203,30 @@ def test_syslog_rfc3164(spark):
     assert r.event_ts.month == 10 and r.event_ts.day == 11
 
 
+def test_syslog_rfc3164_single_digit_day_and_year(spark):
+    # ctime pads days 1-9 with a space ("Aug  5"); the parser must
+    # normalize it and graft the CURRENT year (not 1970)
+    import datetime as dt
+
+    from opentelemetry_collector_contrib_spark.operators import SyslogParser
+
+    line = "<13>Aug  5 12:00:07 host app[1]: hello"
+    df = spark.createDataFrame([(line,)], "body string")
+    r = SyslogParser(protocol="rfc3164")(df).collect()[0]
+    assert r.event_ts is not None
+    assert (r.event_ts.month, r.event_ts.day, r.event_ts.second) == (8, 5, 7)
+    assert r.event_ts.year == dt.date.today().year
+
+
+def test_severity_parser_colliding_aliases_no_fanout(spark):
+    # two mapping keys that collide after lower() must not fan out the
+    # broadcast join (first-wins, like the when-chain it replaced)
+    df = spark.createDataFrame([(1, "warn")], "id int, severity_text string")
+    out = SeverityParser(mapping={"warn": "warn", "WARN": "error"})(df).collect()
+    assert len(out) == 1
+    assert out[0]["severity_number"] == 13  # first entry wins
+
+
 def test_spanmetrics_histogram(spark):
     from opentelemetry_collector_contrib_spark.connectors import SpanMetricsConnector
 

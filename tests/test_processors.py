@@ -192,3 +192,28 @@ def test_interval_keeps_last_per_bucket(spark):
     out = IntervalProcessor(interval="1 hour", stream_keys=["metric"])(df)
     got = {(r.interval_start.hour, r.value) for r in out.collect()}
     assert got == {(10, 2.0), (11, 3.0)}
+
+
+def test_interval_honors_duration_multiple(spark):
+    # "15 minutes" must bucket per 15 minutes, not per minute: inputs at
+    # :00/:05/:20/:40 -> three buckets (:00-:15 keeps the :05 point)
+    from opentelemetry_collector_contrib_spark.processors import IntervalProcessor
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    df = spark.createDataFrame(
+        [("m", t0, 1.0), ("m", t0 + dt.timedelta(minutes=5), 2.0),
+         ("m", t0 + dt.timedelta(minutes=20), 3.0),
+         ("m", t0 + dt.timedelta(minutes=40), 4.0)],
+        "metric string, ts timestamp, value double",
+    )
+    out = IntervalProcessor(interval="15 minutes", stream_keys=["metric"])(df)
+    got = {(r.interval_start.minute, r.value) for r in out.collect()}
+    assert got == {(0, 2.0), (15, 3.0), (30, 4.0)}
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        IntervalProcessor(interval="3 months", stream_keys=["metric"])
+    with pytest.raises(ValueError):
+        IntervalProcessor(interval="2 fortnights", stream_keys=["metric"])
