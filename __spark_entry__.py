@@ -63,6 +63,8 @@ from opentelemetry_collector_contrib_spark.training import (
     binary_table,
     brute_force_topk,
     cosine_pairs,
+    cosine_pairs_bucketed,
+    lsh_topk,
     exact_dedup,
     extract_features,
     fingerprint,
@@ -191,12 +193,30 @@ def _nrm(t: str) -> str:
 _PLANES = make_planes(8, 64)
 
 
+def _md5_bucket_sql(expr: str, seed: int = 22) -> str:
+    """DuckDB twin of processors.sampler._bucket (md5 mode): first 15
+    hex chars of md5('<seed>:' || expr) nibble-parsed to a 60-bit int,
+    mod 10000 — bit-exact with Spark's conv(substring(md5(..),1,15),16,10)."""
+    h = f"md5('{seed}:' || {expr})"
+    return "(" + "+".join(
+        f"(ascii(substring({h},{i},1)) - CASE WHEN ascii(substring({h},{i},1)) >= 97 THEN 87 ELSE 48 END)::BIGINT * {16 ** (15 - i)}"
+        for i in range(1, 16)
+    ) + ") % 10000"
+
+
 def _plane_dot(p: int) -> str:
     lit = "[" + ",".join(repr(v) for v in _PLANES[p]) + "]"
     return (
         f"list_reduce(list_transform(list_zip(embedding::DOUBLE[], {lit}::DOUBLE[]),"
         " z -> z[1]*z[2]), (x,y) -> x+y)"
     )
+
+
+# 4-plane LSH bucket key (shared by the ann_lsh_topk / bucketed-cosine
+# oracles; planes 0..3 of make_planes are prefix-stable for any n_planes)
+_BUCKET4 = " || ".join(
+    f"(CASE WHEN {_plane_dot(p)} >= 0 THEN '1' ELSE '0' END)" for p in range(4)
+)
 
 
 # ---------------------------------------------------------------------------
@@ -478,9 +498,31 @@ def _q_interval_last(spark, sf_dir):
 
 
 def _q_sampler(spark, sf_dir):
-    # deterministic hash sampling (no DuckDB twin for xxhash64)
+    # deterministic md5-bucket sampling (bit-exact DuckDB twin)
     s = ProbabilisticSampler(percentage=25.0, attribute_source="conv_id")
     return s(_transcripts(spark, sf_dir)).select("conv_id", "turn_idx")
+
+
+def _q_sampler_proportional(spark, sf_dir):
+    df = _transcripts(spark, sf_dir).withColumn("prior", F.lit(0.5))
+    s = ProbabilisticSampler(
+        percentage=30.0, attribute_source="conv_id",
+        mode="proportional", prior_col="prior",
+    )
+    return s(df).select("conv_id", "turn_idx", "sampling_probability")
+
+
+def _q_sampler_equalizing(spark, sf_dir):
+    # rows already sampled harder than the target (user turns, prior
+    # 0.2 < 0.5) pass through; the rest are cut down to 50%
+    df = _transcripts(spark, sf_dir).withColumn(
+        "prior", F.when(F.col("role") == "user", 0.2).otherwise(1.0)
+    )
+    s = ProbabilisticSampler(
+        percentage=50.0, attribute_source="conv_id",
+        mode="equalizing", prior_col="prior",
+    )
+    return s(df).select("conv_id", "turn_idx", "sampling_probability")
 
 
 def _q_dedup_exact(spark, sf_dir):
@@ -511,6 +553,17 @@ def _q_ann_topk(spark, sf_dir):
 
 def _q_ann_lsh(spark, sf_dir):
     return hyperplane_buckets(_emb(spark, sf_dir), n_planes=8)
+
+
+def _q_ann_lsh_topk(spark, sf_dir):
+    # the composed 100 TB ANN path: bucket join + exact within-bucket
+    # scoring + per-query top-k (4 planes -> 16 buckets at this SF)
+    emb = _emb(spark, sf_dir)
+    return lsh_topk(emb, emb.filter("vec_id < 20"), k=5, n_planes=4)
+
+
+def _q_cosine_bucketed(spark, sf_dir):
+    return cosine_pairs_bucketed(_emb(spark, sf_dir), threshold=0.2, n_planes=4)
 
 
 def _q_token_stats(spark, sf_dir):
@@ -563,6 +616,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "servicegraph_edges": _q_servicegraph,
         "parse_container": _q_parse_container,
         "sampler_deterministic": _q_sampler,
+        "sampler_proportional": _q_sampler_proportional,
+        "sampler_equalizing": _q_sampler_equalizing,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_lsh,
         "dedup_simhash": _q_dedup_simhash,
@@ -570,6 +625,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": _q_dedup_cosine,
         "ann_bruteforce_topk": _q_ann_topk,
         "ann_lsh_buckets": _q_ann_lsh,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "dedup_cosine_bucketed": _q_cosine_bucketed,
         "text_token_stats": _q_token_stats,
         "text_quality_score": _q_quality,
         "text_lang_id": _q_lang_id,
@@ -731,6 +788,18 @@ SELECT client, server, count(*)::BIGINT AS request_count,
 FROM paired
 WHERE client = 'user' AND next_role = 'tool'
 GROUP BY client, server""",
+        "sampler_deterministic": f"""WITH {TRANSCRIPTS_ORACLE_CTE.strip()}
+SELECT conv_id, turn_idx FROM transcripts
+WHERE {_md5_bucket_sql('conv_id')} < 2500""",
+        "sampler_proportional": f"""WITH {TRANSCRIPTS_ORACLE_CTE.strip()}
+SELECT conv_id, turn_idx, 0.5 * 0.3 AS sampling_probability FROM transcripts
+WHERE {_md5_bucket_sql('conv_id')} < 3000""",
+        "sampler_equalizing": f"""WITH {TRANSCRIPTS_ORACLE_CTE.strip()},
+pri AS (SELECT conv_id, turn_idx,
+               CASE WHEN role = 'user' THEN 0.2 ELSE 1.0 END AS prior
+        FROM transcripts)
+SELECT conv_id, turn_idx, least(prior, 0.5) AS sampling_probability FROM pri
+WHERE {_md5_bucket_sql('conv_id')} < least(1.0, 0.5 / prior) * 10000""",
         "dedup_exact": """WITH h AS (
   SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
   FROM documents)
@@ -772,6 +841,21 @@ SELECT query_id, neighbor_id, rank, cos FROM (
             f"(CASE WHEN {_plane_dot(p)} >= 0 THEN '1' ELSE '0' END)" for p in range(8)
         )
         + " AS bucket FROM embeddings",
+        "ann_lsh_topk": f"""WITH b AS (SELECT vec_id, embedding, {_BUCKET4} AS bucket FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({_DOT_AB.replace('a.embedding', 'q.embedding').replace('b.embedding', 'c.embedding')}
+               / ({_nrm('q')} * {_nrm('c')}), 4) AS cos
+  FROM b c JOIN (SELECT * FROM b WHERE vec_id < 20) q ON c.bucket = q.bucket
+  WHERE q.vec_id != c.vec_id)
+SELECT query_id, neighbor_id, rank, cos FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored) WHERE rank <= 5""",
+        "dedup_cosine_bucketed": f"""WITH b AS (SELECT vec_id, embedding, {_BUCKET4} AS bucket FROM embeddings)
+SELECT a.vec_id AS a_id, c.vec_id AS b_id,
+       round({_DOT_AB.replace('b.embedding', 'c.embedding')} / ({_nrm('a')} * {_nrm('c')}), 4) AS cos
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE round({_DOT_AB.replace('b.embedding', 'c.embedding')} / ({_nrm('a')} * {_nrm('c')}), 4) >= 0.2""",
         "text_token_stats": f"""SELECT doc_id, len({_TOKS}) AS n_tokens,
        len(list_distinct({_TOKS})) AS n_distinct,
        round(len(list_distinct({_TOKS}))::DOUBLE / len({_TOKS}), 4) AS distinct_ratio,

@@ -22,7 +22,8 @@ import time
 import uuid
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 
 from .sources.table import SnapshotTable
 
@@ -61,8 +62,14 @@ class CheckpointedWriter:
         already = self.last_processed(sink_table)
         if to_snapshot <= already:
             return None  # rerun of a completed increment: no-op
+        # observe() snapshots the row count DURING the write job — a
+        # plain df.count() afterwards would re-run the whole upstream DAG
+        # (nothing is persisted), doubling the job at scale
+        obs = Observation(f"lineage-{run_id}")
+        observed = df.observe(obs, F.count(F.lit(1)).alias("rows_out"))
         sid = sink_table.append(
-            df, properties={"source_range": [from_snapshot, to_snapshot], "run_id": run_id}
+            observed,
+            properties={"source_range": [from_snapshot, to_snapshot], "run_id": run_id},
         )
         spark = df.sparkSession
         self.lineage.append(
@@ -73,7 +80,7 @@ class CheckpointedWriter:
                         sink_table.path,
                         from_snapshot,
                         to_snapshot,
-                        df.count(),
+                        obs.get["rows_out"],
                         "committed",
                         time.time(),
                     )

@@ -1,36 +1,88 @@
-"""Probabilistic sampler: consistent hash-seeded sampling.
+"""Probabilistic sampler: consistent hash-seeded sampling, three modes.
 
-Reference: processor/probabilisticsamplerprocessor/config.go:15-60 —
-sample at a percentage, seeded on trace id or a chosen attribute so
-sampling is CONSISTENT (the same key always samples the same way across
-collectors/runs). Never rand(): determinism is what makes resume and
-routed-row equality hold (SURVEY.md 7.3 "deterministic sampling").
+Reference: processor/probabilisticsamplerprocessor/config.go:15-60 and
+sampler_mode.go:51-57 — modes ``hash_seed`` (FNV hash of a chosen
+attribute vs a 14-bit threshold), ``proportional`` (output probability
+proportional to the incoming sampling probability) and ``equalizing``
+(make every record's FINAL sampling probability equal to the configured
+percentage, discounting what upstream samplers already removed).
+
+Columnar restatement: the sampling coin is a deterministic bucket in
+[0, 10000) derived from md5(seed ':' key) — never rand(): determinism
+is what makes resume and routed-row equality hold (SURVEY.md 7.3), and
+md5 (unlike xxhash64) has a bit-exact DuckDB twin via the established
+nibble-parse technique, so every mode is oracle-checkable. The prior
+sampling probability rides in a column (``prior_col``, default 1.0 —
+"not previously sampled"), standing in for the tracestate t-value:
+
+- ``hash_seed``:    keep iff bucket < pct * 100
+- ``proportional``: same keep rule; surviving rows carry
+                    ``sampling_probability = prior * pct/100``
+- ``equalizing``:   keep iff bucket < min(1, (pct/100)/prior) * 10000;
+                    survivors carry ``sampling_probability =
+                    min(prior, pct/100)`` — rows already sampled harder
+                    than the target pass through untouched
+
+All modes are single codegen'd filter projections: no shuffle, no UDF.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..envelope import field_get
 
+MODES = ("hash_seed", "proportional", "equalizing")
+
+
+def _bucket(key: Column, seed: int, hash_function: str) -> Column:
+    """Deterministic bucket in [0, 10000). ``md5`` parses the first 15
+    hex chars (60 bits) of md5(seed ':' key) — reproducible in DuckDB;
+    ``xxhash64`` is the cheapest JVM-only path."""
+    if hash_function == "xxhash64":
+        return F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(10000))
+    salted = F.concat(F.lit(f"{seed}:"), key)
+    return F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("bigint") % 10000
+
 
 @dataclass
 class ProbabilisticSampler:
-    percentage: float            # 0..100
-    attribute_source: str = "trace_id"  # field path supplying the hash key
-    hash_seed: int = 22          # reference default hash seed role
+    percentage: float                    # 0..100
+    attribute_source: str = "trace_id"   # field path supplying the hash key
+    hash_seed: int = 22                  # reference default hash seed role
+    mode: str = "hash_seed"              # hash_seed | proportional | equalizing
+    prior_col: str | None = None         # incoming sampling probability (default 1.0)
+    hash_function: str = "md5"           # md5 (oracle-checkable) | xxhash64
 
     def __post_init__(self):
         if not 0 <= self.percentage <= 100:
             raise ValueError("percentage must be in [0, 100]")
+        if self.mode not in MODES:
+            raise ValueError(f"mode must be one of {MODES}")
+        if self.hash_function not in ("md5", "xxhash64"):
+            raise ValueError("hash_function must be md5 or xxhash64")
 
     def __call__(self, df: DataFrame) -> DataFrame:
-        if self.percentage >= 100:
+        if self.percentage >= 100 and self.mode == "hash_seed":
             return df
         key = field_get(self.attribute_source).cast("string")
-        bucket = F.pmod(F.xxhash64(key, F.lit(self.hash_seed)), F.lit(10000))
-        keep = bucket < int(self.percentage * 100)
-        return df.filter(keep)
+        bucket = _bucket(key, self.hash_seed, self.hash_function)
+        target = self.percentage / 100.0
+        prior = (
+            F.col(self.prior_col).cast("double")
+            if self.prior_col
+            else F.lit(1.0)
+        )
+        if self.mode == "equalizing":
+            ratio = F.least(F.lit(1.0), F.lit(target) / prior)
+            out = df.filter(bucket < ratio * 10000)
+            return out.withColumn(
+                "sampling_probability", F.least(prior, F.lit(target))
+            )
+        out = df.filter(bucket < int(self.percentage * 100))
+        if self.mode == "proportional":
+            out = out.withColumn("sampling_probability", prior * F.lit(target))
+        return out

@@ -50,15 +50,31 @@ def write_routed(
     mode: str = "overwrite",
 ) -> dict[str, str]:
     """Write a route-tagged frame to per-sink directories in one job:
-    ``base_path/route=<sink>/``. Returns sink -> path."""
+    ``base_path/route=<sink>/``. Returns sink -> path.
+
+    Sink names come from LISTING the written partition directories (a
+    filesystem metadata call via the Hadoop FS API, so it works on any
+    supported filesystem) — NOT from ``tagged.select(route).distinct()``,
+    which would rescan the input and recompute the whole upstream DAG a
+    second time just to build this dict.
+    """
     (
         tagged.write.mode(mode)
         .format(format)
         .partitionBy(route_col)
         .save(base_path)
     )
-    sinks = [r[route_col] for r in tagged.select(route_col).distinct().collect()]
-    return {s: os.path.join(base_path, f"{route_col}={s}") for s in sinks}
+    spark = tagged.sparkSession
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(base_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    prefix = f"{route_col}="
+    sinks = [
+        st.getPath().getName()[len(prefix):]
+        for st in fs.listStatus(jpath)
+        if st.isDirectory() and st.getPath().getName().startswith(prefix)
+    ]
+    return {s: os.path.join(base_path, f"{route_col}={s}") for s in sorted(sinks)}
 
 
 def load_balance(df: DataFrame, n: int, key: str) -> DataFrame:

@@ -21,7 +21,9 @@ from .multimodal import binary_table, extract_features
 from .similarity import (
     brute_force_topk,
     cosine_pairs,
+    cosine_pairs_bucketed,
     hyperplane_buckets,
+    lsh_topk,
     make_planes,
 )
 from .textstats import fingerprint, lang_id, quality_score, token_stats
@@ -30,6 +32,8 @@ __all__ = [
     "binary_table",
     "brute_force_topk",
     "cosine_pairs",
+    "cosine_pairs_bucketed",
+    "lsh_topk",
     "exact_dedup",
     "extract_features",
     "fingerprint",

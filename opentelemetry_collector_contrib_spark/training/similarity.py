@@ -105,6 +105,17 @@ def make_planes(n_planes: int, dim: int) -> list[list[float]]:
     ]
 
 
+def _bucket_expr(vec_col: str, n_planes: int, dim: int) -> Column:
+    planes = make_planes(n_planes, dim)
+    bits = []
+    for plane in planes:
+        lit_plane = F.array(*[F.lit(v) for v in plane])
+        bits.append(
+            F.when(_dot(F.col(vec_col), lit_plane) >= 0, "1").otherwise("0")
+        )
+    return F.concat(*bits)
+
+
 def hyperplane_buckets(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -113,11 +124,94 @@ def hyperplane_buckets(
     dim: int = 64,
 ) -> DataFrame:
     """(id, bucket STRING of '0'/'1' sign bits) — LSH bucket key."""
-    planes = make_planes(n_planes, dim)
-    bits = []
-    for plane in planes:
-        lit_plane = F.array(*[F.lit(v) for v in plane])
-        bits.append(
-            F.when(_dot(F.col(vec_col), lit_plane) >= 0, "1").otherwise("0")
-        )
-    return df.select(F.col(id_col), F.concat(*bits).alias("bucket"))
+    return df.select(
+        F.col(id_col), _bucket_expr(vec_col, n_planes, dim).alias("bucket")
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The 100 TB ANN path: hyperplane-LSH bucketing composed with exact
+    within-bucket cosine scoring and a per-query top-k.
+
+    Candidate generation is an equi-join on the bucket key — each query
+    only ever meets the ~n/2^planes corpus vectors sharing its bucket,
+    never the full corpus (contrast :func:`brute_force_topk`, which
+    scores all n). Queries are the small side and are broadcast, so the
+    corpus is scanned once with NO shuffle; the only aggregation is the
+    per-query rank window over the candidate set. Recall is tunable via
+    ``n_planes`` (fewer planes -> bigger buckets -> higher recall); for
+    multi-probe recall, union several plane sets upstream.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _bucket_expr(vec_col, n_planes, dim).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _bucket_expr(vec_col, n_planes, dim).alias("bucket"),
+    )
+    scored = c.join(F.broadcast(q), "bucket").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    cos = _dot(F.col("qv"), F.col("cv")) / (
+        _norm(F.col("qv")) * _norm(F.col("cv"))
+    )
+    scored = scored.select(
+        "query_id", "neighbor_id", F.round(cos, 4).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def cosine_pairs_bucketed(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Near-duplicate pairs above a cosine threshold, restricted to
+    LSH-bucket collisions — the scale path promised by
+    :func:`cosine_pairs` (which is the O(n^2) exact baseline).
+
+    One shuffle on the bucket key; within a bucket the pair set is
+    ~(n/2^planes)^2 instead of n^2. High-cosine pairs land in the same
+    bucket with probability (1 - theta/pi)^planes, so a missed true pair
+    is the (documented) LSH recall trade-off, identical to the reference
+    posture for MinHash-LSH text dedup.
+    """
+    x = df.select(
+        F.col(id_col).alias("a_id"),
+        F.col(vec_col).alias("va"),
+        _bucket_expr(vec_col, n_planes, dim).alias("bucket"),
+    )
+    y = df.select(
+        F.col(id_col).alias("b_id"),
+        F.col(vec_col).alias("vb"),
+        _bucket_expr(vec_col, n_planes, dim).alias("bucket"),
+    )
+    pairs = x.join(y, "bucket").filter(F.col("a_id") < F.col("b_id"))
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        _norm(F.col("va")) * _norm(F.col("vb"))
+    )
+    return (
+        pairs.select("a_id", "b_id", F.round(cos, 4).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )

@@ -127,6 +127,35 @@ def test_sampler_deterministic_and_proportional(spark):
     assert ProbabilisticSampler(100.0, attribute_source="key")(df).count() == 10000
     with pytest.raises(ValueError):
         ProbabilisticSampler(150.0)
+    with pytest.raises(ValueError):
+        ProbabilisticSampler(10.0, mode="bogus")
+
+
+def test_sampler_modes(spark):
+    df = (
+        spark.range(10000)
+        .withColumn("key", F.col("id").cast("string"))
+        .withColumn("prior", F.when(F.col("id") % 2 == 0, 0.2).otherwise(1.0))
+    )
+    # proportional: same keep rate as hash_seed, output prob = prior * pct
+    prop = ProbabilisticSampler(
+        25.0, attribute_source="key", mode="proportional", prior_col="prior"
+    )(df)
+    probs = {r.sampling_probability for r in prop.select("sampling_probability").distinct().collect()}
+    assert probs == {0.2 * 0.25, 1.0 * 0.25}
+    # equalizing: rows with prior (0.2) already below the target (0.5)
+    # ALL survive untouched; prior-1.0 rows are cut to ~50%
+    eq = ProbabilisticSampler(
+        50.0, attribute_source="key", mode="equalizing", prior_col="prior"
+    )(df)
+    low = eq.filter(F.col("prior") == 0.2)
+    assert low.count() == 5000  # every already-sampled row kept
+    assert {r.sampling_probability for r in low.select("sampling_probability").distinct().collect()} == {0.2}
+    hi_n = eq.filter(F.col("prior") == 1.0).count()
+    assert 2200 <= hi_n <= 2800  # ~50% of 5000
+    # xxhash64 fast path stays available and deterministic
+    fast = ProbabilisticSampler(25.0, attribute_source="key", hash_function="xxhash64")
+    assert fast(df).count() == fast(df).count()
 
 
 def test_transform_processor_statement_order(spark):

@@ -116,6 +116,57 @@ def test_write_routed_single_job(spark, tmp_path):
     assert sorted(r["id"] for r in a.collect()) == [1, 3]
 
 
+def _job_count(spark, fn):
+    """Spark jobs triggered by fn() (job-group scoped via statusTracker)."""
+    import uuid
+
+    sc = spark.sparkContext
+    grp = f"jobcount-{uuid.uuid4().hex}"
+    sc.setJobGroup(grp, grp)
+    try:
+        fn()
+    finally:
+        sc.setJobGroup("", "")
+    return len(sc.statusTracker().getJobIdsForGroup(grp))
+
+
+def test_write_routed_no_second_scan(spark, tmp_path):
+    """Sink-name discovery must be a filesystem metadata call, not a
+    second .distinct() scan: write_routed triggers exactly as many Spark
+    jobs as the bare partitioned write of the same frame."""
+    df = spark.createDataFrame(
+        [(i, "sink_a" if i % 2 else "sink_b") for i in range(100)],
+        "id int, route string",
+    )
+    bare = _job_count(
+        spark,
+        lambda: df.write.mode("overwrite")
+        .partitionBy("route")
+        .parquet(str(tmp_path / "bare")),
+    )
+    routed = _job_count(
+        spark, lambda: write_routed(df, str(tmp_path / "routed"))
+    )
+    assert routed == bare
+
+
+def test_lineage_commit_no_recount(spark, tmp_path):
+    """CheckpointedWriter.commit must observe the row count during the
+    write, not re-run the input DAG with df.count(): commit costs exactly
+    one more job than a bare append (the tiny lineage-row write)."""
+    sink = SnapshotTable(str(tmp_path / "sink"))
+    bare_sink = SnapshotTable(str(tmp_path / "bare"))
+    lineage = SnapshotTable(str(tmp_path / "lineage"))
+    w = CheckpointedWriter(lineage)
+    df = spark.range(50).select(F.col("id"))
+
+    bare = _job_count(spark, lambda: bare_sink.append(df))
+    committed = _job_count(spark, lambda: w.commit(sink, df, 0, 1))
+    assert committed == bare + 1  # + the one-row lineage append
+    row = lineage.read(spark).collect()[0]
+    assert row["rows_out"] == 50 and row["status"] == "committed"
+
+
 def test_checkpointed_resume_idempotent(spark, tmp_path):
     """Kill-rerun produces identical sinks (FIXTURES.md section 8)."""
     inp = SnapshotTable(str(tmp_path / "in"))

@@ -148,6 +148,35 @@ def test_make_planes_deterministic():
     assert all(-1.0 <= v <= 1.0 for row in make_planes(3, 16) for v in row)
 
 
+def test_lsh_topk_matches_bruteforce_within_bucket(vecs):
+    from opentelemetry_collector_contrib_spark.training import lsh_topk
+
+    out = lsh_topk(vecs, vecs.filter("vec_id = 0"), k=3, n_planes=8, dim=4).collect()
+    # vec 1 shares vec 0's bucket (near-identical) and must be rank 1
+    # with the same exact cosine brute force computes
+    assert out, "bucket join found no candidates"
+    top = min(out, key=lambda r: r.rank)
+    assert (top.query_id, top.neighbor_id, top.rank) == (0, 1, 1)
+    brute = {
+        r.neighbor_id: r.cos
+        for r in brute_force_topk(vecs, vecs.filter("vec_id = 0"), k=3).collect()
+    }
+    for r in out:  # every LSH hit scores identically to the exact path
+        assert r.cos == brute[r.neighbor_id]
+
+
+def test_cosine_pairs_bucketed_subset_of_exact(vecs):
+    from opentelemetry_collector_contrib_spark.training import cosine_pairs_bucketed
+
+    exact = {(r.a_id, r.b_id, r.cos) for r in cosine_pairs(vecs, threshold=0.9).collect()}
+    bucketed = {
+        (r.a_id, r.b_id, r.cos)
+        for r in cosine_pairs_bucketed(vecs, threshold=0.9, n_planes=8, dim=4).collect()
+    }
+    assert bucketed <= exact          # never invents pairs
+    assert (0, 1) in {(a, b) for a, b, _ in bucketed}  # near-dups collide
+
+
 def test_multimodal_plumbing(docs):
     mm = binary_table(docs)
     assert dict(mm.dtypes)["payload"] == "binary"
