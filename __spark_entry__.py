@@ -55,7 +55,12 @@ from opentelemetry_collector_contrib_spark.processors import (
     DeltaToCumulative,
     DeltaToRate,
     FilterProcessor,
+    GenerationRule,
     IntervalProcessor,
+    MetricOp,
+    MetricTransform,
+    MetricsGeneration,
+    MetricsTransform,
     ProbabilisticSampler,
 )
 from opentelemetry_collector_contrib_spark.functions import compile_statement
@@ -525,6 +530,58 @@ def _q_sampler_equalizing(spark, sf_dir):
     return s(df).select("conv_id", "turn_idx", "sampling_probability")
 
 
+def _metric_frame(spark, sf_dir):
+    """Long metric frame derived from events. Values are floor-scaled to
+    integral doubles (floor(value * 1e6)) so sums stay exact and
+    associative — bit-stable at any parallelism and vs the oracle."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return events.select(
+        F.when(F.col("event_id") % 2 == 0, "req.count")
+        .otherwise("err.count")
+        .alias("metric_name"),
+        F.floor(F.col("value") * 1e6).cast("double").alias("value"),
+        F.create_map(
+            F.lit("uid"), F.col("user_id").cast("string")
+        ).alias("labels"),
+    )
+
+
+def _q_metrics_transform(spark, sf_dir):
+    # combine req.count + err.count into one summed metric per label set
+    mt = MetricsTransform([
+        MetricTransform(
+            include=r"^(req|err)\.count$", match_type="regexp",
+            action="combine", new_name="all.count", aggregation_type="sum",
+        )
+    ])
+    out = mt(_metric_frame(spark, sf_dir))
+    return out.select(
+        "metric_name", F.element_at("labels", "uid").alias("uid"), "value"
+    )
+
+
+def _q_metrics_generation(spark, sf_dir):
+    # aggregate per uid, then generate err.ratio = err/req percent
+    mt = MetricsTransform([
+        MetricTransform(
+            include=".*", match_type="regexp", action="update",
+            operations=[MetricOp("aggregate_labels", label_set=["uid"],
+                                 aggregation_type="sum")],
+        )
+    ])
+    mg = MetricsGeneration([
+        GenerationRule(name="err.ratio", type="calculate",
+                       metric1="err.count", metric2="req.count",
+                       operation="percent")
+    ])
+    out = mg(mt(_metric_frame(spark, sf_dir)))
+    return out.filter(F.col("metric_name") == "err.ratio").select(
+        "metric_name",
+        F.element_at("labels", "uid").alias("uid"),
+        F.round("value", 6).alias("value"),
+    )
+
+
 def _q_dedup_exact(spark, sf_dir):
     return exact_dedup(_docs(spark, sf_dir)).select("doc_id")
 
@@ -618,6 +675,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampler_deterministic": _q_sampler,
         "sampler_proportional": _q_sampler_proportional,
         "sampler_equalizing": _q_sampler_equalizing,
+        "metrics_transform": _q_metrics_transform,
+        "metrics_generation": _q_metrics_generation,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_lsh,
         "dedup_simhash": _q_dedup_simhash,
@@ -788,6 +847,20 @@ SELECT client, server, count(*)::BIGINT AS request_count,
 FROM paired
 WHERE client = 'user' AND next_role = 'tool'
 GROUP BY client, server""",
+        "metrics_transform": """WITH mf AS (
+  SELECT CASE WHEN event_id % 2 = 0 THEN 'req.count' ELSE 'err.count' END AS metric_name,
+         floor(value * 1000000) AS v, CAST(user_id AS VARCHAR) AS uid
+  FROM events)
+SELECT 'all.count' AS metric_name, uid, sum(v)::DOUBLE AS value
+FROM mf GROUP BY uid""",
+        "metrics_generation": """WITH mf AS (
+  SELECT CASE WHEN event_id % 2 = 0 THEN 'req.count' ELSE 'err.count' END AS metric_name,
+         floor(value * 1000000) AS v, CAST(user_id AS VARCHAR) AS uid
+  FROM events),
+agg AS (SELECT metric_name, uid, sum(v)::DOUBLE AS value FROM mf GROUP BY metric_name, uid)
+SELECT 'err.ratio' AS metric_name, e.uid AS uid, round(e.value / r.value * 100.0, 6) AS value
+FROM agg e JOIN agg r ON e.uid = r.uid
+WHERE e.metric_name = 'err.count' AND r.metric_name = 'req.count' AND r.value != 0""",
         "sampler_deterministic": f"""WITH {TRANSCRIPTS_ORACLE_CTE.strip()}
 SELECT conv_id, turn_idx FROM transcripts
 WHERE {_md5_bucket_sql('conv_id')} < 2500""",

@@ -105,6 +105,18 @@ def _raw(node):
 
 def _compile_call(call: Call, df: DataFrame | None) -> Column:
     name = call.name
+    if name in ("IsMap", "IsList") and df is not None and call.args:
+        # a TYPE property, resolved against the frame schema at compile
+        # time (func_is_map.go / func_is_list.go return whether the value
+        # is pcommon.Map / Slice — the columnar equivalent is the column's
+        # data type, constant per frame). Unresolvable path -> false,
+        # matching the reference's non-map/non-list answer.
+        want = "map" if name == "IsMap" else "array"
+        try:
+            dtype = df.select(compile_value(call.args[0], df)).schema[0].dataType.simpleString()
+            return F.lit(dtype.startswith(want))
+        except Exception:
+            return F.lit(False)
     if name == "Len" and df is not None and call.args and isinstance(call.args[0], Path):
         try:
             dtype = df.select(compile_value(call.args[0], df)).schema[0].dataType.simpleString()

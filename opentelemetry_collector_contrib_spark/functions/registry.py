@@ -186,6 +186,82 @@ converter("Keys")(lambda m: F.map_keys(m))
 converter("Values")(lambda m: F.map_values(m))
 converter("Sort")(lambda a, order="asc": F.sort_array(a, order != "desc"))
 
+
+@converter("Unix")
+def _unix(sec: Column, nanos: Column | None = None) -> Column:
+    """func_unix.go: time.Unix(seconds, nanoseconds) -> timestamp."""
+    us = sec.cast("long") * 1_000_000
+    if nanos is not None:
+        us = us + (nanos.cast("long") / 1000).cast("long")
+    return F.timestamp_micros(us)
+
+
+def _fixed_id(raw, n_bytes: int, name: str) -> Column:
+    """func_trace_id.go / func_span_id.go: a compile-time id literal
+    (OTTL ``0x...`` byte syntax or a hex string) -> binary Column, length
+    validated at compile time like the reference factory does."""
+    if isinstance(raw, str):
+        raw = bytes.fromhex(raw)
+    if not isinstance(raw, (bytes, bytearray)) or len(raw) != n_bytes:
+        raise ValueError(f"{name} requires a {n_bytes}-byte id literal")
+    return F.lit(bytes(raw))
+
+
+converter("TraceID")(lambda b: _fixed_id(b, 16, "TraceID"))
+converter("SpanID")(lambda b: _fixed_id(b, 8, "SpanID"))
+
+# IsMap / IsList are schema-resolved in the compiler (ottl._compile_call)
+# because the answer is a property of the column TYPE, not the value —
+# these registry entries are the no-schema fallback only
+converter("IsMap")(lambda x: F.lit(False))
+converter("IsList")(lambda x: F.lit(False))
+
+
+# --- ParseXML (func_parse_xml.go) --------------------------------------------
+# Output shape mirrors xmlElement.intoMap: {tag, content?, attributes?,
+# children?} with children parsed recursively. Spark structs cannot be
+# recursive, so recursion is unrolled to a fixed depth (default 3 child
+# levels — one deeper than the reference's own e2e corpus exercises).
+# Same-tag nesting (<a><a>..</a></a>) is beyond the regex child splitter
+# and yields truncated children — documented OTTL-lite limitation.
+
+_XML_NAME = r"[A-Za-z_][A-Za-z0-9_.\-:]*"
+_XML_CHILD = rf"(?s)(<({_XML_NAME})[^>]*>.*?</\2\s*>|<{_XML_NAME}[^>]*/>)"
+
+
+def _xml_elem(s: Column, depth: int) -> Column:
+    tag = F.regexp_extract(s, rf"^\s*<({_XML_NAME})", 1)
+    attr_str = F.regexp_extract(s, rf"^\s*<{_XML_NAME}((?:\s[^>]*?)?)/?>", 1)
+    # key/value patterns share the identical full-match span, so the two
+    # extract_all arrays align pairwise
+    attrs = F.map_from_arrays(
+        F.regexp_extract_all(
+            attr_str, F.lit(rf'({_XML_NAME})\s*=\s*"[^"]*"'), F.lit(1)
+        ),
+        F.regexp_extract_all(
+            attr_str, F.lit(rf'{_XML_NAME}\s*=\s*"([^"]*)"'), F.lit(1)
+        ),
+    )
+    inner = F.regexp_extract(
+        s, rf"(?s)^\s*<{_XML_NAME}[^>]*>(.*)</{_XML_NAME}\s*>\s*$", 1
+    )
+    content = F.trim(F.regexp_replace(inner, _XML_CHILD, ""))
+    fields = {
+        "tag": F.when(tag != "", tag),
+        "content": F.when(content != "", content),
+        "attributes": F.when(F.size(attrs) > 0, attrs),
+    }
+    if depth > 0:
+        children_raw = F.regexp_extract_all(inner, F.lit(_XML_CHILD), F.lit(1))
+        fields["children"] = F.when(
+            F.size(children_raw) > 0,
+            F.transform(children_raw, lambda c: _xml_elem(c, depth - 1)),
+        )
+    return F.struct(*[v.alias(k) for k, v in fields.items()])
+
+
+converter("ParseXML")(lambda s, depth=3: _xml_elem(s, depth if isinstance(depth, int) else 3))
+
 # Which argument positions are compile-time constants (passed as raw Python
 # values — regex patterns, formats, delimiters, durations); all other args
 # arrive as Columns. Mirrors OTTL's typed factory arguments
@@ -204,4 +280,7 @@ CONST_ARGS: dict[str, set[int]] = {
     "TruncateTime": {1},
     "Duration": {0},
     "Sort": {1},
+    "TraceID": {0},
+    "SpanID": {0},
+    "ParseXML": {1},
 }

@@ -6,6 +6,7 @@ from .parsers import (  # noqa: F401
     JsonParser,
     KeyValueParser,
     RegexParser,
+    ScopeNameParser,
     SeverityParser,
     SyslogParser,
     TimeParser,

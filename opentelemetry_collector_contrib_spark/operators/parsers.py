@@ -120,19 +120,55 @@ class JsonParser:
 
 @dataclass
 class CsvParser:
-    """Delimited text -> named fields (parser/csv/parser.go:18-107)."""
+    """Delimited text -> named fields (parser/csv/parser.go:18-107).
+
+    Option parity with the reference:
+    - ``lazy_quotes``: tolerate bare quotes inside unquoted fields
+      (maps to the CSV reader's unescaped-quote handling)
+    - ``ignore_quotes``: quotes carry no meaning — plain split on the
+      delimiter (generateSplitParseFunc)
+    - ``header_attribute``: the header arrives PER ROW in an attribute
+      (dynamic schema, parser.go:39-51) — fields become a
+      map<string,string> column ``parsed`` keyed by that row's header,
+      since per-row column sets don't exist in a columnar engine
+    """
 
     header: list[str] = field(default_factory=list)
     delimiter: str = ","
+    header_delimiter: str | None = None   # delimiter inside the header string
     parse_from: str = "body"
     parse_to: str | None = None
+    lazy_quotes: bool = False
+    ignore_quotes: bool = False
+    header_attribute: str | None = None   # attribute holding the per-row header
     on_error: str = "send"
     if_expr: str | None = None
 
     def __call__(self, df: DataFrame) -> DataFrame:
         src = field_get(self.parse_from)
+        hdelim = self.header_delimiter or self.delimiter
+        if self.header_attribute is not None:
+            # dynamic header: zip the row's own header tokens with its
+            # field tokens (quote handling is split-only here, matching
+            # the reference's dynamic path being CSV-simple)
+            hdr = field_get(self.header_attribute)
+            keys = F.split(hdr, _re.escape(hdelim))
+            vals = F.split(src, _re.escape(self.delimiter))
+            parsed_map = F.map_from_arrays(keys, F.slice(vals, 1, F.size(keys)))
+            ok = hdr.isNotNull() & (F.size(vals) >= F.size(keys))
+            out = df.withColumn("parsed", parsed_map)
+            return apply_on_error(out, ok, self.on_error, self.if_expr)
+        if self.ignore_quotes:
+            toks = F.split(src, _re.escape(self.delimiter))
+            ok = F.size(toks) >= len(self.header)
+            values = {h: F.element_at(toks, i + 1) for i, h in enumerate(self.header)}
+            out = _write_groups(df, values, self.parse_to)
+            return apply_on_error(out, ok, self.on_error, self.if_expr)
         ddl = ", ".join(f"`{h}` string" for h in self.header)
-        parsed = F.from_csv(src, ddl, {"sep": self.delimiter})
+        opts = {"sep": self.delimiter}
+        if self.lazy_quotes:
+            opts["unescapedQuoteHandling"] = "STOP_AT_CLOSING_QUOTE"
+        parsed = F.from_csv(src, ddl, opts)
         ok = parsed.isNotNull()
         values = {h: parsed.getField(h) for h in self.header}
         out = _write_groups(df, values, self.parse_to)
@@ -362,6 +398,20 @@ class SeverityParser:
         )
         ok = F.col("severity_number") != 0
         return apply_on_error(out, ok, self.on_error, self.if_expr)
+
+
+@dataclass
+class ScopeNameParser:
+    """Logger/scope name promotion
+    (pkg/stanza/operator/parser/scope/parser.go:14-22 +
+    helper.ScopeNameParser): read ``parse_from``, set the entry's scope
+    name — under the envelope that is the ``scope`` column."""
+
+    parse_from: str = "logger"
+    to_field: str = "scope"
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(self.to_field, field_get(self.parse_from).cast("string"))
 
 
 @dataclass

@@ -4,8 +4,12 @@
 Semantics: per ``source_identifier``, order rows, mark group boundaries
 with an ``is_first_entry`` or ``is_last_entry`` predicate, concatenate
 ``combine_field`` with ``combine_with``; ``max_batch_size`` caps rows per
-group; ``overwrite_with: oldest|newest`` picks which row supplies the
-non-combined fields.
+group; ``max_log_size`` flushes a group once the combined field reaches
+that many bytes (transformer.go:151-158); ``max_unmatched_batch_size``
+caps the batch of rows arriving before the first boundary match;
+``overwrite_with: oldest|newest`` picks which row supplies the
+non-combined fields. ``max_sources`` is an in-memory state cap in the
+reference and has no batch meaning (the shuffle IS the state store).
 
 Spark plan: window running-sum over the boundary flag assigns group ids
 (no Python, two shuffle-free passes after one partitionBy shuffle), then
@@ -14,18 +18,30 @@ one hash aggregation:
     Window.partitionBy(source).orderBy(order) -> sum(flag) as group_id
     groupBy(source, group_id) -> sort_array(collect_list(struct)) -> concat
 
-Skew note (north rule): a hot source_identifier serializes its window on
-one task — callers with known-hot sources should pre-split via
-``max_batch_size`` or salt the source; AQE skew-shuffle handles the agg.
-``force_flush_timeout`` has no batch meaning (SURVEY.md 7.3); the
-streaming variant uses a session window gap instead.
+``max_log_size`` keeps the reference's exact flush-on-overflow
+sequencing: the sorted collected array is folded (``F.aggregate``) into
+size-capped sub-batches — a row that would overflow the running byte
+budget closes the current batch and opens the next — then exploded back
+to one output row per batch. Still zero Python in the row path.
+
+Skew (north rule): a hot source_identifier serializes its window on one
+task. ``salt_chunk=N`` distributes it: rows are range-salted into
+chunks of N adjacent ``order_by`` values, per-(source, chunk) partial
+boundary counts are aggregated (tiny frame), prefix offsets broadcast
+back, and the within-chunk running sum + offset reproduces the exact
+global group ids — a distributed prefix-sum, so output is identical
+with salting on or off while the window runs on (source, chunk) tasks.
+Requires a numeric ``order_by`` and ``is_first_entry`` mode (an
+``is_last_entry`` flag needs the previous row, which crosses chunk
+boundaries). ``force_flush_timeout`` has no batch meaning (SURVEY.md
+7.3); the streaming variant uses a session window gap instead.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -38,13 +54,31 @@ class Recombine:
     is_first_entry: str | None = None  # SQL expr marking a group start
     is_last_entry: str | None = None   # SQL expr marking a group end
     max_batch_size: int | None = None
+    max_log_size: int | None = None    # byte cap on the combined field
+    max_unmatched_batch_size: int | None = None  # cap on the pre-match batch
     overwrite_with: str = "oldest"     # oldest|newest
+    salt_chunk: int | None = None      # rows-per-chunk range salt for hot keys
 
-    def __call__(self, df: DataFrame) -> DataFrame:
-        src, order, fld = self.source_identifier, self.order_by, self.combine_field
+    def __post_init__(self):
+        if self.salt_chunk is not None:
+            if self.salt_chunk < 1:
+                raise ValueError("salt_chunk must be >= 1")
+            if self.is_last_entry is not None:
+                raise ValueError(
+                    "salt_chunk requires is_first_entry mode: an "
+                    "is_last_entry flag reads the previous row, which "
+                    "crosses chunk boundaries"
+                )
+
+    # --- group assignment ---------------------------------------------------
+
+    def _grouped(self, df: DataFrame) -> DataFrame:
+        src, order = self.source_identifier, self.order_by
         w = Window.partitionBy(src).orderBy(order)
         if self.is_first_entry is not None:
             flag = F.expr(self.is_first_entry).cast("int")
+            if self.salt_chunk:
+                return self._grouped_salted(df, flag)
             group = F.sum(flag).over(w)
         elif self.is_last_entry is not None:
             # a row after a last-entry row starts a new group
@@ -52,22 +86,59 @@ class Recombine:
             group = F.sum(prev_last).over(w)
         else:
             group = F.lit(0)
-        out = df.withColumn("__grp__", group)
+        return df.withColumn("__grp__", group)
+
+    def _grouped_salted(self, df: DataFrame, flag: Column) -> DataFrame:
+        """Distributed prefix-sum: exact global group ids without a
+        single-task window over the hot source."""
+        src, order = self.source_identifier, self.order_by
+        chunk = F.floor(F.col(order) / F.lit(self.salt_chunk))
+        with_chunk = df.withColumn("__chunk__", chunk).withColumn("__flag__", flag)
+        # per-(source, chunk) boundary counts: tiny aggregate
+        counts = with_chunk.groupBy(src, "__chunk__").agg(
+            F.sum("__flag__").alias("__cnt__")
+        )
+        w_prev = (
+            Window.partitionBy(src)
+            .orderBy("__chunk__")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = counts.withColumn(
+            "__off__", F.coalesce(F.sum("__cnt__").over(w_prev), F.lit(0))
+        ).select(src, "__chunk__", "__off__")
+        w_chunk = Window.partitionBy(src, "__chunk__").orderBy(order)
+        return (
+            with_chunk.join(F.broadcast(offsets), [src, "__chunk__"])
+            .withColumn("__grp__", F.sum("__flag__").over(w_chunk) + F.col("__off__"))
+            .drop("__chunk__", "__flag__", "__off__")
+        )
+
+    # --- aggregation --------------------------------------------------------
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        src, order, fld = self.source_identifier, self.order_by, self.combine_field
+        out = self._grouped(df)
+        sub_caps = []
         if self.max_batch_size:
+            sub_caps.append((None, self.max_batch_size))
+        if self.max_unmatched_batch_size and self.is_first_entry is not None:
+            # rows before the first boundary match have group id 0
+            sub_caps.append((F.col("__grp__") == 0, self.max_unmatched_batch_size))
+        for cond, cap in sub_caps:
             seq = F.row_number().over(
                 Window.partitionBy(src, "__grp__").orderBy(order)
             )
+            sub = F.floor((seq - 1) / cap).cast("string")
+            tag = F.concat_ws(":", F.col("__grp__").cast("string"), sub)
             out = out.withColumn(
                 "__grp__",
-                F.concat_ws(
-                    ":",
-                    F.col("__grp__").cast("string"),
-                    F.floor((seq - 1) / self.max_batch_size).cast("string"),
+                tag if cond is None else F.when(cond, tag).otherwise(
+                    F.col("__grp__").cast("string")
                 ),
             )
-        other = [
-            c for c in df.columns if c not in (src, fld)
-        ]
+        if self.max_log_size:
+            return self._combine_size_capped(df, out)
+        other = [c for c in df.columns if c not in (src, fld)]
         pick = F.min if self.overwrite_with == "oldest" else F.max
         collected = F.sort_array(
             F.collect_list(F.struct(F.col(order).alias("__o__"), F.col(fld).alias("__v__")))
@@ -93,3 +164,70 @@ class Recombine:
             .drop("__grp__")
             .select(src, *[c for c in df.columns if c != src])
         )
+
+    def _combine_size_capped(self, df: DataFrame, grouped: DataFrame) -> DataFrame:
+        """Fold each boundary group's sorted rows into byte-capped
+        sub-batches (exact flush-on-overflow order), then emit one row
+        per batch."""
+        src, order, fld = self.source_identifier, self.order_by, self.combine_field
+        carried = [c for c in df.columns if c != src]
+        row_struct = F.struct(
+            F.col(order).alias("__o__"),
+            *[F.col(c).alias(c) for c in carried if c != order],
+        )
+        collected = F.sort_array(F.collect_list(row_struct))
+        per_group = grouped.groupBy(src, "__grp__").agg(collected.alias("__rows__"))
+        elem_ddl = per_group.select(
+            F.element_at("__rows__", 1).alias("e")
+        ).schema[0].dataType.simpleString()
+        empty_batches = F.expr(f"cast(array() as array<array<{elem_ddl}>>)")
+        empty_cur = F.expr(f"cast(array() as array<{elem_ddl}>)")
+        limit = F.lit(self.max_log_size)
+
+        def fold(acc: Column, x: Column) -> Column:
+            xlen = F.octet_length(x.getField(fld))
+            overflow = (acc.getField("size") + xlen > limit) & (
+                F.size(acc.getField("cur")) > 0
+            )
+            return F.struct(
+                F.when(
+                    overflow,
+                    F.concat(acc.getField("batches"), F.array(acc.getField("cur"))),
+                ).otherwise(acc.getField("batches")).alias("batches"),
+                F.when(overflow, F.array(x))
+                .otherwise(F.concat(acc.getField("cur"), F.array(x)))
+                .alias("cur"),
+                F.when(overflow, xlen)
+                .otherwise(acc.getField("size") + xlen)
+                .alias("size"),
+            )
+
+        batches = F.aggregate(
+            F.col("__rows__"),
+            F.struct(
+                empty_batches.alias("batches"),
+                empty_cur.alias("cur"),
+                F.lit(0).cast("bigint").alias("size"),
+            ),
+            fold,
+            lambda acc: F.concat(acc.getField("batches"), F.array(acc.getField("cur"))),
+        )
+        exploded = per_group.select(
+            F.col(src), F.explode(batches).alias("__batch__")
+        )
+        pick_idx = 1 if self.overwrite_with == "oldest" else -1
+        picked = F.element_at("__batch__", pick_idx)
+        cols = [F.col(src)] + [
+            (
+                F.array_join(
+                    F.transform("__batch__", lambda s: s.getField(fld)),
+                    self.combine_with,
+                ).alias(fld)
+                if c == fld
+                else picked.getField("__o__").alias(order)
+                if c == order
+                else picked.getField(c).alias(c)
+            )
+            for c in carried
+        ]
+        return exploded.select(*cols)

@@ -33,22 +33,28 @@ from ..connectors import (
 )
 from ..operators import (
     Add,
+    AssignKeys,
     ContainerParser,
+    Copy,
     CsvParser,
     Filter,
+    Flatten,
     JsonArrayParser,
     JsonParser,
     KeyValueParser,
     Move,
+    Noop,
     Recombine,
     RegexParser,
     Remove,
     Retain,
     Router,
+    ScopeNameParser,
     SeverityParser,
     SyslogParser,
     TimeParser,
     TraceParser,
+    Unquote,
     UriParser,
 )
 from ..processors import (
@@ -59,10 +65,16 @@ from ..processors import (
     DeltaToRate,
     FilterProcessor,
     GroupByAttrs,
+    GenerationRule,
     IntervalProcessor,
     LookupEnrich,
+    MetricOp,
+    MetricTransform,
+    MetricsGeneration,
+    MetricsTransform,
     ProbabilisticSampler,
     Redaction,
+    ResourceDetection,
     TransformProcessor,
 )
 
@@ -79,10 +91,16 @@ OPERATOR_REGISTRY: dict[str, Callable[..., Callable[[DataFrame], DataFrame]]] = 
     "container": ContainerParser,
     "json_array_parser": JsonArrayParser,
     "trace_parser": TraceParser,
+    "scope_name_parser": ScopeNameParser,
     "add": Add,
     "remove": Remove,
+    "copy": Copy,
     "move": Move,
     "retain": Retain,
+    "flatten": Flatten,
+    "assign_keys": AssignKeys,
+    "unquote": Unquote,
+    "noop": Noop,
     "filter": Filter,
     "router": Router,
     "recombine": Recombine,
@@ -94,11 +112,27 @@ OPERATOR_REGISTRY: dict[str, Callable[..., Callable[[DataFrame], DataFrame]]] = 
     "transform": TransformProcessor,
     "groupbyattrs": GroupByAttrs,
     "redaction": Redaction,
+    "resourcedetection": ResourceDetection,
     "probabilistic_sampler": ProbabilisticSampler,
     "interval": IntervalProcessor,
     "deltatocumulative": DeltaToCumulative,
     "cumulativetodelta": CumulativeToDelta,
     "deltatorate": DeltaToRate,
+    "metricstransform": lambda transforms, **kw: MetricsTransform(
+        [
+            MetricTransform(
+                **{
+                    **t,
+                    "operations": [MetricOp(**o) for o in t.get("operations", [])],
+                }
+            )
+            for t in transforms
+        ],
+        **kw,
+    ),
+    "metricsgeneration": lambda rules, **kw: MetricsGeneration(
+        [GenerationRule(**r) for r in rules], **kw
+    ),
     # connectors
     "count": lambda metrics: CountConnector([MetricDef(**m) for m in metrics]),
     "routing": lambda routes, **kw: RoutingConnector(

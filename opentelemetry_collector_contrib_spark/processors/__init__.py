@@ -3,6 +3,7 @@ from .enrich import LookupEnrich  # noqa: F401
 from .filter import FilterProcessor  # noqa: F401
 from .groupbyattrs import GroupByAttrs  # noqa: F401
 from .redaction import Redaction  # noqa: F401
+from .resourcedetection import ResourceDetection  # noqa: F401
 from .sampler import ProbabilisticSampler  # noqa: F401
 from .transform import TransformProcessor  # noqa: F401
 from .metrics_state import (  # noqa: F401
@@ -10,4 +11,11 @@ from .metrics_state import (  # noqa: F401
     DeltaToCumulative,
     DeltaToRate,
     IntervalProcessor,
+)
+from .metrics_transform import (  # noqa: F401
+    GenerationRule,
+    MetricOp,
+    MetricTransform,
+    MetricsGeneration,
+    MetricsTransform,
 )

@@ -47,18 +47,36 @@ class FileLogSource:
                 df = df.withColumn("log_file_name", F.element_at(F.split(fp, "/"), -1))
         if self.line_start_pattern:
             # multiline: group physical lines into logical entries.
-            # order within a file = read order; capture it per partition
-            # (monotonically_increasing_id preserves file order for text)
+            # Read whole files (one row per file) and posexplode the line
+            # split: the position IS the true line offset within the file.
+            # A plain spark.read.text + monotonically_increasing_id would
+            # interleave wrongly once a file spans multiple input splits —
+            # mono-ids order by (partition, row) and split order within a
+            # file is not the byte order at exactly the multi-split sizes
+            # this engine targets. Trade-off: one file = one task (the
+            # reference's fileconsumer is likewise a per-file reader,
+            # pkg/stanza/fileconsumer/file.go:25-263); parallelism comes
+            # from the file count, and a file must fit in executor memory.
             key = "log_file_path" if self.include_file_path else "log_file_name"
-            if key not in df.columns:
-                df = df.withColumn(key, F.input_file_name())
-            df = df.withColumn("__line__", F.monotonically_increasing_id())
+            whole = spark.read.text(paths, wholetext=True)
+            fp = F.input_file_name()
+            name = F.element_at(F.split(fp, "/"), -1)
+            whole = whole.withColumn(
+                key, fp if self.include_file_path else name
+            ).withColumn("observed_ts", F.current_timestamp())
+            lines = whole.select(
+                key,
+                "observed_ts",
+                F.posexplode(
+                    F.split(F.regexp_replace("value", "\n$", ""), "\r?\n")
+                ).alias("__line__", "body"),
+            )
             w = Window.partitionBy(key).orderBy("__line__")
             grp = F.sum(
                 F.col("body").rlike(self.line_start_pattern).cast("int")
             ).over(w)
             df = (
-                df.withColumn("__grp__", grp)
+                lines.withColumn("__grp__", grp)
                 .groupBy(key, "__grp__")
                 .agg(
                     F.array_join(

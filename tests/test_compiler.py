@@ -1,0 +1,86 @@
+"""Declarative compiler: config-driven pipelines reach every registered
+operator (pkg/stanza/operator/registry.go parity — an operator that
+exists as a class but is unreachable from config is a coverage hole)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.plans.compiler import (
+    OPERATOR_REGISTRY,
+    PipelineConfig,
+    StageConfig,
+    compile_pipeline,
+)
+
+EXPECTED_KINDS = {
+    # stanza parsers
+    "regex_parser", "json_parser", "csv_parser", "key_value_parser",
+    "time_parser", "severity_parser", "uri_parser", "syslog_parser",
+    "container", "json_array_parser", "trace_parser", "scope_name_parser",
+    # stanza transformers
+    "add", "remove", "copy", "move", "retain", "flatten", "assign_keys",
+    "unquote", "noop", "filter", "router", "recombine",
+    # processors
+    "attributes", "filter_processor", "transform", "groupbyattrs",
+    "redaction", "resourcedetection", "probabilistic_sampler", "interval",
+    "deltatocumulative", "cumulativetodelta", "deltatorate",
+    # connectors
+    "count", "routing", "spanmetrics", "servicegraph",
+}
+
+
+def test_registry_covers_expected_kinds():
+    missing = EXPECTED_KINDS - set(OPERATOR_REGISTRY)
+    assert not missing, f"unregistered operator kinds: {sorted(missing)}"
+
+
+def test_config_pipeline_transformer_chain(spark):
+    """copy/assign_keys/unquote/noop/scope_name_parser wired from config."""
+    df = spark.createDataFrame(
+        [('"quoted"', "a,b", "my.logger")],
+        "body string, pair string, logger string",
+    )
+    cfg = PipelineConfig(stages=[
+        StageConfig("unquote", {"field": "body"}),
+        StageConfig("copy", {"from_field": "body", "to_field": "copied"}),
+        StageConfig("scope_name_parser", {"parse_from": "logger"}),
+        StageConfig("noop", {}),
+        StageConfig("add", {"field": "tagged", "value": "yes"}),
+    ])
+    out = compile_pipeline(cfg)(df).collect()[0]
+    assert out["body"] == "quoted"
+    assert out["copied"] == "quoted"
+    assert out["scope"] == "my.logger"
+    assert out["tagged"] == "yes"
+
+
+def test_config_pipeline_assign_keys_and_flatten(spark):
+    df = spark.createDataFrame([("x",)], "body string").withColumn(
+        "vals", F.array(F.lit("1"), F.lit("2"))
+    ).withColumn(
+        "nested", F.struct(F.lit("a").alias("p"), F.lit("b").alias("q"))
+    )
+    cfg = PipelineConfig(stages=[
+        StageConfig("assign_keys", {"field": "vals", "keys": ["one", "two"]}),
+        StageConfig("flatten", {"field": "nested"}),
+    ])
+    out = compile_pipeline(cfg)(df).collect()[0]
+    assert dict(out["vals"]) == {"one": "1", "two": "2"}
+    assert out["p"] == "a" and out["q"] == "b"
+
+
+def test_config_pipeline_resourcedetection(spark, monkeypatch):
+    monkeypatch.setenv("OTEL_RESOURCE_ATTRIBUTES", "service.name=svc,env=prod")
+    df = spark.createDataFrame([("x",)], "body string")
+    cfg = PipelineConfig(stages=[
+        StageConfig("resourcedetection", {"detectors": ["env"]}),
+    ])
+    out = compile_pipeline(cfg)(df).collect()[0]
+    assert dict(out["resource"]) == {"service.name": "svc", "env": "prod"}
+
+
+def test_unknown_stage_kind_raises():
+    with pytest.raises(KeyError):
+        compile_pipeline(PipelineConfig(stages=[StageConfig("bogus", {})]))

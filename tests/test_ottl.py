@@ -31,7 +31,13 @@ ATTRS = {
 @pytest.fixture(scope="module")
 def row(spark):
     return spark.createDataFrame(
-        [("operationA", ATTRS)], "body string, attributes map<string,string>"
+        [(
+            "operationA",
+            ATTRS,
+            bytes.fromhex("0102030405060708090a0b0c0d0e0f10"),
+            bytes.fromhex("0102030405060708"),
+        )],
+        "body string, attributes map<string,string>, trace_id binary, span_id binary",
     )
 
 
@@ -199,6 +205,10 @@ CASES_CONVERTERS_EXTRA = [
     ('set(attributes["test"], IsMatch(attributes["http.method"], "^g"))', "true"),
     ('set(attributes["test"], Substring(attributes["total.string"], 3, 3))', "456"),
     ('set(attributes["test"], Minute(Time("2023-04-12T07:08:09", "%Y-%m-%dT%H:%M:%S")))', "8"),
+    # func_unix.go: Unix(seconds[, nanos]) -> timestamp
+    ('set(attributes["test"], UnixSeconds(Unix(1681257600)))', "1681257600"),
+    ('set(attributes["test"], UnixMicro(Unix(1, 500000)))', "1000500"),
+    ('set(attributes["test"], Hour(Unix(3600)))', "1"),
 ]
 
 
@@ -220,6 +230,15 @@ CASES_WHERE_EXTRA = [
     ('set(attributes["test"], "pass") where 2 * 3 == 6 and 10 / 2 == 5', True),
     ('set(attributes["test"], "pass") where 7 - 3 >= 5', False),
     ('set(attributes["test"], "pass") where not (1 == 1 and 2 == 3)', True),
+    # func_is_map.go / func_is_list.go: TYPE predicates (schema-resolved)
+    ('set(attributes["test"], "pass") where IsMap(attributes)', True),
+    ('set(attributes["test"], "pass") where IsList(attributes)', False),
+    ('set(attributes["test"], "pass") where IsMap(body)', False),
+    ('set(attributes["test"], "pass") where IsList(Split(attributes["flags"], "|"))', True),
+    # func_trace_id.go / func_span_id.go: id literals compare against binary ids
+    ('set(attributes["test"], "pass") where trace_id == TraceID(0x0102030405060708090a0b0c0d0e0f10)', True),
+    ('set(attributes["test"], "pass") where span_id == SpanID(0x0102030405060708)', True),
+    ('set(attributes["test"], "pass") where span_id == SpanID(0xffffffffffffffff)', False),
 ]
 
 
@@ -229,3 +248,45 @@ def test_where_extra(row, stmt, applied):
     out = run(row, stmt)
     got = out["attributes"].get("test")
     assert (got == "pass") == applied, f"{stmt} -> {out['attributes']}"
+
+
+def test_set_ids_from_literals(row):
+    # e2e_test.go: set(span_id, SpanID(0x...)) / set(trace_id, TraceID(0x...))
+    out = run(row, "set(span_id, SpanID(0x0000000000000000))")
+    assert out["span_id"] == bytes(8)
+    out = run(row, "set(trace_id, TraceID(0x00000000000000000000000000000000))")
+    assert out["trace_id"] == bytes(16)
+    with pytest.raises(ValueError):
+        compile_statement("set(span_id, SpanID(0x01))")(row)
+
+
+def test_parse_xml_e2e_shape(row):
+    # e2e_test.go ParseXML case: {tag, attributes, children:[{tag, content}]}
+    out = run(
+        row,
+        'set(xml, ParseXML("<Log id=\\"1\\"><Message>This is a log message!</Message></Log>"))',
+    )["xml"]
+    assert out["tag"] == "Log"
+    assert out["content"] is None
+    assert dict(out["attributes"]) == {"id": "1"}
+    children = out["children"]
+    assert len(children) == 1
+    assert children[0]["tag"] == "Message"
+    assert children[0]["content"] == "This is a log message!"
+    assert children[0]["attributes"] is None
+
+
+def test_parse_xml_depth_and_selfclose(row):
+    out = run(
+        row,
+        'set(xml, ParseXML("<a x=\\"1\\"><b><c>deep</c></b><d/>tail</a>"))',
+    )["xml"]
+    assert out["tag"] == "a" and out["content"] == "tail"
+    tags = [c["tag"] for c in out["children"]]
+    assert tags == ["b", "d"]
+    b = out["children"][0]
+    assert b["children"][0]["tag"] == "c"
+    assert b["children"][0]["content"] == "deep"
+    # malformed XML -> null fields, row survives (ignore-mode semantics)
+    bad = run(row, 'set(xml, ParseXML("not xml at all"))')["xml"]
+    assert bad["tag"] is None

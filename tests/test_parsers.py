@@ -92,6 +92,38 @@ def test_csv_parser(spark):
     assert (out["x"], out["y"], out["z"]) == ("a", "1", "z")
 
 
+def test_csv_parser_option_parity(spark):
+    from opentelemetry_collector_contrib_spark.operators import CsvParser
+
+    # ignore_quotes: quotes carry no meaning -> plain split
+    df = spark.createDataFrame([('a,"b,c",d',)], "body string")
+    r = CsvParser(header=["x", "y", "z"], ignore_quotes=True)(df).collect()[0]
+    assert (r.x, r.y, r.z) == ("a", '"b', 'c"')
+    # default quote handling keeps the quoted field together
+    r = CsvParser(header=["x", "y", "z"])(df).collect()[0]
+    assert (r.x, r.y, r.z) == ("a", "b,c", "d")
+    # lazy_quotes: a bare quote inside an unquoted field survives
+    df2 = spark.createDataFrame([('a,b"m,c',)], "body string")
+    r = CsvParser(header=["x", "y", "z"], lazy_quotes=True)(df2).collect()[0]
+    assert r.x == "a" and r.z == "c"
+    # header_attribute: per-row dynamic header -> map column
+    df3 = spark.createDataFrame(
+        [("1,2", "c1,c2"), ("3,4,5", "k1,k2,k3")], "body string, hdr string"
+    )
+    out = {tuple(sorted(dict(r.parsed).items()))
+           for r in CsvParser(header_attribute="hdr")(df3).collect()}
+    assert (("c1", "1"), ("c2", "2")) in out
+    assert (("k1", "3"), ("k2", "4"), ("k3", "5")) in out
+
+
+def test_scope_name_parser(spark):
+    from opentelemetry_collector_contrib_spark.operators import ScopeNameParser
+
+    df = spark.createDataFrame([("m", "com.example.Lib")], "body string, logger string")
+    out = ScopeNameParser(parse_from="logger")(df).collect()[0]
+    assert out["scope"] == "com.example.Lib"
+
+
 def test_kv_parser_lenient_extracts_embedded_pairs(lines):
     out = KeyValueParser(parse_to=None, keys=["code", "dur_ms"])(lines).orderBy("id").collect()
     assert out[0]["code"] == "4" and out[0]["dur_ms"] == "29"

@@ -158,6 +158,31 @@ def test_sampler_modes(spark):
     assert fast(df).count() == fast(df).count()
 
 
+def test_resourcedetection_env_and_override(spark, monkeypatch):
+    from opentelemetry_collector_contrib_spark.processors import ResourceDetection
+
+    monkeypatch.setenv("OTEL_RESOURCE_ATTRIBUTES", "service.name=svc,region=eu")
+    df = spark.createDataFrame(
+        [("x", {"region": "us", "keep": "1"})],
+        "body string, resource map<string,string>",
+    )
+    # override=True (default): detected wins
+    out = ResourceDetection(detectors=["env"])(df).collect()[0]
+    assert dict(out["resource"]) == {"service.name": "svc", "region": "eu", "keep": "1"}
+    # override=False: existing wins
+    out = ResourceDetection(detectors=["env"], override=False)(df).collect()[0]
+    assert dict(out["resource"])["region"] == "us"
+    # allowlist filters detected keys
+    out = ResourceDetection(detectors=["env"], attributes=["service.name"])(df).collect()[0]
+    assert dict(out["resource"])["region"] == "us"
+    assert dict(out["resource"])["service.name"] == "svc"
+    # system detector stamps host.name / os.type; unknown detector raises
+    out = ResourceDetection(detectors=["system"])(df).collect()[0]
+    assert "host.name" in dict(out["resource"]) and "os.type" in dict(out["resource"])
+    with pytest.raises(ValueError):
+        ResourceDetection(detectors=["gcp"])(df)
+
+
 def test_transform_processor_statement_order(spark):
     df = spark.createDataFrame([("x", {"a": "1"})], "body string, attributes map<string,string>")
     tp = TransformProcessor([

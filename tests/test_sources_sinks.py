@@ -39,6 +39,26 @@ def test_filelog_multiline_recombine(spark, tmp_path):
     ]
 
 
+def test_filelog_multiline_order_survives_multisplit(spark, tmp_path):
+    """A file big enough to span many input splits must still recombine
+    in exact line order (the old mono-id ordering broke here)."""
+    p = tmp_path / "big.log"
+    blocks = []
+    for i in range(2000):
+        blocks.append(f"2024-01-01 ENTRY {i:05d}\n  detail line {i:05d}")
+    p.write_text("\n".join(blocks) + "\n")
+    # force tiny splits so spark.read.text would shatter the file
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024))
+    try:
+        df = FileLogSource(str(p), line_start_pattern=r"^\d{4}-\d{2}-\d{2}")(spark)
+        rows = sorted(r["body"] for r in df.collect())
+    finally:
+        spark.conf.unset("spark.sql.files.maxPartitionBytes")
+    assert len(rows) == 2000
+    for i, body in enumerate(rows):
+        assert body == f"2024-01-01 ENTRY {i:05d}\n  detail line {i:05d}"
+
+
 def test_otlpjson_source(spark, tmp_path):
     doc = {
         "resourceLogs": [

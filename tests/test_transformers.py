@@ -140,6 +140,65 @@ def test_recombine_max_batch_size(spark):
     assert [r["text"] for r in out] == ["t0\nt1", "t2\nt3", "t4"]
 
 
+def test_recombine_max_log_size_flush_on_overflow(spark):
+    # transformer.go:151-158: the batch flushes when the combined field
+    # would exceed max_log_size; the overflowing row starts a new batch
+    rows = [("c", 0, "aaaa"), ("c", 1, "bbbb"), ("c", 2, "cc"), ("c", 3, "dd")]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    out = Recombine(max_log_size=8)(df).orderBy("turn_idx").collect()
+    # aaaa(4) + bbbb(4) = 8 <= 8; cc would make 10 -> flush; cc+dd = 4
+    assert [r["text"] for r in out] == ["aaaa\nbbbb", "cc\ndd"]
+    assert [r["turn_idx"] for r in out] == [0, 2]
+    # cap smaller than one row still emits that row alone
+    out = Recombine(max_log_size=3)(df).orderBy("turn_idx").collect()
+    assert [r["text"] for r in out] == ["aaaa", "bbbb", "cc", "dd"]
+
+
+def test_recombine_max_log_size_respects_boundaries(spark):
+    rows = [("c", 0, "START aaaa"), ("c", 1, "bbbb"), ("c", 2, "START x")]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    out = (
+        Recombine(is_first_entry="text like 'START%'", max_log_size=100)(df)
+        .orderBy("turn_idx")
+        .collect()
+    )
+    assert [r["text"] for r in out] == ["START aaaa\nbbbb", "START x"]
+
+
+def test_recombine_max_unmatched_batch_size(spark):
+    # three rows arrive BEFORE the first boundary match; cap batches them
+    rows = [("c", 0, "a"), ("c", 1, "b"), ("c", 2, "c"),
+            ("c", 3, "START d"), ("c", 4, "e")]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    out = (
+        Recombine(is_first_entry="text like 'START%'", max_unmatched_batch_size=2)(df)
+        .orderBy("turn_idx")
+        .collect()
+    )
+    assert [r["text"] for r in out] == ["a\nb", "c", "START d\ne"]
+
+
+def test_recombine_salted_identical_output_on_hot_key(spark):
+    # a 100x-hot conversation: salting must produce byte-identical output
+    rows = [("hot", i, ("START " if i % 7 == 0 else "") + f"t{i}") for i in range(700)]
+    rows += [("cold", i, ("START " if i % 3 == 0 else "") + f"s{i}") for i in range(9)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string"
+    ).repartition(8)
+    plain = Recombine(is_first_entry="text like 'START%'")(df)
+    salted = Recombine(is_first_entry="text like 'START%'", salt_chunk=50)(df)
+    key = lambda r: (r["conv_id"], r["turn_idx"])
+    assert sorted(map(tuple, plain.collect()), key=lambda t: (t[0], t[1])) == \
+           sorted(map(tuple, salted.collect()), key=lambda t: (t[0], t[1]))
+    # salting + is_last_entry is rejected (needs the previous row)
+    import pytest
+
+    with pytest.raises(ValueError):
+        Recombine(is_last_entry="true", salt_chunk=10)
+    with pytest.raises(ValueError):
+        Recombine(is_first_entry="true", salt_chunk=0)
+
+
 def test_recombine_newest(spark):
     rows = [("c", 0, "a", "first"), ("c", 1, "b", "last")]
     df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string, tag string")
