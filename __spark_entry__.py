@@ -62,7 +62,10 @@ from opentelemetry_collector_contrib_spark.processors import (
     MetricsGeneration,
     MetricsTransform,
     ProbabilisticSampler,
+    TailPolicy,
+    TailSampling,
 )
+from opentelemetry_collector_contrib_spark.processors import GroupByTrace as GroupByTraceProc
 from opentelemetry_collector_contrib_spark.functions import compile_statement
 from opentelemetry_collector_contrib_spark.training import (
     binary_table,
@@ -530,6 +533,31 @@ def _q_sampler_equalizing(spark, sf_dir):
     return s(df).select("conv_id", "turn_idx", "sampling_probability")
 
 
+def _q_tail_sampling(spark, sf_dir):
+    # thresholds sit in the upper tail of the sf0.01 distribution so the
+    # decision is DISCRIMINATING (some traces kept, some dropped)
+    ts = TailSampling(policies=[
+        TailPolicy("slow", "latency", threshold_ms=2_570_000_000),
+        TailPolicy("late_editor", "condition",
+                   condition="tool = 'editor' AND turn_idx >= 95"),
+        TailPolicy("prob", "probabilistic", percentage=10.0),
+    ])
+    return ts(_transcripts(spark, sf_dir)).select("conv_id", "turn_idx")
+
+
+def _q_groupbytrace(spark, sf_dir):
+    g = GroupByTraceProc()(_transcripts(spark, sf_dir))
+    return g.select(
+        "conv_id",
+        "span_count",
+        F.md5(
+            F.array_join(
+                F.transform("spans", lambda s: s.getField("text")), "\x1f"
+            )
+        ).alias("digest"),
+    )
+
+
 def _metric_frame(spark, sf_dir):
     """Long metric frame derived from events. Values are floor-scaled to
     integral doubles (floor(value * 1e6)) so sums stay exact and
@@ -677,6 +705,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampler_equalizing": _q_sampler_equalizing,
         "metrics_transform": _q_metrics_transform,
         "metrics_generation": _q_metrics_generation,
+        "tail_sampling": _q_tail_sampling,
+        "groupbytrace": _q_groupbytrace,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_lsh,
         "dedup_simhash": _q_dedup_simhash,
@@ -861,6 +891,20 @@ agg AS (SELECT metric_name, uid, sum(v)::DOUBLE AS value FROM mf GROUP BY metric
 SELECT 'err.ratio' AS metric_name, e.uid AS uid, round(e.value / r.value * 100.0, 6) AS value
 FROM agg e JOIN agg r ON e.uid = r.uid
 WHERE e.metric_name = 'err.count' AND r.metric_name = 'req.count' AND r.value != 0""",
+        "tail_sampling": f"""WITH {TRANSCRIPTS_ORACLE_CTE.strip()},
+dec AS (
+  SELECT conv_id,
+    (max(epoch_us(ts)) - min(epoch_us(ts))) / 1000.0 >= 2570000000 AS p_slow,
+    max(CASE WHEN tool = 'editor' AND turn_idx >= 95 THEN 1 ELSE 0 END) = 1 AS p_late,
+    {_md5_bucket_sql('conv_id')} < 1000 AS p_prob
+  FROM transcripts GROUP BY conv_id)
+SELECT t.conv_id, t.turn_idx
+FROM transcripts t JOIN dec d ON t.conv_id = d.conv_id
+WHERE coalesce(p_slow OR p_late OR p_prob, false)""",
+        "groupbytrace": f"""WITH {TRANSCRIPTS_ORACLE_CTE.strip()}
+SELECT conv_id, count(*)::BIGINT AS span_count,
+       md5(string_agg(text, chr(31) ORDER BY turn_idx)) AS digest
+FROM transcripts GROUP BY conv_id""",
         "sampler_deterministic": f"""WITH {TRANSCRIPTS_ORACLE_CTE.strip()}
 SELECT conv_id, turn_idx FROM transcripts
 WHERE {_md5_bucket_sql('conv_id')} < 2500""",

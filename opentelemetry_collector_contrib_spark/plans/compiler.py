@@ -75,8 +75,11 @@ from ..processors import (
     ProbabilisticSampler,
     Redaction,
     ResourceDetection,
+    TailPolicy,
+    TailSampling,
     TransformProcessor,
 )
+from ..processors import GroupByTrace as _GroupByTrace
 
 OPERATOR_REGISTRY: dict[str, Callable[..., Callable[[DataFrame], DataFrame]]] = {
     # stanza operators (registered-by-name parity: pkg/stanza/operator/registry.go)
@@ -133,6 +136,10 @@ OPERATOR_REGISTRY: dict[str, Callable[..., Callable[[DataFrame], DataFrame]]] = 
     "metricsgeneration": lambda rules, **kw: MetricsGeneration(
         [GenerationRule(**r) for r in rules], **kw
     ),
+    "tail_sampling": lambda policies, **kw: TailSampling(
+        [TailPolicy(**p) for p in policies], **kw
+    ),
+    "groupbytrace": _GroupByTrace,
     # connectors
     "count": lambda metrics: CountConnector([MetricDef(**m) for m in metrics]),
     "routing": lambda routes, **kw: RoutingConnector(

@@ -1,0 +1,123 @@
+"""Tail sampling + trace grouping: whole-trace decisions after the fact.
+
+Reference:
+- processor/tailsamplingprocessor: buffer spans per trace until the
+  decision wait elapses, then evaluate POLICIES over the complete trace
+  and keep/drop the whole trace. Policy types (config.go): latency,
+  status_code / attribute conditions, probabilistic, always_sample;
+  multiple policies OR together (any "sample" vote keeps the trace).
+- processor/groupbytraceprocessor: buffer and release all spans of a
+  trace as one batch.
+
+Batch restatement (trace ≅ conversation): the decision wait is the
+batch boundary itself — every trace is already complete. Policies are
+per-trace AGGREGATES:
+
+    groupBy(trace_key).agg(one boolean per policy) -> OR -> sampled
+    df LEFT SEMI JOIN sampled traces
+
+One shuffle for the decision aggregate (map-side combined booleans, so
+the shuffled payload is a bit per policy per trace), one semi join on
+the same key (co-partitioned by AQE; the decision side is keys+bit
+only). The probabilistic policy uses the same md5 bucket as
+:class:`ProbabilisticSampler` so it is DuckDB-lockstep verifiable.
+
+``GroupByTrace`` is the groupbytrace analog: one output row per trace
+with the trace's rows collected in order — the "release the batch
+together" semantic, as a columnar array.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .sampler import _bucket
+
+
+@dataclass
+class TailPolicy:
+    """One sampling policy (tailsamplingprocessor config.go policy types).
+
+    type:
+    - ``latency``: sample if trace duration >= threshold_ms
+    - ``condition``: sample if ANY row satisfies the SQL predicate
+      (covers status_code / numeric_attribute / string_attribute)
+    - ``probabilistic``: consistent hash of the trace key vs percentage
+    - ``always``: sample every trace
+    """
+
+    name: str
+    type: str
+    threshold_ms: int = 0
+    condition: str | None = None
+    percentage: float = 100.0
+
+    def __post_init__(self):
+        if self.type not in ("latency", "condition", "probabilistic", "always"):
+            raise ValueError(f"unknown policy type {self.type!r}")
+        if self.type == "condition" and not self.condition:
+            raise ValueError("condition policy needs a SQL predicate")
+
+
+@dataclass
+class TailSampling:
+    policies: list[TailPolicy]
+    trace_key: str = "conv_id"
+    ts_col: str = "ts"
+    hash_seed: int = 22
+
+    def decisions(self, df: DataFrame) -> DataFrame:
+        """Per-trace policy votes: (trace_key, sampled, <policy bools>)."""
+        key = self.trace_key
+        aggs = []
+        for p in self.policies:
+            if p.type == "latency":
+                dur_ms = (
+                    F.max(F.unix_micros(F.col(self.ts_col).cast("timestamp")))
+                    - F.min(F.unix_micros(F.col(self.ts_col).cast("timestamp")))
+                ) / 1000.0
+                vote = dur_ms >= p.threshold_ms
+            elif p.type == "condition":
+                vote = F.max(F.expr(p.condition).cast("int")) == 1
+            elif p.type == "probabilistic":
+                vote = _bucket(
+                    F.first(F.col(key)).cast("string"), self.hash_seed, "md5"
+                ) < int(p.percentage * 100)
+            else:  # always
+                vote = F.lit(True)
+            aggs.append(vote.alias(f"policy_{p.name}"))
+        dec = df.groupBy(key).agg(*aggs)
+        sampled = None
+        for p in self.policies:
+            c = F.col(f"policy_{p.name}")
+            sampled = c if sampled is None else (sampled | c)
+        return dec.withColumn(
+            "sampled", F.coalesce(sampled, F.lit(False))
+        )
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        dec = self.decisions(df).filter(F.col("sampled")).select(self.trace_key)
+        return df.join(dec, self.trace_key, "left_semi")
+
+
+@dataclass
+class GroupByTrace:
+    """groupbytrace: one row per trace carrying its ordered rows
+    (processor/groupbytraceprocessor — buffer, then release together)."""
+
+    trace_key: str = "conv_id"
+    order_by: str = "turn_idx"
+    collect: list[str] = field(default_factory=lambda: ["turn_idx", "role", "text"])
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        entry = F.struct(
+            F.col(self.order_by).alias("__o__"),
+            *[F.col(c).alias(c) for c in self.collect if c != self.order_by],
+        )
+        return df.groupBy(self.trace_key).agg(
+            F.count(F.lit(1)).alias("span_count"),
+            F.sort_array(F.collect_list(entry)).alias("spans"),
+        )

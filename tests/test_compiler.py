@@ -26,6 +26,7 @@ EXPECTED_KINDS = {
     "attributes", "filter_processor", "transform", "groupbyattrs",
     "redaction", "resourcedetection", "probabilistic_sampler", "interval",
     "deltatocumulative", "cumulativetodelta", "deltatorate",
+    "metricstransform", "metricsgeneration", "tail_sampling", "groupbytrace",
     # connectors
     "count", "routing", "spanmetrics", "servicegraph",
 }

@@ -158,6 +158,54 @@ def test_sampler_modes(spark):
     assert fast(df).count() == fast(df).count()
 
 
+def test_tail_sampling_policies(spark):
+    import datetime as dt
+
+    from opentelemetry_collector_contrib_spark.processors import (
+        TailPolicy,
+        TailSampling,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # slow trace: 10s duration
+        ("slow", 0, "none", t0), ("slow", 1, "none", t0 + dt.timedelta(seconds=10)),
+        # fast trace with a bash turn
+        ("bashy", 0, "bash", t0), ("bashy", 1, "none", t0 + dt.timedelta(seconds=1)),
+        # fast, boring trace
+        ("boring", 0, "none", t0), ("boring", 1, "none", t0 + dt.timedelta(seconds=1)),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, tool string, ts timestamp")
+    ts = TailSampling(policies=[
+        TailPolicy("slow", "latency", threshold_ms=5000),
+        TailPolicy("bash", "condition", condition="tool = 'bash'"),
+    ])
+    kept = {r.conv_id for r in ts(df).collect()}
+    assert kept == {"slow", "bashy"}  # boring trace dropped whole
+    # every row of a sampled trace survives (whole-trace decision)
+    assert ts(df).filter("conv_id = 'slow'").count() == 2
+    # always policy keeps everything; probabilistic is deterministic
+    assert TailSampling(policies=[TailPolicy("all", "always")])(df).count() == 6
+    prob = TailSampling(policies=[TailPolicy("p", "probabilistic", percentage=50.0)])
+    assert prob(df).count() == prob(df).count()
+    with pytest.raises(ValueError):
+        TailPolicy("x", "bogus")
+    with pytest.raises(ValueError):
+        TailPolicy("x", "condition")
+
+
+def test_groupbytrace_collects_in_order(spark):
+    from opentelemetry_collector_contrib_spark.processors import GroupByTrace
+
+    rows = [("c", 2, "u", "three"), ("c", 0, "u", "one"), ("c", 1, "a", "two"),
+            ("d", 0, "u", "solo")]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string")
+    out = {r.conv_id: r for r in GroupByTrace()(df).collect()}
+    assert out["c"].span_count == 3
+    assert [s.text for s in out["c"].spans] == ["one", "two", "three"]
+    assert out["d"].span_count == 1
+
+
 def test_resourcedetection_env_and_override(spark, monkeypatch):
     from opentelemetry_collector_contrib_spark.processors import ResourceDetection
 
