@@ -11,16 +11,18 @@ Reference:
 
 Batch restatement (trace ≅ conversation): the decision wait is the
 batch boundary itself — every trace is already complete. Policies are
-per-trace AGGREGATES:
+per-trace aggregates; the KEEP path evaluates them as WINDOW aggregates
+over the trace key and filters in place:
 
-    groupBy(trace_key).agg(one boolean per policy) -> OR -> sampled
-    df LEFT SEMI JOIN sampled traces
+    max/min(...) OVER (PARTITION BY trace_key) -> policy bools -> filter
 
-One shuffle for the decision aggregate (map-side combined booleans, so
-the shuffled payload is a bit per policy per trace), one semi join on
-the same key (co-partitioned by AQE; the decision side is keys+bit
-only). The probabilistic policy uses the same md5 bucket as
-:class:`ProbabilisticSampler` so it is DuckDB-lockstep verifiable.
+ONE scan and ONE shuffle total (the round-2 plan audit showed the
+groupBy+semi-join formulation scanning the input twice — at 100 TB that
+doubles the job, so the window form is the execution path;
+``decisions()`` keeps the per-trace aggregate frame for
+inspection/telemetry). The probabilistic policy uses the same md5
+bucket as :class:`ProbabilisticSampler` so it is DuckDB-lockstep
+verifiable, and is a pure function of the key (no window needed).
 
 ``GroupByTrace`` is the groupbytrace analog: one output row per trace
 with the trace's rows collected in order — the "release the batch
@@ -31,7 +33,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .sampler import _bucket
@@ -99,8 +101,28 @@ class TailSampling:
         )
 
     def __call__(self, df: DataFrame) -> DataFrame:
-        dec = self.decisions(df).filter(F.col("sampled")).select(self.trace_key)
-        return df.join(dec, self.trace_key, "left_semi")
+        key = self.trace_key
+        w = Window.partitionBy(key)
+        micros = F.unix_micros(F.col(self.ts_col).cast("timestamp"))
+        sampled: Column | None = None
+        for p in self.policies:
+            if p.type == "latency":
+                vote = (F.max(micros).over(w) - F.min(micros).over(w)) / 1000.0 >= p.threshold_ms
+            elif p.type == "condition":
+                vote = F.max(F.expr(p.condition).cast("int")).over(w) == 1
+            elif p.type == "probabilistic":
+                vote = _bucket(
+                    F.col(key).cast("string"), self.hash_seed, "md5"
+                ) < int(p.percentage * 100)
+            else:  # always
+                vote = F.lit(True)
+            sampled = vote if sampled is None else (sampled | vote)
+        # window expressions cannot appear in a WHERE clause directly
+        return (
+            df.withColumn("__sampled__", F.coalesce(sampled, F.lit(False)))
+            .filter(F.col("__sampled__"))
+            .drop("__sampled__")
+        )
 
 
 @dataclass

@@ -97,6 +97,32 @@ def test_otlpjson_source(spark, tmp_path):
     assert str(row["ts"]).startswith("2024-01-01 00:00:00")
 
 
+def test_socket_framing_octet_and_newline(spark):
+    """RFC6587 octet counting + non-transparent newline framing
+    (receiver/syslogreceiver syslog.go:61-71)."""
+    from opentelemetry_collector_contrib_spark.sources import (
+        split_newline_frames,
+        split_octet_frames,
+    )
+
+    m1, m2 = "<13>Aug  5 12:00:07 h app: hi", "<14>Aug  5 12:00:08 h app: yo"
+    blob = f"{len(m1)} {m1}{len(m2)} {m2}"
+    df = spark.createDataFrame(
+        [("conn1", blob), ("conn2", "garbage-without-prefix")],
+        "stream_id string, data string",
+    )
+    out = split_octet_frames(df).collect()
+    frames = {(r.stream_id, r.frame_idx): r for r in out}
+    assert frames[("conn1", 0)].body == m1 and frames[("conn1", 0)].valid
+    assert frames[("conn1", 1)].body == m2 and frames[("conn1", 1)].valid
+    assert frames[("conn2", 0)].valid is False  # malformed prefix surfaces
+
+    nl = split_newline_frames(
+        spark.createDataFrame([("c", f"{m1}\n{m2}\n")], "stream_id string, data string")
+    ).collect()
+    assert [r.body for r in sorted(nl, key=lambda r: r.frame_idx)] == [m1, m2]
+
+
 def test_snapshot_table_append_and_incremental(spark, tmp_path):
     tbl = SnapshotTable(str(tmp_path / "t"))
     s1 = tbl.append(spark.range(3).select(F.col("id")))
