@@ -992,4 +992,23 @@ FROM documents""",
         "doc_fingerprint": f"""SELECT doc_id,
   list_min(list_transform({_SH3}, s -> md5(s))) AS fp
 FROM documents""",
+        # the multimodal decode stub is DETERMINISTIC arithmetic over the
+        # payload bytes (training/multimodal.py:_fake_decode), so the full
+        # mapInPandas path is oracle-checkable: same polynomial checksum
+        # folded in DuckDB (documents are ASCII -> char ops == byte ops)
+        "multimodal_features": """WITH c AS (
+  SELECT doc_id,
+         length(text)::INT AS n_bytes,
+         list_reduce(
+           [0::BIGINT] || list_transform(
+             range(1, least(length(text), 4096) + 1),
+             i -> ascii(substring(text, i, 1))::BIGINT),
+           (a, b) -> (a * 131 + b) % 4294967296) AS checksum,
+         lower(hex(substring(text, 1, 8))) AS head
+  FROM documents)
+SELECT doc_id, n_bytes, checksum,
+       head,
+       (checksum % 640 + 1)::INT AS width,
+       ((checksum // 640) % 480 + 1)::INT AS height
+FROM c""",
     }

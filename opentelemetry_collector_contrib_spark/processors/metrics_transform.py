@@ -253,13 +253,16 @@ class MetricsGeneration:
                 )
                 out = out.unionByName(gen)
                 continue
-            # calculate: pair points of metric1/metric2 sharing a label set
+            # calculate: pair points of metric1/metric2 sharing a label
+            # set. The reference pairs metric2's FIRST matching point;
+            # list order has no stable columnar analog, so take min(value)
+            # per label set — deterministic at any parallelism, and it
+            # guarantees the join never fans metric1's points out when
+            # metric2 carries duplicate label sets
             m2 = (
                 df.filter(F.col(name) == r.metric2)
-                .select(
-                    _labels_key(F.col(lab)).alias("__lk__"),
-                    F.col(val).alias("__v2__"),
-                )
+                .groupBy(_labels_key(F.col(lab)).alias("__lk__"))
+                .agg(F.min(val).alias("__v2__"))
             )
             ops = {
                 "add": lambda a, b: a + b,

@@ -142,6 +142,21 @@ def test_generation_calculate_and_scale(metrics):
     assert kib[0].value == 1024.0
 
 
+def test_generation_no_fanout_on_duplicate_label_sets(spark):
+    # metric2 carries two points with the SAME label set: the pairing
+    # must stay 1:1 (deterministic min-value pick), never fan out m1
+    df = spark.createDataFrame(
+        [("a", 10.0, {"k": "x"}), ("b", 4.0, {"k": "x"}), ("b", 2.0, {"k": "x"})],
+        "metric_name string, value double, labels map<string,string>",
+    )
+    mg = MetricsGeneration([
+        GenerationRule(name="r", type="calculate", metric1="a", metric2="b",
+                       operation="add")
+    ])
+    got = _by_name(mg(df), "r")
+    assert len(got) == 1 and got[0].value == 12.0  # 10 + min(4, 2)
+
+
 def test_generation_divide_by_zero_drops_point(spark):
     df = spark.createDataFrame(
         [("a", 1.0, {"k": "x"}), ("b", 0.0, {"k": "x"})],
