@@ -16,10 +16,12 @@ from .pipeline import (
     write_routed_stream,
 )
 from .source import file_stream, rate_transcripts
+from .stateful import stateful_delta_to_cumulative
 
 __all__ = [
     "file_stream",
     "rate_transcripts",
+    "stateful_delta_to_cumulative",
     "session_recombine",
     "streaming_pipeline",
     "windowed_counts",

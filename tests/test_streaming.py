@@ -113,6 +113,54 @@ def test_session_recombine_parity(spark, stream_dir, tmp_path):
         assert r.n_turns == 8
 
 
+def test_stateful_delta_to_cumulative_across_restarts(spark, tmp_path):
+    """applyInPandasWithState running totals survive micro-batches AND a
+    full query restart (checkpointed state store = the collector's
+    storage-extension persistence for deltatocumulative)."""
+    import datetime as dt
+
+    from opentelemetry_collector_contrib_spark.streaming import (
+        stateful_delta_to_cumulative,
+    )
+
+    ddl = "metric string, ts timestamp, value double"
+    in_dir, ckpt, out_dir = (
+        str(tmp_path / "in"), str(tmp_path / "ckpt"), str(tmp_path / "out")
+    )
+    t0 = dt.datetime(2024, 1, 1)
+    sec = dt.timedelta(seconds=1)
+    spark.createDataFrame(
+        [("A", t0, 1.0), ("A", t0 + sec, 2.0), ("B", t0, 5.0)], ddl
+    ).write.mode("overwrite").parquet(in_dir)
+
+    def run_once():
+        stream = spark.readStream.schema(ddl).parquet(in_dir)
+        out = stateful_delta_to_cumulative(stream, stream_keys=["metric"])
+        q = (
+            out.writeStream.format("parquet")
+            .option("checkpointLocation", ckpt)
+            .option("path", out_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    # new delta arrives AFTER a restart: the running total must resume
+    spark.createDataFrame([("A", t0 + 2 * sec, 4.0)], ddl).write.mode(
+        "append"
+    ).parquet(in_dir)
+    run_once()
+    res = {
+        (r.metric, r.value): r.cumulative
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert res[("A", 1.0)] == 1.0
+    assert res[("A", 2.0)] == 3.0
+    assert res[("B", 5.0)] == 5.0
+    assert res[("A", 4.0)] == 7.0  # restored state: 3 + 4
+
+
 def test_routed_stream_fanout_writes(spark, stream_dir, tmp_path):
     routed = streaming_pipeline(file_stream(spark, stream_dir))
     out = str(tmp_path / "sinks")
