@@ -161,6 +161,41 @@ class PipelineConfig:
     stages: list[StageConfig]
 
 
+def config_from_dict(doc: dict) -> PipelineConfig:
+    """Collector-YAML-shaped dict -> PipelineConfig.
+
+    The reference's config is YAML (`receivers/processors/.../operators`
+    lists of `{type: ..., <options>}` maps, pkg/stanza/operator/config.go
+    unmarshal-by-registered-type); the same topology expressed as JSON/
+    dict compiles here: ``{"stages": [{"kind": ..., "options": {...}}]}``
+    or the stanza style ``{"operators": [{"type": ..., <flat opts>}]}``.
+    """
+    if "stages" in doc:
+        stages = [
+            StageConfig(s["kind"], dict(s.get("options", {})))
+            for s in doc["stages"]
+        ]
+    elif "operators" in doc:
+        stages = []
+        for op in doc["operators"]:
+            opts = {k: v for k, v in op.items() if k != "type"}
+            stages.append(StageConfig(op["type"], opts))
+    else:
+        raise ValueError("config needs a 'stages' or 'operators' list")
+    return PipelineConfig(stages=stages)
+
+
+def load_pipeline_json(
+    path: str, dims: dict[str, DataFrame] | None = None
+) -> Callable[[DataFrame], DataFrame]:
+    """Compile a pipeline from a JSON config file (the YAML topology,
+    serialized as JSON — no YAML parser in this environment)."""
+    import json
+
+    with open(path) as f:
+        return compile_pipeline(config_from_dict(json.load(f)), dims)
+
+
 def compile_pipeline(
     cfg: PipelineConfig, dims: dict[str, DataFrame] | None = None
 ) -> Callable[[DataFrame], DataFrame]:

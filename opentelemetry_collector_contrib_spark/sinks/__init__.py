@@ -1,1 +1,1 @@
-from .writers import FileSink, write_routed  # noqa: F401
+from .writers import FileSink, write_otlp_json, write_routed  # noqa: F401

@@ -20,7 +20,7 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -75,6 +75,71 @@ def write_routed(
         if st.isDirectory() and st.getPath().getName().startswith(prefix)
     ]
     return {s: os.path.join(base_path, f"{route_col}={s}") for s in sorted(sinks)}
+
+
+def write_otlp_json(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+) -> None:
+    """file exporter, OTLP-JSON format (exporter/fileexporter/config.go
+    ``format: json``): one ExportLogsServiceRequest JSON line per record
+    (batch size 1; the reference writes one request per BATCH — group
+    upstream with batchperresourceattr/partitionBy if coarser lines are
+    wanted). Field mapping mirrors sources/otlpjson.py exactly, so a
+    write → OtlpJsonFileSource read round-trips the envelope.
+    """
+
+    def kv_list(m: Column) -> Column:
+        return F.transform(
+            F.sort_array(F.map_entries(F.coalesce(
+                m, F.from_json(F.lit("{}"), "map<string,string>")
+            ))),
+            lambda e: F.struct(
+                e.getField("key").alias("key"),
+                F.struct(e.getField("value").alias("stringValue")).alias("value"),
+            ),
+        )
+
+    def nanos(ts: Column) -> Column:
+        return (F.unix_micros(ts.cast("timestamp")) * 1000).cast("string")
+
+    cols = set(df.columns)
+
+    def c(name: str) -> Column:
+        return F.col(name) if name in cols else F.lit(None)
+
+    def m(name: str) -> Column:  # map-typed envelope fields
+        return (
+            F.col(name)
+            if name in cols
+            else F.from_json(F.lit(None), "map<string,string>")
+        )
+
+    record = F.struct(
+        nanos(c("ts")).alias("timeUnixNano"),
+        nanos(c("observed_ts")).alias("observedTimeUnixNano"),
+        c("severity_number").cast("int").alias("severityNumber"),
+        c("severity_text").cast("string").alias("severityText"),
+        F.struct(c("body").cast("string").alias("stringValue")).alias("body"),
+        kv_list(m("attributes")).alias("attributes"),
+        F.lower(F.hex(c("trace_id"))).alias("traceId"),
+        F.lower(F.hex(c("span_id"))).alias("spanId"),
+    )
+    doc = F.struct(
+        F.array(
+            F.struct(
+                F.struct(kv_list(m("resource")).alias("attributes")).alias("resource"),
+                F.array(
+                    F.struct(
+                        F.struct(c("scope").cast("string").alias("name")).alias("scope"),
+                        F.array(record).alias("logRecords"),
+                    )
+                ).alias("scopeLogs"),
+            )
+        ).alias("resourceLogs")
+    )
+    df.select(F.to_json(doc).alias("value")).write.mode(mode).text(path)
 
 
 def load_balance(df: DataFrame, n: int, key: str) -> DataFrame:

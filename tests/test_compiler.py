@@ -85,3 +85,29 @@ def test_config_pipeline_resourcedetection(spark, monkeypatch):
 def test_unknown_stage_kind_raises():
     with pytest.raises(KeyError):
         compile_pipeline(PipelineConfig(stages=[StageConfig("bogus", {})]))
+
+
+def test_json_config_file_stanza_style(spark, tmp_path):
+    """The collector's YAML operator list, serialized as JSON, compiles
+    and runs (unmarshal-by-registered-type parity)."""
+    import json
+
+    from opentelemetry_collector_contrib_spark.plans.compiler import (
+        config_from_dict,
+        load_pipeline_json,
+    )
+
+    doc = {
+        "operators": [
+            {"type": "regex_parser", "pattern": "^(?P<word>\\w+)",
+             "parse_from": "body"},
+            {"type": "add", "field": "env", "value": "prod"},
+        ]
+    }
+    p = tmp_path / "pipeline.json"
+    p.write_text(json.dumps(doc))
+    df = spark.createDataFrame([("hello world",)], "body string")
+    out = load_pipeline_json(str(p))(df).collect()[0]
+    assert out["word"] == "hello" and out["env"] == "prod"
+    with pytest.raises(ValueError):
+        config_from_dict({"nope": []})

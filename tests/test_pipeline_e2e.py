@@ -90,6 +90,34 @@ def test_metrics_collector_observes(spark, sf_dir):
     assert snap[("router", "errors")] > 0
 
 
+def test_flagship_plan_shape_guard(spark, sf_dir):
+    """Physical-plan regression guard for the scale properties SURVEY §8
+    documents: enrich joins stay broadcast, no sort-merge joins or
+    cartesian products sneak in, and the whole DAG costs at most two
+    exchanges (derive row_number + the count aggregate)."""
+    import io
+    import contextlib
+
+    from opentelemetry_collector_contrib_spark.pipeline import run_flagship
+
+    df = run_flagship(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # Exchanges: derive's row_number + ONE for the grouping-sets count
+    # (+ the final orderBy range exchange); broadcast exchanges excluded
+    shuffles = [
+        ln for ln in plan.splitlines()
+        if ln.strip().startswith("(") is False
+        and "Exchange" in ln and "BroadcastExchange" not in ln and "Reused" not in ln
+    ]
+    assert len(shuffles) <= 3, shuffles
+
+
 def test_salting_spreads_hot_conversations(spark):
     from opentelemetry_collector_contrib_spark.data import synth_transcripts
 

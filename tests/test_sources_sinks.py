@@ -239,6 +239,42 @@ def test_checkpointed_resume_idempotent(spark, tmp_path):
     assert lineage.read(spark).count() == 2
 
 
+def test_otlp_json_write_read_roundtrip(spark, tmp_path):
+    """write_otlp_json -> OtlpJsonFileSource round-trips the envelope
+    (field mapping parity between exporter and receiver)."""
+    import datetime as dt
+
+    from opentelemetry_collector_contrib_spark.sinks import write_otlp_json
+
+    rows = [
+        (
+            dt.datetime(2024, 1, 1, 0, 0, 0), dt.datetime(2024, 1, 1, 0, 0, 1),
+            "kaboom", {"k": "v"}, {"service.name": "svc"}, "ERROR", 17,
+            bytes.fromhex("0102030405060708090a0b0c0d0e0f10"),
+            bytes.fromhex("0102030405060708"), "lib",
+        )
+    ]
+    ddl = (
+        "ts timestamp, observed_ts timestamp, body string, "
+        "attributes map<string,string>, resource map<string,string>, "
+        "severity_text string, severity_number int, trace_id binary, "
+        "span_id binary, scope string"
+    )
+    df = spark.createDataFrame(rows, ddl)
+    out = str(tmp_path / "otlp")
+    write_otlp_json(df, out)
+    back = OtlpJsonFileSource(f"{out}/*.txt")(spark).collect()[0]
+    assert back["body"] == "kaboom"
+    assert back["severity_number"] == 17 and back["severity_text"] == "ERROR"
+    assert dict(back["attributes"]) == {"k": "v"}
+    assert dict(back["resource"]) == {"service.name": "svc"}
+    assert back["trace_id"].hex() == "0102030405060708090a0b0c0d0e0f10"
+    assert back["span_id"].hex() == "0102030405060708"
+    assert back["scope"] == "lib"
+    assert back["ts"] == dt.datetime(2024, 1, 1, 0, 0, 0)
+    assert back["observed_ts"] == dt.datetime(2024, 1, 1, 0, 0, 1)
+
+
 def test_load_balance_consistent_hash(spark):
     from opentelemetry_collector_contrib_spark.sinks.writers import load_balance
     from pyspark.sql import functions as F
