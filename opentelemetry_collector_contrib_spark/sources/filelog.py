@@ -34,9 +34,24 @@ class FileLogSource:
 
     def __call__(self, spark: SparkSession) -> DataFrame:
         paths = self.paths if isinstance(self.paths, list) else [self.paths]
-        df = spark.read.text(paths)
-        if self.encoding.lower() not in ("utf-8", "utf8"):
-            df = spark.read.format("text").option("encoding", self.encoding).load(paths)
+        if self.encoding.lower() in ("utf-8", "utf8"):
+            df = spark.read.text(paths)
+        else:
+            # real charset decode (stanza decode.go semantics): the text
+            # datasource is UTF-8-only, so non-UTF-8 files read as whole
+            # binaries and decode JVM-side (`decode(bytes, charset)`),
+            # then explode back to lines. One file = one task, same
+            # constraint as the multiline path below.
+            raw = (
+                spark.read.format("binaryFile")
+                .load(paths)
+                .select(F.decode(F.col("content"), self.encoding).alias("value"))
+            )
+            df = raw.select(
+                F.explode(
+                    F.split(F.regexp_replace("value", "\n$", ""), "\r?\n")
+                ).alias("value")
+            )
         df = df.withColumnRenamed("value", "body")
         df = df.withColumn("observed_ts", F.current_timestamp())
         if self.include_file_name or self.include_file_path:

@@ -26,6 +26,16 @@ def test_filelog_source(spark, tmp_path):
     assert all(r["log_file_name"] == "app.log" for r in rows)
 
 
+def test_filelog_non_utf8_encoding_decode(spark, tmp_path):
+    # stanza decode.go semantics: bytes decode with the configured
+    # charset (the text datasource alone is UTF-8-only)
+    p = tmp_path / "latin.log"
+    p.write_bytes("caf\xe9 one\nna\xefve two\n".encode("latin-1"))
+    df = FileLogSource(str(p), encoding="ISO-8859-1")(spark)
+    assert {r["body"] for r in df.collect()} == {"café one", "naïve two"}
+    assert all(r["log_file_name"] == "latin.log" for r in df.collect())
+
+
 def test_filelog_multiline_recombine(spark, tmp_path):
     p = tmp_path / "stack.log"
     p.write_text(
