@@ -197,10 +197,18 @@ class KeyValueParser:
         if self.strict:
             return F.str_to_map(src, F.lit(self.pair_delimiter), F.lit(self.delimiter))
         d = _re.escape(self.delimiter)
-        pat = rf"([A-Za-z0-9_.\-]+){d}(\S+)"
-        return F.map_from_arrays(
-            F.regexp_extract_all(src, F.lit(pat), F.lit(1)),
+        # values are either double-quoted (spaces allowed, quotes
+        # stripped — parseutils.SplitString semantics in the reference
+        # keyvalue parser) or bare non-space tokens
+        pat = rf'([A-Za-z0-9_.\-]+){d}("[^"]*"|\S+)'
+        vals = F.transform(
             F.regexp_extract_all(src, F.lit(pat), F.lit(2)),
+            lambda v: F.when(
+                v.rlike('^".*"$'), v.substr(F.lit(2), F.length(v) - 2)
+            ).otherwise(v),
+        )
+        return F.map_from_arrays(
+            F.regexp_extract_all(src, F.lit(pat), F.lit(1)), vals
         )
 
     def __call__(self, df: DataFrame) -> DataFrame:

@@ -4,12 +4,17 @@ Usage (see submit_example.sh):
 
     spark-submit --py-files pkg.zip scripts/run_pipeline.py \
         [--table <iceberg_table> | --events <events.parquet>] \
-        [--out <sink_base_path>]
+        [--config <pipeline.json>] [--out <sink_base_path>]
 
 Reads the transcript table (or derives transcripts from an events
 parquet for sandbox runs), runs parse -> enrich -> route -> aggregate,
 writes per-sink outputs partitioned by route plus the counts table, and
 prints the obsreport metrics row.
+
+``--config`` swaps the built-in flagship chain for a declarative
+pipeline (the collector's YAML operator topology as JSON, compiled by
+plans/compiler.py) applied BEFORE routing — the config-driven deploy
+path a collector user would migrate their operator list onto.
 """
 
 from __future__ import annotations
@@ -37,6 +42,11 @@ def main() -> None:
         help="events parquet to derive transcripts from (sandbox mode)",
     )
     ap.add_argument("--out", default="/tmp/logpipe_out")
+    ap.add_argument(
+        "--config",
+        help="JSON pipeline config (collector operator topology) applied "
+        "instead of the built-in parse/enrich stages",
+    )
     args = ap.parse_args()
 
     spark = SparkSession.builder.getOrCreate()
@@ -46,6 +56,21 @@ def main() -> None:
         transcripts = derive_transcripts(spark.read.parquet(args.events))
 
     collector = MetricsCollector(run_id="run_pipeline")
+    if args.config:
+        # the config IS the pipeline: include a "routing" stage in it to
+        # get per-sink fan-out (route column -> partitioned write)
+        from opentelemetry_collector_contrib_spark.plans.compiler import (
+            load_pipeline_json,
+        )
+
+        out = load_pipeline_json(args.config)(transcripts)
+        writer = out.write.mode("overwrite")
+        if "route" in out.columns:
+            writer = writer.partitionBy("route")
+        writer.parquet(f"{args.out}/sinks")
+        spark.stop()
+        return
+
     routed, counts = TranscriptPipeline(collector=collector)(transcripts)
     (
         routed.write.mode("overwrite")

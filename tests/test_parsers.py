@@ -140,6 +140,18 @@ def test_kv_parser_to_attributes(spark):
     assert out["attributes"]["keep"] == "1"
 
 
+def test_kv_parser_quoted_values(spark):
+    from opentelemetry_collector_contrib_spark.operators import KeyValueParser
+
+    df = spark.createDataFrame(
+        [('msg="hello world" code=7 path="/a b"',)], "body string"
+    )
+    out = KeyValueParser(parse_to=None, keys=["msg", "code", "path"])(df).collect()[0]
+    assert out["msg"] == "hello world"
+    assert out["code"] == "7"
+    assert out["path"] == "/a b"
+
+
 def test_kv_parser_strict(spark):
     df = spark.createDataFrame([("a=1 b=2",)], "body string")
     out = KeyValueParser(strict=True, parse_to="m")(df).collect()[0]
