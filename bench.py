@@ -222,13 +222,16 @@ def main() -> None:
         print(tps, serial_frac)
         return
 
-    from opentelemetry_collector_contrib_spark.session import get_spark
+    queries: dict[str, float] = {}
+    total = 0.0
+    if os.environ.get("SPARK_GRAFT_SKIP_QUERIES") != "1":
+        from opentelemetry_collector_contrib_spark.session import get_spark
 
-    spark = get_spark(app_name="bench", master=f"local[{CPUS}]")
-    t0 = time.perf_counter()
-    queries = _run_queries(spark)
-    total = round(time.perf_counter() - t0, 3)
-    spark.stop()
+        spark = get_spark(app_name="bench", master=f"local[{CPUS}]")
+        t0 = time.perf_counter()
+        queries = _run_queries(spark)
+        total = round(time.perf_counter() - t0, 3)
+        spark.stop()
 
     result = {
         "metric": "parse->enrich->route->aggregate pipeline + training ops, end-to-end sec",

@@ -53,8 +53,15 @@ def _resolve_path(p: Path) -> Column:
     if head == "observed_time":
         return F.col("observed_ts")
     if head in ("attributes", "resource"):
+        # log-context grammar: ``resource.attributes["k"]`` addresses the
+        # resource attribute map (ottllog/log.go resource context) — the
+        # envelope stores that map AS the ``resource`` column, so the
+        # literal ``attributes`` segment is elided
+        rest = list(p.parts[1:])
+        if head == "resource" and rest and rest[0] == "attributes":
+            rest = rest[1:]
         col = F.col(head)
-        for key in p.parts[1:]:
+        for key in rest:
             col = F.element_at(col, key) if isinstance(key, str) else col[key]
         return col
     col = F.col(str(head))
@@ -159,6 +166,15 @@ def _compile_binop(node: BinOp, df: DataFrame | None) -> Column:
     if node.op in ("and", "or"):
         l, r = compile_value(node.left, df), compile_value(node.right, df)
         return (l & r) if node.op == "and" else (l | r)
+    if node.op in ("==", "!="):
+        # OTTL nil comparisons are EXISTENCE checks (compare.go: nil is
+        # ordered equal to nil, unequal to everything). Spark's
+        # three-valued `col != lit(NULL)` is NULL -> never true, so
+        # compile to isNull/isNotNull instead.
+        for side, other in ((node.right, node.left), (node.left, node.right)):
+            if isinstance(side, Lit) and side.value is None:
+                col = compile_value(other, df)
+                return col.isNull() if node.op == "==" else col.isNotNull()
     l, r = compile_value(node.left, df), compile_value(node.right, df)
     if node.op == "-":
         # OTTL: timestamp - timestamp yields a time.Duration
@@ -200,6 +216,9 @@ def _target(args) -> Path:
 
 def _set_path(df: DataFrame, p: Path, value: Column, where: Column | None) -> DataFrame:
     head = p.parts[0]
+    if head == "resource" and p.parts[1:2] == ["attributes"]:
+        # resource.attributes["k"] -> the resource map key (see _resolve_path)
+        p = Path(["resource", *p.parts[2:]])
     if head == "cache":
         col = "__cache_" + "_".join(str(x) for x in p.parts[1:])
         if where is not None:
