@@ -411,8 +411,44 @@ def _editor_append(df, args, where, dfctx):
 
 
 def _editor_flatten(df, args, where, dfctx):
-    # flatten(map) over string maps is identity (no nested maps representable)
-    return df
+    # func_flatten.go: nested maps expand into dotted keys. The string
+    # map encodes nesting as JSON-object VALUES (ParseJSON of a nested
+    # doc leaves inner objects as JSON strings), so each flatten pass
+    # expands values that parse as JSON objects into `parent.child`
+    # entries; `depth` passes (default 2) unroll deeper nesting.
+    p = _target(args)
+    depth = _raw(args[1]) if len(args) > 1 else 2
+    m = _resolve_path(p)
+    new = m
+    for _ in range(int(depth)):
+        entries = F.map_entries(new)
+        new = F.map_from_entries(
+            F.flatten(
+                F.transform(
+                    entries,
+                    lambda e: F.when(
+                        F.from_json(
+                            e.getField("value"), "map<string,string>"
+                        ).isNotNull()
+                        & e.getField("value").rlike(r"^\{"),
+                        F.transform(
+                            F.map_entries(
+                                F.from_json(
+                                    e.getField("value"), "map<string,string>"
+                                )
+                            ),
+                            lambda ne: F.struct(
+                                F.concat(
+                                    e.getField("key"), F.lit("."), ne.getField("key")
+                                ).alias("key"),
+                                ne.getField("value").alias("value"),
+                            ),
+                        ),
+                    ).otherwise(F.array(e)),
+                )
+            )
+        )
+    return _set_path(df, p, new if where is None else F.when(where, new).otherwise(m), None)
 
 
 EDITORS: dict[str, Callable] = {

@@ -260,6 +260,23 @@ def test_set_ids_from_literals(row):
         compile_statement("set(span_id, SpanID(0x01))")(row)
 
 
+def test_flatten_expands_nested_json_values(row):
+    # func_flatten.go: nested maps -> dotted keys; scalars untouched
+    df = compile_statement(
+        'set(attributes["nest"], "{\\"a\\":\\"1\\",\\"b\\":\\"2\\"}")'
+    )(row)
+    out = run(df, "flatten(attributes)")["attributes"]
+    assert out["nest.a"] == "1" and out["nest.b"] == "2"
+    assert "nest" not in out
+    assert out["http.method"] == "get"  # scalar values pass through
+    # two-level nesting unrolls with the default depth
+    df2 = compile_statement(
+        'set(attributes["deep"], "{\\"x\\":\\"{\\\\\\"y\\\\\\":\\\\\\"3\\\\\\"}\\"}")'
+    )(row)
+    out2 = run(df2, "flatten(attributes)")["attributes"]
+    assert out2["deep.x.y"] == "3"
+
+
 def test_parse_xml_e2e_shape(row):
     # e2e_test.go ParseXML case: {tag, attributes, children:[{tag, content}]}
     out = run(
