@@ -288,6 +288,30 @@ def test_spanmetrics_histogram(spark):
     assert ("b", "100") not in rows  # null duration excluded
 
 
+def test_spanmetrics_exponential_histogram(spark):
+    from opentelemetry_collector_contrib_spark.connectors import SpanMetricsConnector
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("a", 4.0), ("a", 5.0), ("a", 0.0)],
+        "svc string, dur double",
+    )
+    sm = SpanMetricsConnector(duration_col="dur", dimensions=["svc"],
+                              histogram="exponential", scale=0)
+    out = {r.bucket_idx: r.bucket_count for r in sm(df).collect()}
+    # scale 0: bucket idx = ceil(log2(v)) - 1 -> 1.0 -> -1; 3,4 -> 1; 5 -> 2
+    assert out[-1] == 1 and out[1] == 2 and out[2] == 1
+    assert out[None] == 1  # zero bucket
+    # scale 1 doubles resolution: 3.0 -> ceil(log2(3)*2)-1 = 3
+    sm1 = SpanMetricsConnector(duration_col="dur", dimensions=["svc"],
+                               histogram="exponential", scale=1)
+    got = {r.bucket_idx for r in sm1(df).collect()}
+    assert 3 in got
+    import pytest
+
+    with pytest.raises(ValueError):
+        SpanMetricsConnector(duration_col="dur", histogram="bogus")
+
+
 def test_container_parser_autodetect(spark):
     from opentelemetry_collector_contrib_spark.operators import ContainerParser
 
