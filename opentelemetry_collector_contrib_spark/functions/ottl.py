@@ -112,16 +112,31 @@ def _raw(node):
 
 def _compile_call(call: Call, df: DataFrame | None) -> Column:
     name = call.name
-    if name in ("IsMap", "IsList") and df is not None and call.args:
-        # a TYPE property, resolved against the frame schema at compile
-        # time (func_is_map.go / func_is_list.go return whether the value
-        # is pcommon.Map / Slice — the columnar equivalent is the column's
-        # data type, constant per frame). Unresolvable path -> false,
-        # matching the reference's non-map/non-list answer.
-        want = "map" if name == "IsMap" else "array"
+    _TYPE_PREDICATES = {
+        "IsMap": ("map",),
+        "IsList": ("array",),
+        "IsString": ("string",),
+        "IsInt": ("bigint", "int", "smallint", "tinyint", "long"),
+        "IsDouble": ("double", "float"),
+        "IsBool": ("boolean",),
+    }
+    if name in _TYPE_PREDICATES and df is not None and call.args:
+        # TYPE predicates, resolved against the frame schema at compile
+        # time (func_is_*.go ask what TYPE the value is — e.g.
+        # IsInt("123") is FALSE in the reference, it's a string). The
+        # columnar equivalent is the column's data type, constant per
+        # frame; a nil value is no type, so non-container predicates
+        # also require isNotNull. Unresolvable path -> false.
+        wants = _TYPE_PREDICATES[name]
         try:
-            dtype = df.select(compile_value(call.args[0], df)).schema[0].dataType.simpleString()
-            return F.lit(dtype.startswith(want))
+            expr = compile_value(call.args[0], df)
+            dtype = df.select(expr).schema[0].dataType.simpleString()
+            matched = dtype.startswith(wants)
+            if not matched:
+                return F.lit(False)
+            if name in ("IsMap", "IsList"):
+                return F.lit(True)
+            return expr.isNotNull()
         except Exception:
             return F.lit(False)
     if name == "Len" and df is not None and call.args and isinstance(call.args[0], Path):

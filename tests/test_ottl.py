@@ -221,9 +221,19 @@ def test_converter_extra(row, stmt, expected):
 
 CASES_WHERE_EXTRA = [
     ('set(attributes["test"], "pass") where IsString(body)', True),
-    ('set(attributes["test"], "pass") where IsInt(attributes["total.string"])', True),
+    # Is* are TYPE predicates (func_is_int.go): a STRING holding "123"
+    # is not an int — IsInt("123") is false in the reference too
+    ('set(attributes["test"], "pass") where IsInt(attributes["total.string"])', False),
+    ('set(attributes["test"], "pass") where IsInt(Int(attributes["total.string"]))', True),
     ('set(attributes["test"], "pass") where IsInt(body)', False),
-    ('set(attributes["test"], "pass") where IsDouble(attributes["total.string"])', True),
+    ('set(attributes["test"], "pass") where IsDouble(attributes["total.string"])', False),
+    ('set(attributes["test"], "pass") where IsDouble(Double(attributes["total.string"]))', True),
+    # reference e2e cases, verbatim (e2e_test.go:421-451,669)
+    ('set(attributes["test"], "pass") where IsBool(false)', True),
+    ('set(attributes["test"], "pass") where IsDouble(1.0)', True),
+    ('set(attributes["test"], "pass") where IsString("")', True),
+    ('set(attributes["test"], "pass") where IsString(UUID())', True),
+    ('set(attributes["test"], "pass") where IsString(attributes["unknown"])', False),
     ('set(attributes["test"], "pass") where Int(attributes["total.string"]) > 1000', True),
     ('set(attributes["test"], "pass") where Len(body) == 10', True),
     ('set(attributes["test"], "pass") where attributes["flags"] != "B"', True),
