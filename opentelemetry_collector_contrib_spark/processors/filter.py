@@ -20,17 +20,31 @@ from pyspark.sql.observation import Observation
 
 @dataclass
 class FilterProcessor:
-    conditions: list[str]          # SQL predicates, OR-joined; match -> DROP
+    conditions: list[str]          # OR-joined predicates; match -> DROP
     observe_name: str | None = None  # emit <name>.filtered count via observe()
+    language: str = "sql"          # sql | ottl — the reference's conditions
+    #                                ARE OTTL (filterprocessor config
+    #                                `logs.log_record` statements); "ottl"
+    #                                routes them through compile_condition
 
-    def matched(self) -> F.Column:
+    def __post_init__(self):
+        if self.language not in ("sql", "ottl"):
+            raise ValueError("language must be 'sql' or 'ottl'")
+
+    def matched(self, df: DataFrame | None = None) -> F.Column:
         cond = F.lit(False)
         for c in self.conditions:
-            cond = cond | F.coalesce(F.expr(c), F.lit(False))
+            if self.language == "ottl":
+                from ..functions import compile_condition
+
+                compiled = compile_condition(c, df)
+            else:
+                compiled = F.expr(c)
+            cond = cond | F.coalesce(compiled, F.lit(False))
         return cond
 
     def __call__(self, df: DataFrame) -> DataFrame:
-        cond = self.matched()
+        cond = self.matched(df)
         if self.observe_name:
             obs = Observation(self.observe_name)
             df = df.observe(

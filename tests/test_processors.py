@@ -80,6 +80,25 @@ def test_filter_processor_or_conditions(df):
     assert {r["id"] for r in fp(df).collect()} == {1, 3}
 
 
+def test_filter_processor_ottl_conditions(spark):
+    # filterprocessor configs carry OTTL conditions verbatim
+    df = spark.createDataFrame(
+        [("drop me", {"env": "dev"}), ("keep", {"env": "prod"}), ("keep2", None)],
+        "body string, attributes map<string,string>",
+    )
+    fp = FilterProcessor(
+        conditions=[
+            'attributes["env"] == "dev"',
+            'IsMatch(body, "^never")',
+        ],
+        language="ottl",
+    )
+    kept = {r.body for r in fp(df).collect()}
+    assert kept == {"keep", "keep2"}
+    with pytest.raises(ValueError):
+        FilterProcessor(conditions=[], language="xpath")
+
+
 def test_filter_observe_counts(df):
     fp = FilterProcessor(["level = 'ERROR'"], observe_name="flt")
     out = fp(df)
