@@ -39,8 +39,24 @@ class RoutingConnector:
     default_sinks: list[str] = field(default_factory=lambda: [DEFAULT_ROUTE])
     match_once: bool = True
     route_col: str = "route"
+    language: str = "sql"  # sql | ottl — reference tables are
+    #                        `route() where <OTTL condition>` strings
 
-    def _conds(self):
+    def __post_init__(self):
+        if self.language not in ("sql", "ottl"):
+            raise ValueError("language must be 'sql' or 'ottl'")
+
+    def _conds(self, df: DataFrame | None = None):
+        if self.language == "ottl":
+            from ..functions import compile_condition
+
+            return [
+                (
+                    F.coalesce(compile_condition(r.condition, df), F.lit(False)),
+                    r.sink,
+                )
+                for r in self.table
+            ]
         return [
             (F.coalesce(F.expr(r.condition), F.lit(False)), r.sink) for r in self.table
         ]
@@ -50,7 +66,7 @@ class RoutingConnector:
         string column. multi-match: one row per (row x matched route) via
         explode of the matched-sink array (rows with no match explode to
         the default sinks)."""
-        conds = self._conds()
+        conds = self._conds(df)
         if self.match_once:
             expr = None
             for cond, sink in conds:

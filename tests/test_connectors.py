@@ -163,3 +163,34 @@ def test_count_from_attributes_map(spark):
     out = CountConnector([MetricDef("m", attributes=[("env", "none")])])(df)
     got = {r["attrs"]["env"]: r["count"] for r in out.collect()}
     assert got == {"prod": 1, "dev": 1, "none": 1}
+
+
+def test_routing_ottl_conditions_tenant_table(spark):
+    """The reference routingconnector's config_logs.yaml table shape:
+    `route() where attributes["X-Tenant"] == "acme"` — OTTL verbatim."""
+    from opentelemetry_collector_contrib_spark.connectors import Route, RoutingConnector
+
+    df = spark.createDataFrame(
+        [("r1", {"X-Tenant": "acme"}), ("r2", {"X-Tenant": "globex"}),
+         ("r3", {"X-Tenant": "other"}), ("r4", None)],
+        "body string, attributes map<string,string>",
+    )
+    rc = RoutingConnector(
+        [
+            Route('attributes["X-Tenant"] == "acme"', "logs/otlp-acme"),
+            Route('attributes["X-Tenant"] == "globex"', "logs/otlp-globex"),
+        ],
+        default_sinks=["logs/otlp-all"],
+        language="ottl",
+    )
+    got = {r.body: r.route for r in rc(df).collect()}
+    assert got == {
+        "r1": "logs/otlp-acme",
+        "r2": "logs/otlp-globex",
+        "r3": "logs/otlp-all",
+        "r4": "logs/otlp-all",
+    }
+    import pytest
+
+    with pytest.raises(ValueError):
+        RoutingConnector([], language="yaml")
