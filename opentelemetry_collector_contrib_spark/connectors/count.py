@@ -39,6 +39,12 @@ class MetricDef:
 @dataclass
 class CountConnector:
     metrics: list[MetricDef] = field(default_factory=lambda: [MetricDef()])
+    language: str = "sql"  # sql | ottl — reference MetricInfo.Conditions
+    #                        are OTTL strings (config.go:43-51)
+
+    def __post_init__(self):
+        if self.language not in ("sql", "ottl"):
+            raise ValueError("language must be 'sql' or 'ottl'")
 
     @staticmethod
     def _attr_col(df: DataFrame, key: str):
@@ -156,5 +162,11 @@ class CountConnector:
             return F.lit(1)
         cond = F.lit(False)
         for c in m.conditions:
-            cond = cond | F.coalesce(F.expr(c), F.lit(False))
+            if self.language == "ottl":
+                from ..functions import compile_condition
+
+                compiled = compile_condition(c, df)
+            else:
+                compiled = F.expr(c)
+            cond = cond | F.coalesce(compiled, F.lit(False))
         return cond.cast("int")

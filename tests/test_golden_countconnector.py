@@ -19,7 +19,6 @@ import yaml
 from pyspark.sql import functions as F
 
 from opentelemetry_collector_contrib_spark.connectors import CountConnector, MetricDef
-from opentelemetry_collector_contrib_spark.functions import compile_condition
 
 REF = Path("/root/reference/connector/countconnector/testdata/logs")
 
@@ -109,28 +108,18 @@ CASES = {
 
 @pytest.mark.parametrize("name", sorted(CASES))
 def test_logs_to_metrics_golden(spark, log_input, name):
-    # OTTL conditions compile once against the frame; MetricDefs then
-    # reference the compiled boolean columns by name
-    conds: dict[str, str] = {}
-    metrics = []
-    for m in CASES[name]:
-        mapped = []
-        for c in m.conditions:
-            if c not in conds:
-                conds[c] = f"__cond_{len(conds)}"
-            mapped.append(conds[c])
-        metrics.append(MetricDef(m.name, conditions=mapped, attributes=m.attributes))
+    # the reference's OTTL condition strings feed the connector verbatim
+    metrics = CASES[name]
     df = log_input
-    for text, col in conds.items():
-        df = df.withColumn(col, compile_condition(text, df))
-
     expected = _golden(name)
     got = []
     res_by_id: dict[int, tuple] = {}
     for r in log_input.select("res_id", "resource").collect():
         res_by_id.setdefault(r["res_id"], tuple(sorted(dict(r["resource"]).items())))
     for ri, res in res_by_id.items():
-        out = CountConnector(metrics)(df.filter(F.col("res_id") == ri))
+        out = CountConnector(metrics, language="ottl")(
+            df.filter(F.col("res_id") == ri)
+        )
         for r in out.collect():
             attrs = {k: v for k, v in dict(r["attrs"]).items() if v is not None}
             got.append(
