@@ -58,6 +58,10 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_lsh_buckets",
+    "ann_lsh_topk",
+    "dedup_cosine_bucketed",
+    "tail_sampling",
+    "metrics_transform",
     "text_token_stats",
     "text_quality_score",
     "doc_fingerprint",
