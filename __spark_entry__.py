@@ -447,6 +447,15 @@ def _q_servicegraph(spark, sf_dir):
     )
 
 
+def _q_servicegraph_hist(spark, sf_dir):
+    sg = ServiceGraphConnector(
+        client_condition="role = 'user'",
+        server_condition="role = 'tool'",
+        latency_buckets_s=[600, 7200, 86400],
+    )
+    return sg(_transcripts(spark, sf_dir))
+
+
 def _q_groupbyattrs(spark, sf_dir):
     # record attrs live in the map; promote (role, tool) to resource
     # identity and regroup — output is the per-identity record count
@@ -699,6 +708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_to_rate": _q_delta_to_rate,
         "interval_last": _q_interval_last,
         "servicegraph_edges": _q_servicegraph,
+        "servicegraph_hist": _q_servicegraph_hist,
         "parse_container": _q_parse_container,
         "sampler_deterministic": _q_sampler,
         "sampler_proportional": _q_sampler_proportional,
@@ -917,6 +927,23 @@ pri AS (SELECT conv_id, turn_idx,
         FROM transcripts)
 SELECT conv_id, turn_idx, least(prior, 0.5) AS sampling_probability FROM pri
 WHERE {_md5_bucket_sql('conv_id')} < least(1.0, 0.5 / prior) * 10000""",
+        "servicegraph_hist": f"""WITH {TRANSCRIPTS_ORACLE_CTE.strip()},
+paired AS (
+  SELECT role AS client, ts,
+    lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_role,
+    lead(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS server,
+    lead(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS server_ts
+  FROM transcripts),
+edges AS (
+  SELECT client, server, epoch_us(server_ts) - epoch_us(ts) AS lat_us
+  FROM paired WHERE client = 'user' AND next_role = 'tool')
+SELECT client, server,
+  CASE WHEN lat_us <= 600000000 THEN '600'
+       WHEN lat_us <= 7200000000 THEN '7200'
+       WHEN lat_us <= 86400000000 THEN '86400'
+       ELSE '+Inf' END AS le,
+  count(*)::BIGINT AS request_count
+FROM edges GROUP BY 1, 2, 3""",
         "dedup_exact": """WITH h AS (
   SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
   FROM documents)

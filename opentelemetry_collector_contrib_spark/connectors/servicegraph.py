@@ -30,6 +30,11 @@ class ServiceGraphConnector:
     ts_col: str = "ts"
     client_dim: str = "role"         # edge source attribute
     server_dim: str = "tool"         # edge target attribute
+    # reference config.go Histogram buckets (seconds): when set, the
+    # output is per-(edge, le) bucketed latency counts — the
+    # traces_service_graph_request_duration histogram — instead of the
+    # scalar count+sum edge summary
+    latency_buckets_s: list[float] | None = None
 
     def __call__(self, df: DataFrame) -> DataFrame:
         w = Window.partitionBy(self.correlation_key).orderBy(self.order_col)
@@ -56,6 +61,21 @@ class ServiceGraphConnector:
         latency_us = F.unix_micros(
             F.col("__server_ts").cast("timestamp")
         ) - F.unix_micros(F.col(self.ts_col).cast("timestamp"))
+        if self.latency_buckets_s is not None:
+            # explicit-bounds bucket on INTEGER microseconds: the
+            # boundary comparison is exact, so bucket assignment is
+            # bit-stable across engines (same posture as the sum fix)
+            le = None
+            for b in sorted(self.latency_buckets_s):
+                c = latency_us <= int(b * 1_000_000)
+                lbl = F.lit(f"{b:g}")
+                le = F.when(c, lbl) if le is None else le.when(c, lbl)
+            le = le.otherwise(F.lit("+Inf"))
+            return edges.groupBy(
+                F.col(self.client_dim).alias("client"),
+                F.col("__server").alias("server"),
+                le.alias("le"),
+            ).agg(F.count(F.lit(1)).alias("request_count"))
         return edges.groupBy(
             F.col(self.client_dim).alias("client"),
             F.col("__server").alias("server"),

@@ -57,23 +57,35 @@ class SpanMetricsConnector:
             F.ceil(F.log2(dur) * F.lit(factor)).cast("long") - 1,
         )
 
+    def _dim(self, df: DataFrame, name: str) -> Column:
+        # dimensions resolve like the reference's attribute lookup
+        # (config.go Dimensions: span attribute else resource attribute):
+        # top-level column first, else the attributes map
+        if name in df.columns:
+            return F.col(name).alias(name)
+        if "attributes" in df.columns:
+            return F.element_at(F.col("attributes"), name).alias(name)
+        return F.lit(None).cast("string").alias(name)
+
     def __call__(self, df: DataFrame) -> DataFrame:
         dur = F.col(self.duration_col).cast("double")
+        dims = [self._dim(df, d) for d in self.dimensions]
+        names = list(self.dimensions)
         if self.histogram == "exponential":
             rows = df.filter(dur.isNotNull()).select(
-                *self.dimensions,
+                *dims,
                 self.exp_index(dur).alias("bucket_idx"),
                 dur.alias("__d"),
             )
-            return rows.groupBy(*self.dimensions, "bucket_idx").agg(
+            return rows.groupBy(*names, "bucket_idx").agg(
                 F.count(F.lit(1)).alias("bucket_count"),
                 F.sum("__d").alias("duration_sum"),
             )
         rows = df.filter(dur.isNotNull()).select(
-            *self.dimensions, self.bucket_label(dur).alias("le"), dur.alias("__d")
+            *dims, self.bucket_label(dur).alias("le"), dur.alias("__d")
         )
         return (
-            rows.groupBy(*self.dimensions, "le")
+            rows.groupBy(*names, "le")
             .agg(
                 F.count(F.lit(1)).alias("bucket_count"),
                 F.sum("__d").alias("duration_sum"),
