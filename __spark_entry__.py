@@ -94,12 +94,24 @@ def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return derive_transcripts(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Small single-file inputs arrive as ONE split, serializing every
+    downstream projection on one task. At real scale
+    `spark.sql.files.maxPartitionBytes` splits the scan; for the tiny
+    bench files we repartition explicitly so the heavy per-doc work
+    (minhash/simhash/cosine) uses the whole cluster."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(parallelism // 2, 2):
+        return df.repartition(parallelism)
+    return df
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 def _pipe() -> TranscriptPipeline:

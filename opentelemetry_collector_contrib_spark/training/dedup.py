@@ -146,19 +146,32 @@ def lsh_candidate_pairs(
             )
         ).alias("b"),
     ).select(id_col, "b.band", "b.bh")
-    if max_bucket is not None:
-        w = Window.partitionBy("band", "bh")
-        band_rows = band_rows.withColumn("__n", F.count(F.lit(1)).over(w)).filter(
-            F.col("__n") <= max_bucket
-        ).drop("__n")
-    a = band_rows.select(
-        F.col(id_col).alias("a_id"), "band", "bh"
+    # ONE grouped collect per bucket + in-bucket pair expansion, NOT a
+    # self-join: a self-join of `band_rows` against itself executes the
+    # (expensive) signature+banding subtree TWICE — the two sides alias
+    # doc_id differently, so canonicalized plans differ and Spark's
+    # ReuseExchange never fires. The groupBy computes signatures once,
+    # shuffles once on the bucket key, and emits each bucket's ordered
+    # pairs locally (sorted ids make a_id < b_id free). Measured at
+    # sf0.1: 6.9s -> ~4s for the dedup_minhash_lsh query.
+    buckets = (
+        band_rows.groupBy("band", "bh")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
-    b = band_rows.select(F.col(id_col).alias("b_id"), "band", "bh")
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket)
+    ids = F.col("ids")
+    pair_arrays = F.transform(
+        ids,
+        lambda x, i: F.transform(
+            F.slice(ids, i + 2, F.size(ids)),
+            lambda y: F.struct(x.alias("a_id"), y.alias("b_id")),
+        ),
+    )
     return (
-        a.join(b, ["band", "bh"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
+        buckets.select(F.explode(F.flatten(pair_arrays)).alias("p"))
+        .select("p.a_id", "p.b_id")
         .distinct()
     )
 
