@@ -121,9 +121,20 @@ class Recombine:
         sub_caps = []
         if self.max_batch_size:
             sub_caps.append((None, self.max_batch_size))
-        if self.max_unmatched_batch_size and self.is_first_entry is not None:
-            # rows before the first boundary match have group id 0
-            sub_caps.append((F.col("__grp__") == 0, self.max_unmatched_batch_size))
+        if self.max_unmatched_batch_size:
+            # transformer.go:186-188 flushes when a batch with NO match
+            # yet reaches the cap. is_first mode: only group 0 (rows
+            # before the first boundary) is matchless. is_last mode:
+            # EVERY group is matchless until its closing row, so the cap
+            # chunks every group — the closing match row lands in the
+            # current partial chunk, which reproduces the reference's
+            # flush sequence exactly (transformer_test.go:543-668).
+            if self.is_first_entry is not None:
+                sub_caps.append(
+                    (F.col("__grp__") == 0, self.max_unmatched_batch_size)
+                )
+            elif self.is_last_entry is not None:
+                sub_caps.append((None, self.max_unmatched_batch_size))
         for cond, cap in sub_caps:
             seq = F.row_number().over(
                 Window.partitionBy(src, "__grp__").orderBy(order)
@@ -183,22 +194,26 @@ class Recombine:
         empty_batches = F.expr(f"cast(array() as array<array<{elem_ddl}>>)")
         empty_cur = F.expr(f"cast(array() as array<{elem_ddl}>)")
         limit = F.lit(self.max_log_size)
+        sep_len = len(self.combine_with.encode())
 
         def fold(acc: Column, x: Column) -> Column:
-            xlen = F.octet_length(x.getField(fld))
-            overflow = (acc.getField("size") + xlen > limit) & (
-                F.size(acc.getField("cur")) > 0
+            # transformer.go:173-189: append (separator counted), THEN
+            # flush when the combined length EXCEEDS max_log_size — the
+            # overflowing entry stays in the batch it overflowed
+            new_size = (
+                acc.getField("size")
+                + F.when(F.size(acc.getField("cur")) > 0, sep_len).otherwise(0)
+                + F.octet_length(x.getField(fld))
             )
+            cur2 = F.concat(acc.getField("cur"), F.array(x))
+            overflow = new_size > limit
             return F.struct(
-                F.when(
-                    overflow,
-                    F.concat(acc.getField("batches"), F.array(acc.getField("cur"))),
-                ).otherwise(acc.getField("batches")).alias("batches"),
-                F.when(overflow, F.array(x))
-                .otherwise(F.concat(acc.getField("cur"), F.array(x)))
-                .alias("cur"),
-                F.when(overflow, xlen)
-                .otherwise(acc.getField("size") + xlen)
+                F.when(overflow, F.concat(acc.getField("batches"), F.array(cur2)))
+                .otherwise(acc.getField("batches"))
+                .alias("batches"),
+                F.when(overflow, empty_cur).otherwise(cur2).alias("cur"),
+                F.when(overflow, F.lit(0).cast("bigint"))
+                .otherwise(new_size)
                 .alias("size"),
             )
 
@@ -210,7 +225,10 @@ class Recombine:
                 F.lit(0).cast("bigint").alias("size"),
             ),
             fold,
-            lambda acc: F.concat(acc.getField("batches"), F.array(acc.getField("cur"))),
+            lambda acc: F.when(
+                F.size(acc.getField("cur")) > 0,
+                F.concat(acc.getField("batches"), F.array(acc.getField("cur"))),
+            ).otherwise(acc.getField("batches")),
         )
         exploded = per_group.select(
             F.col(src), F.explode(batches).alias("__batch__")

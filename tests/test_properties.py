@@ -20,17 +20,16 @@ SET = settings(
 
 
 def _ref_size_cap(texts: list[str], cap: int) -> list[str]:
-    """Pure-Python reference of the flush-on-overflow fold
-    (transformer.go:151-158 semantics, mirrored by
-    Recombine._combine_size_capped)."""
+    """Pure-Python transcription of the reference's addToBatch rule
+    (transformer.go:173-189): append with separator counted, flush when
+    the combined length EXCEEDS the cap — overflowing entry included."""
     batches, cur, size = [], [], 0
     for t in texts:
-        n = len(t.encode())
-        if cur and size + n > cap:
+        size += (1 if cur else 0) + len(t.encode())  # '\n' separator
+        cur.append(t)
+        if size > cap:
             batches.append(cur)
             cur, size = [], 0
-        cur.append(t)
-        size += n
     if cur:
         batches.append(cur)
     return ["\n".join(b) for b in batches]

@@ -141,17 +141,19 @@ def test_recombine_max_batch_size(spark):
 
 
 def test_recombine_max_log_size_flush_on_overflow(spark):
-    # transformer.go:151-158: the batch flushes when the combined field
-    # would exceed max_log_size; the overflowing row starts a new batch
+    # transformer.go:173-189: append (separator counted), then flush
+    # when the combined length EXCEEDS max_log_size — the overflowing
+    # row stays in the batch it overflowed
     rows = [("c", 0, "aaaa"), ("c", 1, "bbbb"), ("c", 2, "cc"), ("c", 3, "dd")]
     df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
     out = Recombine(max_log_size=8)(df).orderBy("turn_idx").collect()
-    # aaaa(4) + bbbb(4) = 8 <= 8; cc would make 10 -> flush; cc+dd = 4
+    # aaaa(4); +bbbb -> 4+1+4=9 > 8 -> flush WITH bbbb; cc+dd = 5 <= 8
     assert [r["text"] for r in out] == ["aaaa\nbbbb", "cc\ndd"]
     assert [r["turn_idx"] for r in out] == [0, 2]
-    # cap smaller than one row still emits that row alone
+    # cap smaller than one row: each oversized row flushes alone; the
+    # small tail rows combine until they overflow together
     out = Recombine(max_log_size=3)(df).orderBy("turn_idx").collect()
-    assert [r["text"] for r in out] == ["aaaa", "bbbb", "cc", "dd"]
+    assert [r["text"] for r in out] == ["aaaa", "bbbb", "cc\ndd"]
 
 
 def test_recombine_max_log_size_respects_boundaries(spark):
