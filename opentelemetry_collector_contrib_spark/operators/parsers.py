@@ -505,6 +505,12 @@ RFC3164_PATTERN = (
     r"^<(\d{1,3})>([A-Z][a-z]{2} [ \d]\d \d{2}:\d{2}:\d{2}) (\S+) "
     r"([^:\[ ]+)(?:\[(\d+)\])?: ?(.*)$"
 )
+# allow_skip_pri_header (config.go AllowSkipPriHeader): the <pri> prefix
+# may be absent; priority/facility/severity come out null then
+RFC3164_SKIP_PRI_PATTERN = (
+    r"^(?:<(\d{1,3})>)?([A-Z][a-z]{2} [ \d]\d \d{2}:\d{2}:\d{2}) (\S+) "
+    r"([^:\[ ]+)(?:\[(\d+)\])?: ?(.*)$"
+)
 
 
 @dataclass
@@ -522,12 +528,19 @@ class SyslogParser:
 
     protocol: str = "rfc5424"
     parse_from: str = "body"
+    allow_skip_pri_header: bool = False  # rfc3164 lines may omit <pri>
+    location: str = "UTC"  # timezone the year-less rfc3164 wall time is in
     on_error: str = "send"
     if_expr: str | None = None
 
     def __call__(self, df: DataFrame) -> DataFrame:
         src = field_get(self.parse_from)
-        pat = RFC5424_PATTERN if self.protocol == "rfc5424" else RFC3164_PATTERN
+        if self.protocol == "rfc5424":
+            pat = RFC5424_PATTERN
+        elif self.allow_skip_pri_header:
+            pat = RFC3164_SKIP_PRI_PATTERN
+        else:
+            pat = RFC3164_PATTERN
         ok = src.rlike(pat)
 
         def g(i: int) -> Column:
@@ -565,9 +578,15 @@ class SyslogParser:
                 F.year(F.current_date()).cast("string"),
                 F.regexp_replace(g(2), "  +", " "),
             )
+            event_ts = F.try_to_timestamp(ts3164, F.lit("yyyy MMM d HH:mm:ss"))
+            if self.location.upper() != "UTC":
+                # rfc3164 wall time carries no zone; `location` names the
+                # zone it was written in (config.go Location) — convert
+                # that local instant to UTC
+                event_ts = F.to_utc_timestamp(event_ts, self.location)
             values = {
                 **common,
-                "event_ts": F.try_to_timestamp(ts3164, F.lit("yyyy MMM d HH:mm:ss")),
+                "event_ts": event_ts,
                 "hostname": g(3),
                 "tag": g(4),
                 "proc_id": g(5),

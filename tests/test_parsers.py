@@ -262,6 +262,36 @@ def test_syslog_rfc3164_single_digit_day_and_year(spark):
     assert r.event_ts.year == dt.date.today().year
 
 
+def test_syslog_rfc3164_skip_pri_and_location(spark):
+    """Reference data.go RFC3164SkipPriAbsent/Present cases: the <pri>
+    prefix may be missing (allow_skip_pri_header), and `location` names
+    the zone the year-less wall time was written in."""
+    from opentelemetry_collector_contrib_spark.operators import SyslogParser
+
+    no_pri = "Jun 15 10:00:00 1.2.3.4 apache_server: test message"
+    with_pri = "<123>Jun 15 10:00:00 1.2.3.4 apache_server: test message"
+    df = spark.createDataFrame([(no_pri,), (with_pri,)], "body string")
+    out = {r.body: r for r in SyslogParser(
+        protocol="rfc3164", allow_skip_pri_header=True
+    )(df).collect()}
+    a = out[no_pri]
+    assert a.priority is None and a.severity_number is None
+    assert a.hostname == "1.2.3.4" and a.tag == "apache_server"
+    assert a.message == "test message"
+    b = out[with_pri]
+    assert b.priority == 123 and b.facility == 15
+    assert b.severity_number == 17  # syslog err -> OTel ERROR
+    # without the flag the pri-less line is a parse failure (fields null)
+    strict = SyslogParser(protocol="rfc3164")(df.filter(df.body == no_pri)).collect()[0]
+    assert strict.hostname is None
+    # location: Detroit wall time (EDT in June, UTC-4) -> UTC instant
+    loc = SyslogParser(
+        protocol="rfc3164", allow_skip_pri_header=True,
+        location="America/Detroit",
+    )(df.filter(df.body == no_pri)).collect()[0]
+    assert loc.event_ts.hour == 14  # 10:00 EDT == 14:00 UTC
+
+
 def test_severity_parser_colliding_aliases_no_fanout(spark):
     # two mapping keys that collide after lower() must not fan out the
     # broadcast join (first-wins, like the when-chain it replaced)
