@@ -557,6 +557,12 @@ class SyslogParser:
             "severity_number": sev_expr.otherwise(F.lit(None)).cast("int"),
         }
         if self.protocol == "rfc5424":
+            # structured data `[id k="v" ...]` additionally parses into
+            # sd_id + a typed map (the reference emits a nested map,
+            # parser.go postprocess); the raw string stays alongside.
+            sd = g(8)
+            sd_kv_full = r'([A-Za-z0-9_.\-]+)="[^"]*"'
+            sd_kv_val = r'[A-Za-z0-9_.\-]+="([^"]*)"'
             values = {
                 **common,
                 "version": g(2).cast("int"),
@@ -565,7 +571,17 @@ class SyslogParser:
                 "appname": g(5),
                 "proc_id": g(6),
                 "msg_id": g(7),
-                "structured_data": g(8),
+                "structured_data": sd,
+                "sd_id": F.when(
+                    sd.rlike(r"^\["), F.regexp_extract(sd, r"^\[([^\s\]]+)", 1)
+                ),
+                "structured_data_map": F.when(
+                    sd.rlike(r"^\["),
+                    F.map_from_arrays(
+                        F.regexp_extract_all(sd, F.lit(sd_kv_full), F.lit(1)),
+                        F.regexp_extract_all(sd, F.lit(sd_kv_val), F.lit(1)),
+                    ),
+                ),
                 "message": g(9),
             }
         else:

@@ -262,6 +262,30 @@ def test_syslog_rfc3164_single_digit_day_and_year(spark):
     assert r.event_ts.year == dt.date.today().year
 
 
+def test_syslog_rfc5424_structured_data_map(spark):
+    """Reference data.go non-transparent body: SD parses into id + map."""
+    from opentelemetry_collector_contrib_spark.operators import SyslogParser
+
+    line = (
+        '<86>1 2015-08-05T21:58:59 192.168.2.132 SecureAuth0 23108 ID52020 '
+        '[SecureAuth@27389 UserHostAddress="192.168.2.132" Realm="SecureAuth0" '
+        'UserID="Tester2" PEN="27389"] Found the user'
+    )
+    df = spark.createDataFrame([(line,), ("<86>1 - - - - - - bare",)], "body string")
+    out = {r.proc_id: r for r in SyslogParser(protocol="rfc5424")(df).collect()}
+    r = out["23108"]
+    assert r.sd_id == "SecureAuth@27389"
+    assert dict(r.structured_data_map) == {
+        "UserHostAddress": "192.168.2.132",
+        "Realm": "SecureAuth0",
+        "UserID": "Tester2",
+        "PEN": "27389",
+    }
+    assert r.message == "Found the user"
+    bare = out["-"]
+    assert bare.sd_id is None and bare.structured_data_map is None
+
+
 def test_syslog_rfc3164_skip_pri_and_location(spark):
     """Reference data.go RFC3164SkipPriAbsent/Present cases: the <pri>
     prefix may be missing (allow_skip_pri_header), and `location` names
