@@ -247,6 +247,43 @@ _STRPTIME = {
 }
 
 
+# Go reference-time layout tokens -> JVM DateTimeFormatter pattern.
+# gotime is stanza's DEFAULT layout_type (helper/time.go:34); tokens from
+# Go's time package reference time "Mon Jan 2 15:04:05 MST 2006".
+# Ordered longest-first so e.g. "2006" wins over "06" and "01" over "1".
+_GOTIME = [
+    ("2006", "yyyy"), ("06", "yy"),
+    ("January", "MMMM"), ("Jan", "MMM"), ("01", "MM"),
+    ("Monday", "EEEE"), ("Mon", "EEE"),
+    ("02", "dd"), ("_2", "d"), ("15", "HH"),
+    ("04", "mm"), ("05", "ss"),
+    (".000000000", ".SSSSSSSSS"), (".000000", ".SSSSSS"), (".000", ".SSS"),
+    ("999999999", "SSSSSSSSS"), ("999999", "SSSSSS"), ("999", "SSS"),
+    ("PM", "a"), ("pm", "a"),
+    ("Z07:00", "XXX"), ("Z0700", "XX"), ("-07:00", "xxx"), ("-0700", "xx"),
+    ("MST", "zz"),
+    ("03", "hh"), ("3", "h"), ("2", "d"), ("1", "M"),
+]
+
+
+def gotime_to_jvm(layout: str) -> str:
+    """Translate a Go time layout to a JVM pattern by greedy
+    longest-token scan; literal letters are quoted."""
+    out = []
+    i = 0
+    while i < len(layout):
+        for tok, jvm in _GOTIME:
+            if layout.startswith(tok, i):
+                out.append(jvm)
+                i += len(tok)
+                break
+        else:
+            ch = layout[i]
+            out.append(f"'{ch}'" if ch.isalpha() else ch)
+            i += 1
+    return "".join(out)
+
+
 def strptime_to_jvm(layout: str) -> str:
     out = []
     i = 0
@@ -274,8 +311,9 @@ class TimeParser:
     """Event-time parsing (helper/time.go, parser/time/parser.go).
 
     layout_type: ``strptime`` (ctime directives, translated to a JVM
-    pattern), ``spark`` (raw JVM pattern), ``epoch`` with layout one of
-    s|ms|us|ns. Writes ``ts`` (entry.Timestamp) by default.
+    pattern), ``gotime`` (Go reference-time layouts — stanza's default,
+    helper/time.go:34), ``spark`` (raw JVM pattern), ``epoch`` with
+    layout one of s|ms|us|ns. Writes ``ts`` (entry.Timestamp) by default.
     """
 
     layout: str = "%Y-%m-%dT%H:%M:%S"
@@ -296,11 +334,12 @@ class TimeParser:
                 "ns": F.timestamp_micros((num / 1000).cast("long")),
             }[self.layout]
         else:
-            fmt = (
-                strptime_to_jvm(self.layout)
-                if self.layout_type == "strptime"
-                else self.layout
-            )
+            if self.layout_type == "strptime":
+                fmt = strptime_to_jvm(self.layout)
+            elif self.layout_type == "gotime":
+                fmt = gotime_to_jvm(self.layout)
+            else:
+                fmt = self.layout
             if fmt in ("yyyy-MM-dd'T'HH:mm:ss", "yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd"):
                 # ISO layouts hit Spark's hand-rolled stringToTimestamp
                 # cast (~4x faster than DateTimeFormatter-based

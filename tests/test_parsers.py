@@ -173,6 +173,24 @@ def test_time_parser_strptime(spark):
     assert len(TimeParser(parse_from="t", on_error="drop")(df).collect()) == 1
 
 
+def test_gotime_translation_and_parse(spark):
+    from opentelemetry_collector_contrib_spark.operators import TimeParser
+    from opentelemetry_collector_contrib_spark.operators.parsers import gotime_to_jvm
+
+    assert gotime_to_jvm("2006-01-02T15:04:05") == "yyyy-MM-dd'T'HH:mm:ss"
+    assert gotime_to_jvm("Jan 2 15:04:05") == "MMM d HH:mm:ss"
+    assert gotime_to_jvm("01/02/2006 03:04 PM") == "MM/dd/yyyy hh:mm a"
+    df = spark.createDataFrame(
+        [("Apr 12 07:08:09",), ("12/31/2023 11:59 PM",)], "body string"
+    )
+    r = TimeParser(layout="Jan 2 15:04:05", layout_type="gotime",
+                   to_field="t1")(df.filter("body like 'Apr%'")).collect()[0]
+    assert (r.t1.month, r.t1.day, r.t1.second) == (4, 12, 9)
+    r = TimeParser(layout="01/02/2006 03:04 PM", layout_type="gotime",
+                   to_field="t2")(df.filter("body like '12%'")).collect()[0]
+    assert (r.t2.year, r.t2.hour, r.t2.minute) == (2023, 23, 59)
+
+
 def test_time_parser_epoch(spark):
     df = spark.createDataFrame([("1704067200",)], "t string")
     for layout, val in [("s", 1704067200), ("ms", 1704067.2)]:
