@@ -396,16 +396,58 @@ def _severity_dim(spark, rows: tuple):
     return per_session[rows]
 
 
+_HTTP_RANGES = {"2xx": (200, 299), "3xx": (300, 399), "4xx": (400, 499), "5xx": (500, 599)}
+
+
+def expand_stanza_severity_mapping(stanza: dict) -> dict[str, str]:
+    """Stanza severity config orientation (severity -> alias | int |
+    {min,max} range | "2xx".."5xx" | list of those;
+    helper/severity_builder.go:88-199) -> our alias -> severity dict."""
+    out: dict[str, str] = {}
+
+    def add(value, name: str) -> None:
+        if isinstance(value, list):
+            for v in value:
+                add(v, name)
+        elif isinstance(value, dict):
+            lo, hi = int(value["min"]), int(value["max"])
+            for n in range(lo, hi + 1):
+                out[str(n)] = name
+        elif isinstance(value, int):
+            out[str(value)] = name
+        elif isinstance(value, str) and value.lower() in _HTTP_RANGES:
+            lo, hi = _HTTP_RANGES[value.lower()]
+            for n in range(lo, hi + 1):
+                out[str(n)] = name
+        else:
+            out[str(value)] = name
+
+    for name, value in stanza.items():
+        if name not in SEVERITY_NUMBERS:
+            raise ValueError(f"unknown severity {name!r}")
+        add(value, name)
+    return out
+
+
 @dataclass
 class SeverityParser:
     """Text -> (severity_number, severity_text)
     (pkg/stanza/operator/helper/severity.go; enum entry/severity.go:10-52).
-    Compiles the alias table into one CASE expression."""
+    Compiles the alias table into one CASE expression.
+
+    ``stanza_mapping`` accepts the stanza config orientation — severity
+    name -> aliases / {min,max} ranges / "2xx" HTTP buckets — and
+    expands it to the alias dimension (overrides ``mapping``)."""
 
     parse_from: str = "severity_text"
     mapping: dict[str, str] = field(default_factory=lambda: dict(SEVERITY_ALIASES))
+    stanza_mapping: dict | None = None
     on_error: str = "send"
     if_expr: str | None = None
+
+    def __post_init__(self):
+        if self.stanza_mapping is not None:
+            self.mapping = expand_stanza_severity_mapping(self.stanza_mapping)
 
     def __call__(self, df: DataFrame) -> DataFrame:
         # Broadcast-join the alias dimension instead of a 16-branch

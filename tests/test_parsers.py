@@ -209,6 +209,29 @@ def test_severity_parser(spark):
     assert (out[2]["severity_number"], out[2]["severity_text"]) == (0, "BOGUS")
 
 
+def test_severity_stanza_mapping_ranges_and_http(spark):
+    """severity_builder.go:88-199: stanza orientation with {min,max}
+    ranges and the 2xx/4xx HTTP buckets."""
+    df = spark.createDataFrame(
+        [(1, "404"), (2, "204"), (3, "oops"), (4, "3")],
+        "id int, severity_text string",
+    )
+    sp = SeverityParser(stanza_mapping={
+        "error": ["oops", "4xx"],
+        "info": "2xx",
+        "debug": {"min": 1, "max": 5},
+    })
+    out = {r.id: r for r in sp(df).collect()}
+    assert out[1].severity_number == 17 and out[1].severity_text == "ERROR"
+    assert out[2].severity_number == 9   # 204 in 2xx -> info
+    assert out[3].severity_number == 17  # alias
+    assert out[4].severity_number == 5   # 3 in [1,5] -> debug
+    import pytest
+
+    with pytest.raises(ValueError):
+        SeverityParser(stanza_mapping={"bogus": "x"})
+
+
 def test_trace_parser(spark):
     df = spark.createDataFrame([("0102ab", "ff01")], "t string, s string")
     out = TraceParser(trace_from="t", span_from="s")(df).collect()[0]
