@@ -154,8 +154,13 @@ class CsvParser:
             hdr = field_get(self.header_attribute)
             keys = F.split(hdr, _re.escape(hdelim))
             vals = F.split(src, _re.escape(self.delimiter))
-            parsed_map = F.map_from_arrays(keys, F.slice(vals, 1, F.size(keys)))
             ok = hdr.isNotNull() & (F.size(vals) >= F.size(keys))
+            # a short row must yield null, not a SparkRuntimeException:
+            # map_from_arrays throws on unequal lengths and with
+            # on_error='send' the row stays in the frame, so the guard
+            # has to live inside the expression (reference fails
+            # per-entry only, parser.go:95-101)
+            parsed_map = F.when(ok, F.map_from_arrays(keys, F.slice(vals, 1, F.size(keys))))
             out = df.withColumn("parsed", parsed_map)
             return apply_on_error(out, ok, self.on_error, self.if_expr)
         if self.ignore_quotes:
@@ -411,6 +416,8 @@ def expand_stanza_severity_mapping(stanza: dict) -> dict[str, str]:
                 add(v, name)
         elif isinstance(value, dict):
             lo, hi = int(value["min"]), int(value["max"])
+            if lo > hi:  # severity_builder.go expandRange swaps reversed bounds
+                lo, hi = hi, lo
             for n in range(lo, hi + 1):
                 out[str(n)] = name
         elif isinstance(value, int):
@@ -447,7 +454,14 @@ class SeverityParser:
 
     def __post_init__(self):
         if self.stanza_mapping is not None:
-            self.mapping = expand_stanza_severity_mapping(self.stanza_mapping)
+            # the reference severity_builder MERGES user mappings into the
+            # builtin preset (operatorMapping.add over the default table,
+            # severity_builder.go:201-214) — user entries win, but 'warn',
+            # 'emerg' etc. keep resolving
+            self.mapping = {
+                **dict(SEVERITY_ALIASES),
+                **expand_stanza_severity_mapping(self.stanza_mapping),
+            }
 
     def __call__(self, df: DataFrame) -> DataFrame:
         # Broadcast-join the alias dimension instead of a 16-branch

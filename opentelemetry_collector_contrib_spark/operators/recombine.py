@@ -118,32 +118,39 @@ class Recombine:
     def __call__(self, df: DataFrame) -> DataFrame:
         src, order, fld = self.source_identifier, self.order_by, self.combine_field
         out = self._grouped(df)
-        sub_caps = []
-        if self.max_batch_size:
-            sub_caps.append((None, self.max_batch_size))
-        if self.max_unmatched_batch_size:
-            # transformer.go:186-188 flushes when a batch with NO match
-            # yet reaches the cap. is_first mode: only group 0 (rows
-            # before the first boundary) is matchless. is_last mode:
-            # EVERY group is matchless until its closing row, so the cap
+        mb, mu = self.max_batch_size, self.max_unmatched_batch_size
+        if mb or mu:
+            # One retag pass over the ORIGINAL group ids. The reference
+            # checks BOTH caps on every append (transformer.go:151-158,
+            # :186-188), so where both apply the effective cap is their
+            # min. is_first mode: only group 0 (rows before the first
+            # boundary) is matchless, so max_unmatched applies there and
+            # max_batch_size everywhere. is_last mode: EVERY group is
+            # matchless until its closing row, so the min of both caps
             # chunks every group — the closing match row lands in the
-            # current partial chunk, which reproduces the reference's
-            # flush sequence exactly (transformer_test.go:543-668).
-            if self.is_first_entry is not None:
-                sub_caps.append(
-                    (F.col("__grp__") == 0, self.max_unmatched_batch_size)
+            # current partial chunk, matching the reference's flush
+            # sequence (transformer_test.go:543-668). A sequential
+            # two-pass retag would be wrong twice over: the second
+            # pass's `__grp__ == 0` sees "0:0" strings (casts to null,
+            # cap silently off), and nested splitting yields 3,2,3,2
+            # flushes where the reference emits 3,3,3.
+            if mu and self.is_first_entry is not None:
+                cap0 = min(c for c in (mb, mu) if c)
+                cap_col = (
+                    F.when(F.col("__grp__") == 0, F.lit(cap0)).otherwise(F.lit(mb))
+                    if mb
+                    else F.when(F.col("__grp__") == 0, F.lit(cap0))
                 )
-            elif self.is_last_entry is not None:
-                sub_caps.append((None, self.max_unmatched_batch_size))
-        for cond, cap in sub_caps:
+            else:
+                cap_col = F.lit(min(c for c in (mb, mu) if c))
             seq = F.row_number().over(
                 Window.partitionBy(src, "__grp__").orderBy(order)
             )
-            sub = F.floor((seq - 1) / cap).cast("string")
+            sub = F.floor((seq - 1) / cap_col).cast("string")
             tag = F.concat_ws(":", F.col("__grp__").cast("string"), sub)
             out = out.withColumn(
                 "__grp__",
-                tag if cond is None else F.when(cond, tag).otherwise(
+                F.when(cap_col.isNotNull(), tag).otherwise(
                     F.col("__grp__").cast("string")
                 ),
             )

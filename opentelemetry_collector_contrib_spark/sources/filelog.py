@@ -72,27 +72,30 @@ class FileLogSource:
             # reference's fileconsumer is likewise a per-file reader,
             # pkg/stanza/fileconsumer/file.go:25-263); parallelism comes
             # from the file count, and a file must fit in executor memory.
-            key = "log_file_path" if self.include_file_path else "log_file_name"
+            # the window/group key is ALWAYS the full path: two files with
+            # the same basename in different directories must not collide
+            # into one partition (their posexplode positions would
+            # interleave and corrupt grouping); log_file_name is derived
+            # as an output column only
             whole = spark.read.text(paths, wholetext=True)
             fp = F.input_file_name()
-            name = F.element_at(F.split(fp, "/"), -1)
-            whole = whole.withColumn(
-                key, fp if self.include_file_path else name
-            ).withColumn("observed_ts", F.current_timestamp())
+            whole = whole.withColumn("log_file_path", fp).withColumn(
+                "observed_ts", F.current_timestamp()
+            )
             lines = whole.select(
-                key,
+                "log_file_path",
                 "observed_ts",
                 F.posexplode(
                     F.split(F.regexp_replace("value", "\n$", ""), "\r?\n")
                 ).alias("__line__", "body"),
             )
-            w = Window.partitionBy(key).orderBy("__line__")
+            w = Window.partitionBy("log_file_path").orderBy("__line__")
             grp = F.sum(
                 F.col("body").rlike(self.line_start_pattern).cast("int")
             ).over(w)
             df = (
                 lines.withColumn("__grp__", grp)
-                .groupBy(key, "__grp__")
+                .groupBy("log_file_path", "__grp__")
                 .agg(
                     F.array_join(
                         F.transform(
@@ -107,4 +110,11 @@ class FileLogSource:
                 )
                 .drop("__grp__")
             )
+            if self.include_file_name:
+                df = df.withColumn(
+                    "log_file_name",
+                    F.element_at(F.split("log_file_path", "/"), -1),
+                )
+            if not self.include_file_path:
+                df = df.drop("log_file_path")
         return df
