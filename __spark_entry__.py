@@ -649,7 +649,11 @@ def _q_dedup_jaccard(spark, sf_dir):
 
 
 def _q_dedup_cosine(spark, sf_dir):
-    return cosine_pairs(_emb(spark, sf_dir), threshold=0.8)
+    # threshold 0.2 so the oracle is NON-vacuous (0.8 matched zero rows
+    # on both sides at sf0.01 — a hash match on an empty frame verifies
+    # nothing about the dot-product/norm/rounding path; 0.2 yields ~7k
+    # pairs from 500 vectors)
+    return cosine_pairs(_emb(spark, sf_dir), threshold=0.2)
 
 
 def _q_ann_topk(spark, sf_dir):
@@ -669,7 +673,9 @@ def _q_ann_lsh_topk(spark, sf_dir):
 
 
 def _q_cosine_bucketed(spark, sf_dir):
-    return cosine_pairs_bucketed(_emb(spark, sf_dir), threshold=0.2, n_planes=4)
+    return cosine_pairs_bucketed(
+        _emb(spark, sf_dir), threshold=0.2, n_planes=4, max_bucket=200
+    )
 
 
 def _q_token_stats(spark, sf_dir):
@@ -982,7 +988,7 @@ WHERE round(inter::DOUBLE / (na.n + nb.n - inter), 4) >= 0.2""",
        round({_DOT_AB} / ({_nrm('a')} * {_nrm('b')}), 4) AS cos
 FROM embeddings a CROSS JOIN embeddings b
 WHERE a.vec_id < b.vec_id
-  AND round({_DOT_AB} / ({_nrm('a')} * {_nrm('b')}), 4) >= 0.8""",
+  AND round({_DOT_AB} / ({_nrm('a')} * {_nrm('b')}), 4) >= 0.2""",
         "ann_bruteforce_topk": f"""WITH scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          round({_DOT_AB.replace('a.embedding', 'q.embedding').replace('b.embedding', 'c.embedding')}
@@ -1007,7 +1013,8 @@ scored AS (
 SELECT query_id, neighbor_id, rank, cos FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
   FROM scored) WHERE rank <= 5""",
-        "dedup_cosine_bucketed": f"""WITH b AS (SELECT vec_id, embedding, {_BUCKET4} AS bucket FROM embeddings)
+        "dedup_cosine_bucketed": f"""WITH b0 AS (SELECT vec_id, embedding, {_BUCKET4} AS bucket FROM embeddings),
+b AS (SELECT * FROM b0 QUALIFY count(*) OVER (PARTITION BY bucket) <= 200)
 SELECT a.vec_id AS a_id, c.vec_id AS b_id,
        round({_DOT_AB.replace('b.embedding', 'c.embedding')} / ({_nrm('a')} * {_nrm('c')}), 4) AS cos
 FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id

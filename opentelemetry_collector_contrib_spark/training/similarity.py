@@ -186,28 +186,58 @@ def cosine_pairs_bucketed(
     threshold: float = 0.95,
     n_planes: int = 8,
     dim: int = 64,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs above a cosine threshold, restricted to
     LSH-bucket collisions — the scale path promised by
     :func:`cosine_pairs` (which is the O(n^2) exact baseline).
 
-    One shuffle on the bucket key; within a bucket the pair set is
-    ~(n/2^planes)^2 instead of n^2. High-cosine pairs land in the same
-    bucket with probability (1 - theta/pi)^planes, so a missed true pair
-    is the (documented) LSH recall trade-off, identical to the reference
-    posture for MinHash-LSH text dedup.
+    ONE grouped collect per bucket + in-bucket ordered-pair expansion,
+    NOT a self-join: aliased self-join sides canonicalize differently so
+    ReuseExchange never fires, and the (8 dot products/row) bucket
+    subtree plus the vector column would be computed and scanned TWICE
+    (the same plan smell fixed for MinHash-LSH in
+    dedup.lsh_candidate_pairs). Here the embedding scan happens once,
+    shuffles once on the bucket key, and each bucket's a_id < b_id pairs
+    expand locally (sort_array on (id, vec) structs makes the ordering
+    free). High-cosine pairs share a bucket with probability
+    (1 - theta/pi)^planes — the documented LSH recall trade-off,
+    identical to the reference posture for MinHash-LSH text dedup.
+
+    ``max_bucket`` drops buckets larger than the cap: a degenerate
+    bucket (e.g. many near-zero vectors collapsing to one sign pattern)
+    is quadratic in pair expansion with no guard otherwise, and it also
+    bounds the per-group collect buffer.
     """
-    x = df.select(
-        F.col(id_col).alias("a_id"),
-        F.col(vec_col).alias("va"),
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
         _bucket_expr(vec_col, n_planes, dim).alias("bucket"),
     )
-    y = df.select(
-        F.col(id_col).alias("b_id"),
-        F.col(vec_col).alias("vb"),
-        _bucket_expr(vec_col, n_planes, dim).alias("bucket"),
+    buckets = (
+        staged.groupBy("bucket")
+        .agg(F.sort_array(F.collect_list(F.struct("id", "v"))).alias("items"))
+        .filter(F.size("items") > 1)
     )
-    pairs = x.join(y, "bucket").filter(F.col("a_id") < F.col("b_id"))
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("items") <= max_bucket)
+    items = F.col("items")
+    # arity-2 transform lambda = (element, index) — intentional here
+    pair_arrays = F.transform(
+        items,
+        lambda x, i: F.transform(
+            F.slice(items, i + 2, F.size(items)),
+            lambda y: F.struct(
+                x.getField("id").alias("a_id"),
+                x.getField("v").alias("va"),
+                y.getField("id").alias("b_id"),
+                y.getField("v").alias("vb"),
+            ),
+        ),
+    )
+    pairs = buckets.select(F.explode(F.flatten(pair_arrays)).alias("p")).select(
+        "p.a_id", "p.b_id", "p.va", "p.vb"
+    )
     cos = _dot(F.col("va"), F.col("vb")) / (
         _norm(F.col("va")) * _norm(F.col("vb"))
     )

@@ -177,6 +177,36 @@ def test_cosine_pairs_bucketed_subset_of_exact(vecs):
     assert (0, 1) in {(a, b) for a, b, _ in bucketed}  # near-dups collide
 
 
+def test_cosine_pairs_bucketed_single_scan_and_cap(vecs):
+    """Plan guard: the bucket-collect rewrite computes the bucket
+    subtree ONCE (the aliased self-join version scanned the embedding
+    source twice — aliased sides never hit ReuseExchange), and
+    max_bucket drops degenerate buckets."""
+    import contextlib
+    import io
+
+    from opentelemetry_collector_contrib_spark.training import cosine_pairs_bucketed
+
+    out = cosine_pairs_bucketed(vecs, threshold=0.2, n_planes=8, dim=4)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    import re
+
+    # formatted explain lists each node once in the detail section as
+    # "(N) <node>"; count source-scan nodes there
+    scans = re.findall(r"^\(\d+\) (?:Scan|LocalTableScan)", plan, re.M)
+    assert len(scans) == 1, plan
+    assert "Join" not in plan, plan
+    # max_bucket=1 kills every bucket with a pair in it -> no output
+    assert (
+        cosine_pairs_bucketed(vecs, threshold=0.2, n_planes=8, dim=4, max_bucket=1)
+        .count()
+        == 0
+    )
+
+
 def test_multimodal_plumbing(docs):
     mm = binary_table(docs)
     assert dict(mm.dtypes)["payload"] == "binary"
