@@ -1038,10 +1038,12 @@ FROM documents""",
         "doc_fingerprint": f"""SELECT doc_id,
   list_min(list_transform({_SH3}, s -> md5(s))) AS fp
 FROM documents""",
-        # the multimodal decode stub is DETERMINISTIC arithmetic over the
-        # payload bytes (training/multimodal.py:_fake_decode), so the full
-        # mapInPandas path is oracle-checkable: same polynomial checksum
-        # folded in DuckDB (documents are ASCII -> char ops == byte ops)
+        # text payloads take the deterministic RAW fallback of the real
+        # codec path (training/multimodal.py:_raw_features — PNG/BMP/WAV
+        # decode real media; the round-trip pytest covers those), so the
+        # full mapInPandas path is oracle-checkable: same polynomial
+        # checksum folded in DuckDB (documents are ASCII -> char ops ==
+        # byte ops)
         "multimodal_features": """WITH c AS (
   SELECT doc_id,
          length(text)::INT AS n_bytes,
@@ -1052,9 +1054,11 @@ FROM documents""",
            (a, b) -> (a * 131 + b) % 4294967296) AS checksum,
          lower(hex(substring(text, 1, 8))) AS head
   FROM documents)
-SELECT doc_id, n_bytes, checksum,
+SELECT doc_id, 'raw' AS format, n_bytes, checksum,
        head,
        (checksum % 640 + 1)::INT AS width,
-       ((checksum // 640) % 480 + 1)::INT AS height
+       ((checksum // 640) % 480 + 1)::INT AS height,
+       0::INT AS channels, 0::INT AS sample_rate, 0::INT AS n_frames,
+       0::BIGINT AS mean_q3
 FROM c""",
     }

@@ -1,0 +1,164 @@
+"""Round-trip tests for the pure-Python media codecs and the multimodal
+feature extractor over real encoded files."""
+
+from __future__ import annotations
+
+import pytest
+
+from opentelemetry_collector_contrib_spark.training.codecs import (
+    decode_bmp,
+    decode_media,
+    decode_png,
+    decode_wav,
+    encode_bmp,
+    encode_png,
+    encode_wav,
+    sniff,
+)
+from opentelemetry_collector_contrib_spark.training.multimodal import (
+    extract_features,
+)
+
+RGB = [
+    [(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+    [(10, 20, 30), (40, 50, 60), (70, 80, 90)],
+]
+
+
+def test_png_round_trip_rgb():
+    png = encode_png(RGB, channels=3)
+    assert sniff(png) == "png"
+    f = decode_png(png)
+    assert (f["width"], f["height"], f["channels"]) == (3, 2, 3)
+    total = sum(sum(px) for row in RGB for px in row)
+    assert f["mean_q3"] == round(total / 18 * 1000)
+    assert f["n_frames"] == 2
+
+
+def test_png_grayscale_and_alpha():
+    gray = [[(0,), (128,)], [(255,), (64,)]]
+    f = decode_png(encode_png(gray, channels=1))
+    assert (f["width"], f["height"], f["channels"]) == (2, 2, 1)
+    assert f["mean_q3"] == round((0 + 128 + 255 + 64) / 4 * 1000)
+    rgba = [[(1, 2, 3, 4), (5, 6, 7, 8)]]
+    f = decode_png(encode_png(rgba, channels=4))
+    assert (f["width"], f["height"], f["channels"]) == (2, 1, 4)
+
+
+def test_png_all_filter_types_reconstruct():
+    """Hand-build IDAT scanlines using filters 1-4; decode must undo
+    them to the same pixels as the filter-0 encoding."""
+    import struct
+    import zlib
+
+    from opentelemetry_collector_contrib_spark.training import codecs
+
+    width, height, channels = 4, 5, 3
+    # deterministic pixel field
+    pixels = [
+        [tuple(((x * 37 + y * 91 + c * 53) % 256) for c in range(channels)) for x in range(width)]
+        for y in range(height)
+    ]
+    plain = decode_png(encode_png(pixels, channels=3))
+
+    # re-encode with a different filter per row and verify identical stats
+    def filt(ftype, line, prev, bpp):
+        out = bytearray([ftype])
+        for i, v in enumerate(line):
+            left = line[i - bpp] if i >= bpp else 0
+            up = prev[i]
+            ul = prev[i - bpp] if i >= bpp else 0
+            if ftype == 0:
+                out.append(v)
+            elif ftype == 1:
+                out.append((v - left) & 0xFF)
+            elif ftype == 2:
+                out.append((v - up) & 0xFF)
+            elif ftype == 3:
+                out.append((v - ((left + up) >> 1)) & 0xFF)
+            else:
+                out.append((v - codecs._paeth(left, up, ul)) & 0xFF)
+        return out
+
+    stride = width * channels
+    prev = bytearray(stride)
+    raw = bytearray()
+    for y, row in enumerate(pixels):
+        line = bytearray(b for px in row for b in px)
+        raw.extend(filt(y % 5, line, prev, channels))
+        prev = line
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    png = (
+        codecs._PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    filtered = decode_png(png)
+    assert filtered == plain
+
+
+def test_bmp_round_trip():
+    bmp = encode_bmp(RGB)
+    assert sniff(bmp) == "bmp"
+    f = decode_bmp(bmp)
+    assert (f["width"], f["height"], f["channels"]) == (3, 2, 3)
+    total = sum(sum(px) for row in RGB for px in row)
+    assert f["mean_q3"] == round(total / 18 * 1000)
+
+
+def test_wav_round_trip():
+    samples = [0, 1000, -1000, 32767, -32768, 500]
+    wav = encode_wav(samples, sample_rate=16000, channels=2)
+    assert sniff(wav) == "wav"
+    f = decode_wav(wav)
+    assert f["channels"] == 2 and f["sample_rate"] == 16000
+    assert f["n_frames"] == 3
+    total = sum(abs(s) for s in samples)
+    assert f["mean_q3"] == round(total / 6 * 1000)
+
+
+def test_decode_media_rejects_raw():
+    with pytest.raises(ValueError):
+        decode_media(b"plain text payload")
+
+
+def test_truncated_media_raises():
+    png = encode_png(RGB, channels=3)
+    with pytest.raises(Exception):
+        decode_png(png[:40])
+    wav = encode_wav([1, 2, 3])
+    with pytest.raises(ValueError):
+        decode_wav(wav[:10])
+
+
+def test_extract_features_real_media_in_spark(spark):
+    """End-to-end: real encoded payloads flow through the Arrow-batched
+    mapInPandas and come back with decoded dimensions; raw payloads take
+    the deterministic fallback."""
+    rows = [
+        (0, bytearray(encode_png(RGB, channels=3))),
+        (1, bytearray(encode_bmp(RGB))),
+        (2, bytearray(encode_wav([100, -100, 200, -200], sample_rate=8000))),
+        (3, bytearray(b"not media at all")),
+    ]
+    mm = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in extract_features(mm).collect()}
+    assert out[0].format == "png" and (out[0].width, out[0].height) == (3, 2)
+    assert out[1].format == "bmp" and out[1].channels == 3
+    assert out[2].format == "wav" and out[2].sample_rate == 8000
+    assert out[2].n_frames == 4
+    assert out[3].format == "raw" and out[3].mean_q3 == 0
+    assert out[3].n_bytes == len(b"not media at all")
+    # image mean survives the full Spark path
+    total = sum(sum(px) for row in RGB for px in row)
+    assert out[0].mean_q3 == round(total / 18 * 1000)
+    assert out[0].mean_q3 == out[1].mean_q3
