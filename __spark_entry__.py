@@ -275,6 +275,42 @@ def _q_enrich(spark, sf_dir):
     )
 
 
+def _q_enrich_geoip(spark, sf_dir):
+    """CIDR range-join enrich (geoip posture,
+    processor/geoipprocessor/geoip_processor.go:83-135): events gain a
+    deterministic synthetic IPv4, the nation table becomes a /16 prefix
+    dimension; broadcast bucket equi-join + range residual, no
+    BroadcastNestedLoopJoin, fact side never shuffles."""
+    from opentelemetry_collector_contrib_spark.processors import CidrEnrich
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    fact = ev.select(
+        "event_id",
+        F.concat_ws(
+            ".",
+            F.lit("10"),
+            (F.col("event_id") % 40).cast("string"),
+            ((F.col("event_id") * 7) % 256).cast("string"),
+            ((F.col("event_id") * 13) % 256).cast("string"),
+        ).alias("ip"),
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    dim = nation.select(
+        F.concat(
+            F.lit("10."), F.col("n_nationkey").cast("string"), F.lit(".0.0/16")
+        ).alias("cidr"),
+        F.col("n_name").alias("name"),
+        F.col("n_regionkey").alias("regionkey"),
+    )
+    out = CidrEnrich(dim, ip_col="ip", prefix="geo_")(fact)
+    return out.select(
+        "event_id",
+        "ip",
+        "geo_name",
+        F.coalesce("geo_regionkey", F.lit(-1)).alias("geo_regionkey"),
+    )
+
+
 def _q_route_once(spark, sf_dir):
     routed, _ = _pipe()(_transcripts(spark, sf_dir))
     return routed.select("conv_id", "turn_idx", "route")
@@ -705,6 +741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_regex": _q_parse_regex,
         "parse_time_severity": _q_parse_time_severity,
         "enrich_lookup": _q_enrich,
+        "enrich_geoip": _q_enrich_geoip,
         "route_match_once": _q_route_once,
         "route_multi_match": _q_route_multi,
         "count_connector": _q_counts,
@@ -775,6 +812,26 @@ SELECT conv_id, turn_idx,
 FROM parsed""",
         "enrich_lookup": f"""{_BASE_CTES}
 SELECT conv_id, turn_idx, tool, tool_category, risk_level, role_group FROM enriched""",
+        "enrich_geoip": """WITH fact AS (
+  SELECT event_id,
+         '10.' || (event_id % 40) || '.' || ((event_id * 7) % 256)
+              || '.' || ((event_id * 13) % 256) AS ip
+  FROM events),
+ipint AS (
+  SELECT event_id, ip,
+         string_split(ip, '.')[1]::BIGINT * 16777216
+       + string_split(ip, '.')[2]::BIGINT * 65536
+       + string_split(ip, '.')[3]::BIGINT * 256
+       + string_split(ip, '.')[4]::BIGINT AS ip_int
+  FROM fact),
+dim AS (
+  SELECT n_name AS geo_name, n_regionkey,
+         10::BIGINT * 16777216 + n_nationkey::BIGINT * 65536 AS net_start,
+         10::BIGINT * 16777216 + n_nationkey::BIGINT * 65536 + 65535 AS net_end
+  FROM nation)
+SELECT f.event_id, f.ip, d.geo_name,
+       coalesce(d.n_regionkey, -1) AS geo_regionkey
+FROM ipint f LEFT JOIN dim d ON f.ip_int BETWEEN d.net_start AND d.net_end""",
         "route_match_once": f"""{_BASE_CTES}
 SELECT conv_id, turn_idx, route FROM routed""",
         "route_multi_match": f"""{_BASE_CTES}

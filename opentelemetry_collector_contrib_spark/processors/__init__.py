@@ -1,5 +1,5 @@
 from .attributes import AttributesProcessor, Action  # noqa: F401
-from .enrich import LookupEnrich  # noqa: F401
+from .enrich import CidrEnrich, LookupEnrich, ipv4_to_long  # noqa: F401
 from .filter import FilterProcessor  # noqa: F401
 from .groupbyattrs import GroupByAttrs  # noqa: F401
 from .redaction import Redaction  # noqa: F401

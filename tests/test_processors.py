@@ -338,3 +338,57 @@ def test_interval_honors_duration_multiple(spark):
         IntervalProcessor(interval="3 months", stream_keys=["metric"])
     with pytest.raises(ValueError):
         IntervalProcessor(interval="2 fortnights", stream_keys=["metric"])
+
+
+def test_cidr_enrich_range_join(spark):
+    """geoip posture (geoip_processor.go:83-135): CIDR prefix ranges
+    resolve via a broadcast /16-bucket equi-join + range residual —
+    never a BroadcastNestedLoopJoin."""
+    from opentelemetry_collector_contrib_spark.processors import CidrEnrich
+
+    dim = spark.createDataFrame(
+        [
+            ("10.1.0.0/16", "net-a"),
+            ("10.2.128.0/24", "net-b"),
+            ("172.16.0.0/12", "net-wide"),  # spans 16 /16 buckets
+        ],
+        "cidr string, name string",
+    )
+    facts = spark.createDataFrame(
+        [
+            (1, "10.1.200.7"),      # inside /16
+            (2, "10.2.128.9"),      # inside /24
+            (3, "10.2.129.9"),      # outside the /24 -> no match
+            (4, "172.31.255.255"),  # last addr of the /12
+            (5, "172.32.0.0"),      # one past the /12 -> no match
+            (6, "not-an-ip"),       # malformed -> null, kept
+            (7, "10.1.999.1"),      # octet out of range -> null, kept
+        ],
+        "id int, ip string",
+    )
+    out = CidrEnrich(dim, ip_col="ip", prefix="")(facts)
+    rows = {r.id: r.name for r in out.collect()}
+    assert rows == {
+        1: "net-a", 2: "net-b", 3: None, 4: "net-wide",
+        5: None, 6: None, 7: None,
+    }
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_cidr_enrich_longest_prefix_match(spark):
+    from opentelemetry_collector_contrib_spark.processors import CidrEnrich
+
+    dim = spark.createDataFrame(
+        [("10.0.0.0/8", "wide"), ("10.5.0.0/16", "mid"), ("10.5.5.0/24", "narrow")],
+        "cidr string, name string",
+    )
+    facts = spark.createDataFrame(
+        [(1, "10.9.0.1"), (2, "10.5.9.1"), (3, "10.5.5.1"), (3, "10.5.5.1")],
+        "id int, ip string",
+    )
+    out = CidrEnrich(dim, ip_col="ip", prefix="", longest_prefix_match=True)(facts)
+    got = sorted((r.id, r.name) for r in out.collect())
+    # duplicate fact rows each keep their own LPM result
+    assert got == [(1, "wide"), (2, "mid"), (3, "narrow"), (3, "narrow")]
