@@ -19,6 +19,7 @@ single pass over the input (no N full scans).
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
@@ -29,8 +30,31 @@ DEFAULT_ROUTE = "__default__"
 
 @dataclass
 class Route:
-    condition: str  # SQL predicate over the frame's columns
-    sink: str
+    condition: str       # SQL/OTTL predicate over the frame's columns
+    sink: str | list[str]  # one pipeline or the statement's pipeline LIST
+    editor: str | None = None  # full OTTL statement applied to matched rows
+    #                            (config Statement like `delete_key(attributes,
+    #                            "X-Tenant") where ...` routes AND mutates)
+
+    @property
+    def sink_list(self) -> list[str]:
+        return self.sink if isinstance(self.sink, list) else [self.sink]
+
+    @classmethod
+    def from_statement(cls, statement: str, pipelines: list[str]) -> "Route":
+        """Reference routing-table entry -> Route.
+
+        ``route() where C`` is pure routing; any other editor call with a
+        ``where`` clause (e.g. ``delete_key(attributes, "X-Tenant") where
+        C``) routes on C and applies the editor to matched rows
+        (connector/routingconnector/config.go:22-47)."""
+        m = re.match(r"^\s*route\(\)\s+where\s+(.*)$", statement, re.S)
+        if m:
+            return cls(m.group(1).strip(), pipelines)
+        m = re.match(r"^.*?\s+where\s+(.*)$", statement, re.S)
+        if m:
+            return cls(m.group(1).strip(), pipelines, editor=statement)
+        return cls("true", pipelines, editor=statement)
 
 
 @dataclass
@@ -53,39 +77,84 @@ class RoutingConnector:
             return [
                 (
                     F.coalesce(compile_condition(r.condition, df), F.lit(False)),
-                    r.sink,
+                    r.sink_list,
                 )
                 for r in self.table
             ]
         return [
-            (F.coalesce(F.expr(r.condition), F.lit(False)), r.sink) for r in self.table
+            (F.coalesce(F.expr(r.condition), F.lit(False)), r.sink_list)
+            for r in self.table
         ]
 
+    def _apply_editors(self, df: DataFrame) -> DataFrame:
+        """Statements with editors mutate matched rows before delivery
+        (the editor's own ``where`` scopes the mutation; conditions were
+        already evaluated pre-mutation when tagging)."""
+        from ..functions import compile_statement, drop_cache_columns
+
+        for r in self.table:
+            if r.editor is not None:
+                df = compile_statement(r.editor)(df)
+        return drop_cache_columns(df)
+
     def __call__(self, df: DataFrame) -> DataFrame:
-        """Tag rows with their route(s). match_once: adds one ``route``
-        string column. multi-match: one row per (row x matched route) via
-        explode of the matched-sink array (rows with no match explode to
-        the default sinks)."""
+        """Tag rows with their route(s). match_once: FIRST matching
+        statement wins, its full pipeline list delivered. multi-match:
+        one row per (row x matched pipeline) via explode of the
+        flattened matched-sink arrays (rows with no match explode to
+        the default sinks; no default -> dropped)."""
         conds = self._conds(df)
+        default_arr = (
+            F.array(*[F.lit(s) for s in self.default_sinks])
+            if self.default_sinks
+            else F.expr("cast(array() as array<string>)")
+        )
         if self.match_once:
+            multi = any(len(sinks) > 1 for _, sinks in conds) or len(
+                self.default_sinks
+            ) != 1
+            if not multi:
+                # single-sink fast path: scalar tag, no Generate node
+                expr = None
+                for cond, sinks in conds:
+                    tag_v = F.lit(sinks[0])
+                    expr = F.when(cond, tag_v) if expr is None else expr.when(cond, tag_v)
+                tag = (
+                    expr.otherwise(F.lit(self.default_sinks[0]))
+                    if expr is not None
+                    else F.lit(self.default_sinks[0])
+                )
+                out = df.withColumn(self.route_col, tag)
+                return self._apply_editors(out)
             expr = None
-            for cond, sink in conds:
-                expr = F.when(cond, sink) if expr is None else expr.when(cond, sink)
-            tag = expr.otherwise(F.lit(self.default_sinks[0])) if expr is not None else F.lit(self.default_sinks[0])
-            return df.withColumn(self.route_col, tag)
+            for cond, sinks in conds:
+                arr = F.array(*[F.lit(s) for s in sinks])
+                expr = F.when(cond, arr) if expr is None else expr.when(cond, arr)
+            routes = expr.otherwise(default_arr) if expr is not None else default_arr
+            out = df.withColumn(self.route_col, F.explode(routes))
+            return self._apply_editors(out)
         matched = F.array_compact(
-            F.array(*[F.when(cond, F.lit(sink)) for cond, sink in conds])
+            F.array(
+                *[
+                    F.when(cond, F.lit(s))
+                    for cond, sinks in conds
+                    for s in sinks
+                ]
+            )
         )
         # dedupe sinks hit by several routes: a group is delivered once
         # per consumer (logs.go:63-67 batching per consumer)
         matched = F.array_distinct(matched)
-        routes = F.when(F.size(matched) > 0, matched).otherwise(
-            F.array(*[F.lit(s) for s in self.default_sinks])
-        )
-        return df.withColumn(self.route_col, F.explode(routes))
+        routes = F.when(F.size(matched) > 0, matched).otherwise(default_arr)
+        out = df.withColumn(self.route_col, F.explode(routes))
+        return self._apply_editors(out)
 
     def sinks(self) -> list[str]:
-        names = [r.sink for r in self.table]
+        names: list[str] = []
+        for r in self.table:
+            for s in r.sink_list:
+                if s not in names:
+                    names.append(s)
         for s in self.default_sinks:
             if s not in names:
                 names.append(s)

@@ -1,1 +1,6 @@
-from .ottl import compile_condition, compile_statement, compile_value  # noqa: F401
+from .ottl import (  # noqa: F401
+    compile_condition,
+    compile_statement,
+    compile_value,
+    drop_cache_columns,
+)

@@ -19,19 +19,99 @@ from pyspark.sql.observation import Observation
 
 
 @dataclass
+class LogMatchProperties:
+    """Declarative include/exclude matcher — the reference's
+    ``LogMatchProperties`` config surface (processor/filterprocessor/
+    config.go + internal/filter/filterlog/filterlog.go:30-130).
+
+    Property groups AND together; the values WITHIN severity_texts /
+    log_bodies OR together; every listed attribute must match. strict =
+    equality, regexp = unanchored regex (Go filterset MatchString =
+    Spark ``rlike``). ``severity_min`` matches records at or above the
+    named severity, with severity 0 (undefined) matching only when
+    ``match_undefined`` (LogSeverityNumberMatchProperties)."""
+
+    match_type: str = "strict"  # strict | regexp
+    resource_attributes: list[tuple[str, str]] = field(default_factory=list)
+    record_attributes: list[tuple[str, str]] = field(default_factory=list)
+    severity_texts: list[str] = field(default_factory=list)
+    log_bodies: list[str] = field(default_factory=list)
+    severity_min: str | None = None
+    match_undefined: bool = False
+
+    def __post_init__(self):
+        if self.match_type not in ("strict", "regexp"):
+            raise ValueError("match_type must be 'strict' or 'regexp'")
+
+    def _one(self, col: F.Column, value: str) -> F.Column:
+        hit = col == value if self.match_type == "strict" else col.rlike(value)
+        return F.coalesce(hit, F.lit(False))
+
+    def compile(
+        self,
+        resource_col: str = "resource",
+        attributes_col: str = "attributes",
+        severity_text_col: str = "severity_text",
+        severity_number_col: str = "severity_number",
+        body_col: str = "body",
+    ) -> F.Column | None:
+        """Boolean match Column, or None when no properties are set (an
+        empty include keeps everything, an empty exclude drops nothing
+        — the reference treats an empty properties object as absent)."""
+        groups: list[F.Column] = []
+        for key, value in self.resource_attributes:
+            groups.append(self._one(F.col(resource_col).getItem(key), value))
+        for key, value in self.record_attributes:
+            groups.append(self._one(F.col(attributes_col).getItem(key), value))
+        if self.severity_texts:
+            hit = F.lit(False)
+            for v in self.severity_texts:
+                hit = hit | self._one(F.col(severity_text_col), v)
+            groups.append(hit)
+        if self.log_bodies:
+            hit = F.lit(False)
+            for v in self.log_bodies:
+                hit = hit | self._one(F.col(body_col), v)
+            groups.append(hit)
+        if self.severity_min is not None:
+            from ..operators.parsers import SEVERITY_NUMBERS
+
+            lo = SEVERITY_NUMBERS[self.severity_min.lower()]
+            num = F.coalesce(F.col(severity_number_col), F.lit(0))
+            hit = num >= lo
+            if self.match_undefined:
+                hit = hit | (num == 0)
+            else:
+                hit = hit & (num != 0)
+            groups.append(hit)
+        if not groups:
+            return None
+        cond = groups[0]
+        for g in groups[1:]:
+            cond = cond & g
+        return cond
+
+
+@dataclass
 class FilterProcessor:
-    conditions: list[str]          # OR-joined predicates; match -> DROP
+    conditions: list[str] = field(default_factory=list)
+    #                              OR-joined predicates; match -> DROP
     observe_name: str | None = None  # emit <name>.filtered count via observe()
     language: str = "sql"          # sql | ottl — the reference's conditions
     #                                ARE OTTL (filterprocessor config
     #                                `logs.log_record` statements); "ottl"
     #                                routes them through compile_condition
+    include: LogMatchProperties | None = None  # keep ONLY matching records
+    exclude: LogMatchProperties | None = None  # drop matching records
 
     def __post_init__(self):
         if self.language not in ("sql", "ottl"):
             raise ValueError("language must be 'sql' or 'ottl'")
 
     def matched(self, df: DataFrame | None = None) -> F.Column:
+        """DROP condition: any OTTL/SQL condition, OR falling outside
+        ``include``, OR matching ``exclude`` (filterprocessor logs.go
+        applies include/exclude matchers then the condition cascade)."""
         cond = F.lit(False)
         for c in self.conditions:
             if self.language == "ottl":
@@ -41,6 +121,14 @@ class FilterProcessor:
             else:
                 compiled = F.expr(c)
             cond = cond | F.coalesce(compiled, F.lit(False))
+        if self.include is not None:
+            inc = self.include.compile()
+            if inc is not None:
+                cond = cond | ~inc
+        if self.exclude is not None:
+            exc = self.exclude.compile()
+            if exc is not None:
+                cond = cond | exc
         return cond
 
     def __call__(self, df: DataFrame) -> DataFrame:
