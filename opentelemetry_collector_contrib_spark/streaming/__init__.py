@@ -15,12 +15,13 @@ from .pipeline import (
     windowed_counts,
     write_routed_stream,
 )
-from .source import file_stream, rate_transcripts
+from .source import file_stream, rate_transcripts, socket_stream
 from .stateful import stateful_delta_to_cumulative
 
 __all__ = [
     "file_stream",
     "rate_transcripts",
+    "socket_stream",
     "stateful_delta_to_cumulative",
     "session_recombine",
     "streaming_pipeline",

@@ -35,6 +35,54 @@ def file_stream(
     return reader.load(path)
 
 
+def socket_stream(
+    spark: SparkSession,
+    host: str,
+    port: int,
+    framing: str = "newline",
+    stream_id: str | None = None,
+) -> DataFrame:
+    """Live TCP receiver: the streaming twin of the tcplog/syslog socket
+    inputs (pkg/stanza/operator/input/tcp/input.go,
+    receiver/syslogreceiver/syslog.go:61-71), feeding the same framing
+    operators the batch path uses (sources/socket.py).
+
+    - ``framing="newline"``: non-transparent framing. Spark's socket
+      source already yields one row per newline-delimited message, so
+      each row IS a frame.
+    - ``framing="octet"``: RFC6587 octet counting. Each socket row is a
+      newline-flushed blob that may hold several ``<len> <len bytes>``
+      frames; the batch ``split_octet_frames`` (Arrow-batched
+      mapInPandas) applies to the stream unchanged — stream/batch
+      parity is the point, and is pytest-asserted.
+
+    Returns frames in the batch framing schema
+    (stream_id, frame_idx, body, valid); pipe into SyslogParser etc.
+    """
+    from ..sources.socket import split_octet_frames
+
+    raw = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", str(port))
+        .load()
+    )
+    sid = stream_id or f"{host}:{port}"
+    if framing == "newline":
+        return raw.select(
+            F.lit(sid).alias("stream_id"),
+            F.lit(0).alias("frame_idx"),
+            F.col("value").alias("body"),
+            F.lit(True).alias("valid"),
+        )
+    if framing == "octet":
+        blobs = raw.select(
+            F.lit(sid).alias("stream_id"), F.col("value").alias("data")
+        )
+        return split_octet_frames(blobs, blob_col="data")
+    raise ValueError("framing must be 'newline' or 'octet'")
+
+
 def rate_transcripts(
     spark: SparkSession, rows_per_second: int = 10_000, turns_per_conv: int = 10
 ) -> DataFrame:

@@ -173,3 +173,96 @@ def test_routed_stream_fanout_writes(spark, stream_dir, tmp_path):
     assert written.count() == n_input
     routes = {r.route for r in written.select("route").distinct().collect()}
     assert "sink_default" in routes and "sink_errors" in routes
+
+
+def _serve_then(send_payloads):
+    """Start a one-shot TCP server; Spark's socket source connects as a
+    client, receives the payloads, then the server closes."""
+    import socket
+    import threading
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    done = threading.Event()
+
+    def run():
+        conn, _ = srv.accept()
+        try:
+            for p in send_payloads:
+                conn.sendall(p)
+            done.wait(60)  # keep the connection open until test signals
+        finally:
+            conn.close()
+            srv.close()
+
+    threading.Thread(target=run, daemon=True).start()
+    return port, done
+
+
+def test_socket_stream_newline_framing(spark, tmp_path):
+    """Live tcplog receiver (pkg/stanza/operator/input/tcp): newline
+    frames arrive as rows of the batch framing schema."""
+    from opentelemetry_collector_contrib_spark.streaming import socket_stream
+
+    port, done = _serve_then([b"<13>Feb  5 17:32:18 host app: one\nmsg two\n"])
+    frames = socket_stream(spark, "127.0.0.1", port, framing="newline")
+    q = (
+        frames.writeStream.format("memory")
+        .queryName("sock_nl")
+        .option("checkpointLocation", str(tmp_path / "ck_nl"))
+        .start()
+    )
+    try:
+        for _ in range(120):
+            if spark.sql("SELECT * FROM sock_nl").count() >= 2:
+                break
+            q.processAllAvailable()
+    finally:
+        done.set()
+        q.stop()
+    rows = spark.sql("SELECT * FROM sock_nl").collect()
+    bodies = sorted(r.body for r in rows)
+    assert bodies == ["<13>Feb  5 17:32:18 host app: one", "msg two"]
+    assert all(r.valid for r in rows)
+
+
+def test_socket_stream_octet_framing_stream_batch_parity(spark, tmp_path):
+    """RFC6587 octet counting over a live socket matches the batch
+    framing operator on the same blob (receiver/syslogreceiver/
+    syslog.go:61-71)."""
+    from opentelemetry_collector_contrib_spark.sources.socket import (
+        split_octet_frames,
+    )
+    from opentelemetry_collector_contrib_spark.streaming import socket_stream
+
+    blob = "5 hello11 world again6 stream"
+    port, done = _serve_then([blob.encode() + b"\n"])
+    frames = socket_stream(spark, "127.0.0.1", port, framing="octet")
+    q = (
+        frames.writeStream.format("memory")
+        .queryName("sock_oct")
+        .option("checkpointLocation", str(tmp_path / "ck_oct"))
+        .start()
+    )
+    try:
+        for _ in range(120):
+            if spark.sql("SELECT * FROM sock_oct").count() >= 3:
+                break
+            q.processAllAvailable()
+    finally:
+        done.set()
+        q.stop()
+    got = {
+        (r.frame_idx, r.body, r.valid)
+        for r in spark.sql("SELECT * FROM sock_oct").collect()
+    }
+    batch = spark.createDataFrame([("s", blob)], "stream_id string, data string")
+    want = {
+        (r.frame_idx, r.body, r.valid)
+        for r in split_octet_frames(batch).collect()
+    }
+    assert got == want
+    assert {b for _, b, _ in got} == {"hello", "world again", "stream"}
