@@ -35,6 +35,16 @@ Requires a numeric ``order_by`` and ``is_first_entry`` mode (an
 ``is_last_entry`` flag needs the previous row, which crosses chunk
 boundaries). ``force_flush_timeout`` has no batch meaning (SURVEY.md
 7.3); the streaming variant uses a session window gap instead.
+
+Memory bound: the ``collect_list`` aggregation buffers ONE group (not
+one source) per buffer — a group is closed by any boundary match,
+``max_batch_size`` rows, or ``max_log_size`` bytes, so with any of
+those configured the buffer is explicitly capped (the reference's
+in-memory batch has the same caps, transformer.go:151-175). Only the
+degenerate config — no boundary ever matching and no cap set — buffers
+a whole source in one buffer; set ``max_batch_size`` (or
+``max_unmatched_batch_size``) in pathological-input deployments, same
+as the reference's defaults-on posture.
 """
 
 from __future__ import annotations

@@ -128,18 +128,54 @@ class TailSampling:
 @dataclass
 class GroupByTrace:
     """groupbytrace: one row per trace carrying its ordered rows
-    (processor/groupbytraceprocessor — buffer, then release together)."""
+    (processor/groupbytraceprocessor — buffer, then release together).
+
+    ``max_trace_size`` bounds the per-trace aggregation buffer the way
+    the reference bounds its in-memory buffering (groupbytraceprocessor
+    ``num_traces`` ring + per-trace event buffers): a trace with more
+    rows keeps only its first ``max_trace_size`` in ``order_by`` order
+    and is flagged ``truncated``. ``span_count`` still reports the FULL
+    size. Unbounded (None) keeps the "release everything together"
+    semantic; the bound matters at 100 TB where one degenerate trace
+    (a conv_id that never rotates) would otherwise concentrate into a
+    single executor's aggregation buffer.
+
+    Single scan either way: the cap ranks rows with a window over the
+    same key the aggregation groups by, so the exchange is shared —
+    collect_list skips nulls, so the conditional ``when(rn <= cap)``
+    bounds the buffer without a second pass for the full count.
+    """
 
     trace_key: str = "conv_id"
     order_by: str = "turn_idx"
     collect: list[str] = field(default_factory=lambda: ["turn_idx", "role", "text"])
+    max_trace_size: int | None = None
 
     def __call__(self, df: DataFrame) -> DataFrame:
         entry = F.struct(
             F.col(self.order_by).alias("__o__"),
             *[F.col(c).alias(c) for c in self.collect if c != self.order_by],
         )
-        return df.groupBy(self.trace_key).agg(
-            F.count(F.lit(1)).alias("span_count"),
-            F.sort_array(F.collect_list(entry)).alias("spans"),
+        if self.max_trace_size is None:
+            return df.groupBy(self.trace_key).agg(
+                F.count(F.lit(1)).alias("span_count"),
+                F.sort_array(F.collect_list(entry)).alias("spans"),
+            )
+        if self.max_trace_size < 1:
+            raise ValueError("max_trace_size must be >= 1")
+        w = Window.partitionBy(self.trace_key).orderBy(
+            self.order_by, *[c for c in self.collect if c != self.order_by]
+        )
+        ranked = df.withColumn("__rn__", F.row_number().over(w))
+        return (
+            ranked.groupBy(self.trace_key)
+            .agg(
+                F.count(F.lit(1)).alias("span_count"),
+                F.sort_array(
+                    F.collect_list(
+                        F.when(F.col("__rn__") <= self.max_trace_size, entry)
+                    )
+                ).alias("spans"),
+                (F.max("__rn__") > self.max_trace_size).alias("truncated"),
+            )
         )

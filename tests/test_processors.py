@@ -225,6 +225,35 @@ def test_groupbytrace_collects_in_order(spark):
     assert out["d"].span_count == 1
 
 
+def test_groupbytrace_max_trace_size_bounds_buffer(spark):
+    """An oversized trace keeps only its first max_trace_size rows (in
+    order) and is flagged, while span_count still reports the full size
+    — the num_traces/bounded-buffer posture of the reference
+    groupbytraceprocessor."""
+    import pytest
+
+    from opentelemetry_collector_contrib_spark.processors import GroupByTrace
+
+    rows = [("big", i, "u", f"t{i}") for i in range(50)] + [
+        ("small", 0, "u", "solo")
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    out = {
+        r.conv_id: r
+        for r in GroupByTrace(max_trace_size=10)(df).collect()
+    }
+    assert out["big"].span_count == 50
+    assert out["big"].truncated is True
+    assert [s.text for s in out["big"].spans] == [f"t{i}" for i in range(10)]
+    assert out["small"].span_count == 1
+    assert out["small"].truncated is False
+    assert [s.text for s in out["small"].spans] == ["solo"]
+    with pytest.raises(ValueError):
+        GroupByTrace(max_trace_size=0)(df)
+
+
 def test_resourcedetection_env_and_override(spark, monkeypatch):
     from opentelemetry_collector_contrib_spark.processors import ResourceDetection
 
