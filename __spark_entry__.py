@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from opentelemetry_collector_contrib_spark.connectors import (
+    ExceptionsConnector,
     Route,
     RoutingConnector,
     ServiceGraphConnector,
@@ -504,6 +505,77 @@ def _q_servicegraph_hist(spark, sf_dir):
     return sg(_transcripts(spark, sf_dir))
 
 
+def _span_frame(spark, sf_dir):
+    """Deterministic span frame from transcripts for the exceptions
+    connector: each turn is a span; turns with turn_idx % 7 == 3 carry
+    an ``exception`` event (type/message/stacktrace in event attrs),
+    turns with turn_idx % 13 == 5 a non-exception ``checkpoint`` event,
+    and tool='none' spans have no service name (the connector skips
+    them, connector_metrics.go:78-82)."""
+    t = _transcripts(spark, sf_dir)
+    exc_event = F.struct(
+        F.lit("exception").alias("name"),
+        F.col("ts").alias("ts"),
+        F.map_from_arrays(
+            F.array(
+                F.lit("exception.type"),
+                F.lit("exception.message"),
+                F.lit("exception.stacktrace"),
+            ),
+            F.array(
+                F.concat(F.lit("E"), (F.col("turn_idx") % 3).cast("string")),
+                F.concat(F.lit("boom "), F.col("role")),
+                F.concat(F.lit("st:"), F.col("conv_id")),
+            ),
+        ).alias("attributes"),
+    )
+    chk_event = F.struct(
+        F.lit("checkpoint").alias("name"),
+        F.col("ts").alias("ts"),
+        F.map_from_arrays(F.array(F.lit("k")), F.array(F.lit("v"))).alias(
+            "attributes"
+        ),
+    )
+    return t.select(
+        F.col("conv_id").alias("trace_id"),
+        F.concat(
+            F.col("conv_id"), F.lit("#"), F.col("turn_idx").cast("string")
+        ).alias("span_id"),
+        F.when(
+            F.col("tool") != "none", F.concat(F.lit("svc-"), F.col("tool"))
+        ).alias("service_name"),
+        F.concat(F.lit("turn-"), F.col("role")).alias("span_name"),
+        F.when(F.col("role") == "user", "SPAN_KIND_CLIENT")
+        .when(F.col("role") == "tool", "SPAN_KIND_SERVER")
+        .otherwise("SPAN_KIND_INTERNAL")
+        .alias("span_kind"),
+        F.when(F.col("turn_idx") % 5 == 0, "STATUS_CODE_ERROR")
+        .otherwise("STATUS_CODE_OK")
+        .alias("status_code"),
+        F.map_from_arrays(
+            F.array(F.lit("turn")), F.array(F.col("turn_idx").cast("string"))
+        ).alias("attributes"),
+        F.array_compact(
+            F.array(
+                F.when(F.col("turn_idx") % 7 == 3, exc_event),
+                F.when(F.col("turn_idx") % 13 == 5, chk_event),
+            )
+        ).alias("events"),
+    )
+
+
+def _q_exceptions_metrics(spark, sf_dir):
+    return ExceptionsConnector().metrics(_span_frame(spark, sf_dir))
+
+
+def _q_exceptions_logs(spark, sf_dir):
+    return ExceptionsConnector().logs(_span_frame(spark, sf_dir)).select(
+        "ts", "severity_text", "severity_number", "trace_id", "span_id",
+        "service_name", "span_name", "span_kind", "status_code",
+        "exception_type", "exception_message", "exception_stacktrace",
+    )
+
+
 def _q_groupbyattrs(spark, sf_dir):
     # record attrs live in the map; promote (role, tool) to resource
     # identity and regroup — output is the per-identity record count
@@ -764,6 +836,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_last": _q_interval_last,
         "servicegraph_edges": _q_servicegraph,
         "servicegraph_hist": _q_servicegraph_hist,
+        "exceptions_metrics": _q_exceptions_metrics,
+        "exceptions_logs": _q_exceptions_logs,
         "parse_container": _q_parse_container,
         "sampler_deterministic": _q_sampler,
         "sampler_proportional": _q_sampler_proportional,
@@ -1019,6 +1093,42 @@ SELECT client, server,
        ELSE '+Inf' END AS le,
   count(*)::BIGINT AS request_count
 FROM edges GROUP BY 1, 2, 3""",
+        "exceptions_metrics": f"""WITH {TRANSCRIPTS_ORACLE_CTE.strip()},
+spans AS (
+  SELECT CASE WHEN tool <> 'none' THEN 'svc-' || tool END AS service_name,
+         'turn-' || role AS span_name,
+         CASE WHEN role = 'user' THEN 'SPAN_KIND_CLIENT'
+              WHEN role = 'tool' THEN 'SPAN_KIND_SERVER'
+              ELSE 'SPAN_KIND_INTERNAL' END AS span_kind,
+         CASE WHEN turn_idx % 5 = 0 THEN 'STATUS_CODE_ERROR'
+              ELSE 'STATUS_CODE_OK' END AS status_code,
+         turn_idx, role
+  FROM transcripts)
+SELECT service_name, span_name, span_kind, status_code,
+       'E' || CAST(turn_idx % 3 AS VARCHAR) AS exception_type,
+       'boom ' || role AS exception_message,
+       count(*)::BIGINT AS count
+FROM spans WHERE turn_idx % 7 = 3 AND service_name IS NOT NULL
+GROUP BY 1, 2, 3, 4, 5, 6""",
+        "exceptions_logs": f"""WITH {TRANSCRIPTS_ORACLE_CTE.strip()},
+spans AS (
+  SELECT conv_id AS trace_id,
+         conv_id || '#' || CAST(turn_idx AS VARCHAR) AS span_id,
+         CASE WHEN tool <> 'none' THEN 'svc-' || tool END AS service_name,
+         'turn-' || role AS span_name,
+         CASE WHEN role = 'user' THEN 'SPAN_KIND_CLIENT'
+              WHEN role = 'tool' THEN 'SPAN_KIND_SERVER'
+              ELSE 'SPAN_KIND_INTERNAL' END AS span_kind,
+         CASE WHEN turn_idx % 5 = 0 THEN 'STATUS_CODE_ERROR'
+              ELSE 'STATUS_CODE_OK' END AS status_code,
+         conv_id, turn_idx, role, ts
+  FROM transcripts)
+SELECT ts, 'ERROR' AS severity_text, 17 AS severity_number, trace_id, span_id,
+       service_name, span_name, span_kind, status_code,
+       'E' || CAST(turn_idx % 3 AS VARCHAR) AS exception_type,
+       'boom ' || role AS exception_message,
+       'st:' || conv_id AS exception_stacktrace
+FROM spans WHERE turn_idx % 7 = 3 AND service_name IS NOT NULL""",
         "dedup_exact": """WITH h AS (
   SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
   FROM documents)

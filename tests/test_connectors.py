@@ -194,3 +194,123 @@ def test_routing_ottl_conditions_tenant_table(spark):
 
     with pytest.raises(ValueError):
         RoutingConnector([], language="yaml")
+
+
+# --- exceptions connector (connector/exceptionsconnector) -------------------
+
+
+@pytest.fixture(scope="module")
+def span_df(spark):
+    """Span frame shaped like the reference's test trace
+    (exceptionsconnector connector_test.go buildSampleTrace): spans with
+    an events array; some events are exceptions, some are not, one span
+    has no service name (skipped), one has two exception events."""
+    rows = [
+        # (trace, span, service, name, kind, status, attrs, events)
+        ("t1", "s1", "svc-a", "op-read", "SPAN_KIND_CLIENT", "STATUS_CODE_ERROR",
+         {"peer": "db"},
+         [("exception", {"exception.type": "IOError",
+                         "exception.message": "disk gone",
+                         "exception.stacktrace": "st1"})]),
+        ("t1", "s2", "svc-a", "op-read", "SPAN_KIND_CLIENT", "STATUS_CODE_ERROR",
+         {},
+         [("exception", {"exception.type": "IOError",
+                         "exception.message": "disk gone"})]),
+        ("t2", "s3", "svc-b", "op-write", "SPAN_KIND_SERVER", "STATUS_CODE_OK",
+         {"exception.type": "SpanWins"},   # span attr takes precedence
+         [("exception", {"exception.type": "EventLoses",
+                         "exception.message": "m1"}),
+          ("exception", {"exception.type": "EventLoses",
+                         "exception.message": "m2"}),
+          ("checkpoint", {})]),            # non-exception event ignored
+        ("t3", "s4", None, "op-skip", "SPAN_KIND_INTERNAL", "STATUS_CODE_OK",
+         {}, [("exception", {"exception.type": "Lost",
+                             "exception.message": "no service"})]),
+        ("t4", "s5", "svc-a", "op-clean", "SPAN_KIND_INTERNAL", "STATUS_CODE_OK",
+         {}, []),                          # no events at all
+    ]
+    data = [
+        (t, s, svc, n, k, st, attrs,
+         [{"name": en, "ts": None, "attributes": ea} for en, ea in evs])
+        for t, s, svc, n, k, st, attrs, evs in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        "trace_id string, span_id string, service_name string, "
+        "span_name string, span_kind string, status_code string, "
+        "attributes map<string,string>, "
+        "events array<struct<name string, ts timestamp, "
+        "attributes map<string,string>>>",
+    )
+
+
+def test_exceptions_metrics_counts_and_dimension_precedence(span_df):
+    from opentelemetry_collector_contrib_spark.connectors import (
+        ExceptionsConnector,
+    )
+
+    out = ExceptionsConnector().metrics(span_df).collect()
+    by_key = {
+        (r.service_name, r.span_name, r.exception_type, r.exception_message): r["count"]
+        for r in out
+    }
+    # two IOError events on svc-a spans with identical dims -> one dp of 2
+    assert by_key[("svc-a", "op-read", "IOError", "disk gone")] == 2
+    # span attribute beats event attribute (connector.go:50-55); the two
+    # events differ only in message -> two dps of 1 with type=SpanWins
+    assert by_key[("svc-b", "op-write", "SpanWins", "m1")] == 1
+    assert by_key[("svc-b", "op-write", "SpanWins", "m2")] == 1
+    # nil-service span skipped; checkpoint event ignored; no-event span absent
+    assert len(out) == 3
+
+
+def test_exceptions_metrics_default_dimension_and_exemplars(span_df):
+    from opentelemetry_collector_contrib_spark.connectors import (
+        ExcDimension,
+        ExceptionsConnector,
+    )
+
+    c = ExceptionsConnector(
+        dimensions=[ExcDimension("deploy.env", default="prod")],
+        exemplars=True,
+    )
+    out = {r.span_name: r for r in c.metrics(span_df).collect()}
+    # missing attr falls back to the configured default (connector.go:58-60)
+    assert out["op-read"].deploy_env == "prod"
+    ex = out["op-read"].exemplars
+    assert {(e.trace_id, e.span_id) for e in ex} == {("t1", "s1"), ("t1", "s2")}
+
+
+def test_exceptions_logs_one_record_per_event(span_df):
+    from opentelemetry_collector_contrib_spark.connectors import (
+        ExceptionsConnector,
+    )
+
+    logs = ExceptionsConnector().logs(span_df).collect()
+    assert len(logs) == 4  # s1, s2, s3 x2 (checkpoint + nil-service dropped)
+    assert all(r.severity_text == "ERROR" and r.severity_number == 17 for r in logs)
+    by_span = {}
+    for r in logs:
+        by_span.setdefault(r.span_id, []).append(r)
+    # stacktrace copied when present, '' otherwise (connector_logs.go getValue)
+    assert by_span["s1"][0].exception_stacktrace == "st1"
+    assert by_span["s2"][0].exception_stacktrace == ""
+    # span attributes carried alongside (connector_logs.go:105-107)
+    assert dict(by_span["s1"][0].span_attributes) == {"peer": "db"}
+    assert sorted(r.exception_message for r in by_span["s3"]) == ["m1", "m2"]
+
+
+def test_exceptions_reserved_dimension_rejected():
+    import pytest as _pytest
+
+    from opentelemetry_collector_contrib_spark.connectors import (
+        ExcDimension,
+        ExceptionsConnector,
+    )
+
+    with _pytest.raises(ValueError):
+        ExceptionsConnector(dimensions=[ExcDimension("span.kind")])
+    with _pytest.raises(ValueError):
+        ExceptionsConnector(
+            dimensions=[ExcDimension("x"), ExcDimension("x")]
+        )
