@@ -301,3 +301,116 @@ def test_load_balance_consistent_hash(spark):
         .count()
     )
     assert parts == 0
+
+
+# --- journald input (pkg/stanza/operator/input/journald) --------------------
+
+# the reference's own fake-journalctl response line, verbatim
+# (input_test.go:36)
+JOURNALD_GOLDEN = (
+    '{ "_BOOT_ID": "c4fa36de06824d21835c05ff80c54468", "_CAP_EFFECTIVE": "0", '
+    '"_TRANSPORT": "journal", "_UID": "1000", "_EXE": "/usr/lib/systemd/systemd", '
+    '"_AUDIT_LOGINUID": "1000", "MESSAGE": "run-docker-netns-4f76d707d45f.mount: Succeeded.", '
+    '"_PID": "13894", "_CMDLINE": "/lib/systemd/systemd --user", '
+    '"_MACHINE_ID": "d777d00e7caf45fbadedceba3975520d", "_SELINUX_CONTEXT": "unconfined\\n", '
+    '"CODE_FUNC": "unit_log_success", "SYSLOG_IDENTIFIER": "systemd", '
+    '"_HOSTNAME": "myhostname", "MESSAGE_ID": "7ad2d189f7e94e70a38c781354912448", '
+    '"_SYSTEMD_CGROUP": "/user.slice/user-1000.slice/user@1000.service/init.scope", '
+    '"_SOURCE_REALTIME_TIMESTAMP": "1587047866229317", '
+    '"USER_UNIT": "run-docker-netns-4f76d707d45f.mount", "SYSLOG_FACILITY": "3", '
+    '"_SYSTEMD_SLICE": "user-1000.slice", "_AUDIT_SESSION": "286", '
+    '"CODE_FILE": "../src/core/unit.c", "_SYSTEMD_USER_UNIT": "init.scope", '
+    '"_COMM": "systemd", "USER_INVOCATION_ID": "88f7ca6bbf244dc8828fa901f9fe9be1", '
+    '"CODE_LINE": "5487", "_SYSTEMD_INVOCATION_ID": "83f7fc7799064520b26eb6de1630429c", '
+    '"PRIORITY": "6", "_GID": "1000", "__REALTIME_TIMESTAMP": "1587047866229555", '
+    '"_SYSTEMD_UNIT": "user@1000.service", "_SYSTEMD_USER_SLICE": "-.slice", '
+    '"__CURSOR": "s=b1e713b587ae4001a9ca482c4b12c005;i=1eed30;'
+    'b=c4fa36de06824d21835c05ff80c54468;m=9f9d630205;t=5a369604ee333;'
+    'x=16c2d4fd4fdb7c36", "__MONOTONIC_TIMESTAMP": "685540311557", '
+    '"_SYSTEMD_OWNER_UID": "1000" }'
+)
+
+
+def _write_journal(tmp_path, lines):
+    p = tmp_path / "journal.jsonl"
+    p.write_text("\n".join(lines) + "\n")
+    return str(p)
+
+
+def test_journald_golden_line_parses_like_reference(spark, tmp_path):
+    """input_test.go TestInputJournald: timestamp from
+    __REALTIME_TIMESTAMP (micros, deleted from body), __CURSOR kept."""
+    import datetime as dt
+
+    from opentelemetry_collector_contrib_spark.sources import JournaldSource
+
+    path = _write_journal(tmp_path, [JOURNALD_GOLDEN])
+    rows = JournaldSource()(spark, path).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.valid
+    assert r.ts == dt.datetime(2020, 4, 16, 14, 37, 46, 229555)
+    assert r.cursor.startswith("s=b1e713b587ae4001a9ca482c4b12c005")
+    body = dict(r.body)
+    assert "__REALTIME_TIMESTAMP" not in body
+    assert body["__CURSOR"] == r.cursor  # stays in body (input.go:194)
+    assert body["MESSAGE"] == "run-docker-netns-4f76d707d45f.mount: Succeeded."
+    assert body["PRIORITY"] == "6"
+    assert len(body) == 34  # every field except the deleted timestamp
+
+
+def test_journald_filters_match_journalctl_args(spark, tmp_path):
+    from opentelemetry_collector_contrib_spark.sources import JournaldSource
+
+    mk = (
+        '{{"__CURSOR": "c{i}", "__REALTIME_TIMESTAMP": "160000000000{i}", '
+        '"PRIORITY": "{p}", "_SYSTEMD_UNIT": "{u}", "MESSAGE": "{m}", '
+        '"SYSLOG_IDENTIFIER": "{ident}", "_TRANSPORT": "{tr}"}}'
+    )
+    lines = [
+        mk.format(i=0, p=6, u="ssh.service", m="accepted key", ident="sshd", tr="journal"),
+        mk.format(i=1, p=7, u="ssh.service", m="debug detail", ident="sshd", tr="journal"),
+        mk.format(i=2, p=3, u="cron.service", m="job failed", ident="cron", tr="journal"),
+        mk.format(i=3, p=2, u="kernel", m="oops", ident="kernel", tr="kernel"),
+    ]
+    path = _write_journal(tmp_path, lines)
+    src = JournaldSource  # alias
+
+    # default priority=info drops the debug row (journalctl -p info)
+    assert {r.cursor for r in src()(spark, path).collect()} == {"c0", "c2", "c3"}
+    # units filter (-u ssh.service)
+    assert {r.cursor for r in src(units=["ssh.service"])(spark, path).collect()} == {"c0"}
+    # identifiers (-t cron)
+    assert {r.cursor for r in src(identifiers=["cron"])(spark, path).collect()} == {"c2"}
+    # grep (-g) on MESSAGE
+    assert {r.cursor for r in src(grep="fail")(spark, path).collect()} == {"c2"}
+    # dmesg -> _TRANSPORT=kernel
+    assert {r.cursor for r in src(dmesg=True)(spark, path).collect()} == {"c3"}
+    # matches: OR across configs, AND within one config
+    m = src(matches=[
+        {"_SYSTEMD_UNIT": "ssh.service", "PRIORITY": "6"},
+        {"_SYSTEMD_UNIT": "cron.service"},
+    ])
+    assert {r.cursor for r in m(spark, path).collect()} == {"c0", "c2"}
+    # priority=err keeps only err-and-worse
+    assert {r.cursor for r in src(priority="err")(spark, path).collect()} == {"c2", "c3"}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        src(priority="verbose")
+
+
+def test_journald_invalid_lines_flagged_not_dropped(spark, tmp_path):
+    from opentelemetry_collector_contrib_spark.sources import JournaldSource
+
+    lines = [
+        '{"__CURSOR": "c0", "__REALTIME_TIMESTAMP": "1600000000000000", "PRIORITY": "5", "MESSAGE": "ok"}',
+        '{"__REALTIME_TIMESTAMP": "1600000000000001", "PRIORITY": "5", "MESSAGE": "no cursor"}',
+        'not json at all',
+    ]
+    path = _write_journal(tmp_path, lines)
+    rows = JournaldSource()(spark, path).collect()
+    by_valid = {}
+    for r in rows:
+        by_valid.setdefault(r.valid, []).append(r)
+    assert len(by_valid[True]) == 1 and by_valid[True][0].cursor == "c0"
+    assert len(by_valid[False]) == 2  # parse errors surfaced, not silently lost
