@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame
 
 from ..connectors import (
     CountConnector,
+    ExcDimension,
+    ExceptionsConnector,
     MetricDef,
     Route,
     RoutingConnector,
@@ -147,7 +149,22 @@ OPERATOR_REGISTRY: dict[str, Callable[..., Callable[[DataFrame], DataFrame]]] = 
     ),
     "spanmetrics": SpanMetricsConnector,
     "servicegraph": ServiceGraphConnector,
+    # exceptions connector compiles to ONE of its two signals per stage
+    # (the collector wires it into a metrics OR a logs pipeline the same
+    # way, exceptionsconnector factory.go)
+    "exceptions": lambda **kw: _build_exceptions(**kw),
 }
+
+
+def _build_exceptions(
+    signal: str = "metrics", dimensions: list[dict] | None = None, **kw
+) -> Callable[[DataFrame], DataFrame]:
+    if dimensions is not None:
+        kw["dimensions"] = [ExcDimension(**d) for d in dimensions]
+    c = ExceptionsConnector(**kw)
+    if signal not in ("metrics", "logs"):
+        raise ValueError(f"exceptions signal must be metrics|logs, got {signal!r}")
+    return c.metrics if signal == "metrics" else c.logs
 
 
 @dataclass

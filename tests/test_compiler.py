@@ -28,7 +28,7 @@ EXPECTED_KINDS = {
     "deltatocumulative", "cumulativetodelta", "deltatorate",
     "metricstransform", "metricsgeneration", "tail_sampling", "groupbytrace",
     # connectors
-    "count", "routing", "spanmetrics", "servicegraph",
+    "count", "routing", "spanmetrics", "servicegraph", "exceptions",
 }
 
 
@@ -111,3 +111,30 @@ def test_json_config_file_stanza_style(spark, tmp_path):
     assert out["word"] == "hello" and out["env"] == "prod"
     with pytest.raises(ValueError):
         config_from_dict({"nope": []})
+
+
+def test_config_pipeline_exceptions_connector(spark):
+    """The exceptions connector compiles into a pipeline stage wired to
+    one signal, dimensions given as config dicts (factory.go posture)."""
+    cfg = PipelineConfig(stages=[
+        StageConfig("exceptions", {
+            "signal": "metrics",
+            "dimensions": [{"name": "deploy.env", "default": "prod"}],
+        }),
+    ])
+    df = spark.createDataFrame(
+        [("t1", "s1", "svc", "op", "SPAN_KIND_CLIENT", "STATUS_CODE_ERROR",
+          [{"name": "exception", "ts": None,
+            "attributes": {"exception.message": "x"}}])],
+        "trace_id string, span_id string, service_name string, "
+        "span_name string, span_kind string, status_code string, "
+        "events array<struct<name string, ts timestamp, "
+        "attributes map<string,string>>>",
+    )
+    out = compile_pipeline(cfg)(df).collect()
+    assert len(out) == 1 and out[0]["count"] == 1
+    assert out[0].deploy_env == "prod"
+    with pytest.raises(ValueError):
+        compile_pipeline(PipelineConfig(stages=[
+            StageConfig("exceptions", {"signal": "traces"})
+        ]))
