@@ -78,6 +78,9 @@ from opentelemetry_collector_contrib_spark.training import (
     extract_features,
     fingerprint,
     hyperplane_buckets,
+    ivf_assign,
+    ivf_centroids,
+    ivf_topk,
     lang_id,
     lsh_candidate_pairs,
     make_planes,
@@ -209,6 +212,36 @@ def _nrm(t: str) -> str:
         f"sqrt(list_reduce(list_transform({t}.embedding::DOUBLE[], x -> x*x),"
         " (p,q) -> p+q))"
     )
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """Generic left-fold dot product over DOUBLE-cast lists (same
+    evaluation order as training.similarity._dot — identical bits)."""
+    return (
+        f"list_reduce(list_transform(list_zip({a}::DOUBLE[], {b}::DOUBLE[]),"
+        " z -> z[1]*z[2]), (x,y) -> x+y)"
+    )
+
+
+def _nrm_sql(a: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_transform({a}::DOUBLE[], x -> x*x),"
+        " (p,q) -> p+q))"
+    )
+
+
+# IVF coarse quantizer, the DuckDB twin of training.similarity
+# .ivf_centroids: the 16 vectors that sort first by md5(id) become
+# centroids 1..16 (same deterministic sample both engines).
+_IVF_CENT = (
+    "cent AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id)"
+    " AS centroid_id, embedding AS cemb FROM embeddings"
+    " QUALIFY centroid_id <= 16)"
+)
+_IVF_COS_EC = (
+    f"({_dot_sql('e.embedding', 'c.cemb')}"
+    f" / ({_nrm_sql('e.embedding')} * {_nrm_sql('c.cemb')}))"
+)
 
 
 _PLANES = make_planes(8, 64)
@@ -780,6 +813,21 @@ def _q_ann_lsh_topk(spark, sf_dir):
     return lsh_topk(emb, emb.filter("vec_id < 20"), k=5, n_planes=4)
 
 
+def _q_ann_ivf_assign(spark, sf_dir):
+    # IVF coarse assignment: fit = deterministic md5-order sample of 16
+    # data vectors; assignment is a zero-shuffle projection
+    emb = _emb(spark, sf_dir)
+    return ivf_assign(emb, ivf_centroids(emb, n_list=16))
+
+
+def _q_ann_ivf_topk(spark, sf_dir):
+    # IVF-flat ANN: 16 lists, 2 probes per query — the data-adaptive
+    # twin of ann_lsh_topk with the same one-scan/broadcast posture
+    emb = _emb(spark, sf_dir)
+    cents = ivf_centroids(emb, n_list=16)
+    return ivf_topk(emb, emb.filter("vec_id < 20"), cents, k=5, n_probe=2)
+
+
 def _q_cosine_bucketed(spark, sf_dir):
     return cosine_pairs_bucketed(
         _emb(spark, sf_dir), threshold=0.2, n_planes=4, max_bucket=200
@@ -854,6 +902,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce_topk": _q_ann_topk,
         "ann_lsh_buckets": _q_ann_lsh,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_assign": _q_ann_ivf_assign,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "dedup_cosine_bucketed": _q_cosine_bucketed,
         "text_token_stats": _q_token_stats,
         "text_quality_score": _q_quality,
@@ -1177,6 +1227,28 @@ scored AS (
                / ({_nrm('q')} * {_nrm('c')}), 4) AS cos
   FROM b c JOIN (SELECT * FROM b WHERE vec_id < 20) q ON c.bucket = q.bucket
   WHERE q.vec_id != c.vec_id)
+SELECT query_id, neighbor_id, rank, cos FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored) WHERE rank <= 5""",
+        "ann_ivf_assign": f"""WITH {_IVF_CENT}
+SELECT e.vec_id, c.centroid_id AS list_id
+FROM embeddings e CROSS JOIN cent c
+QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY {_IVF_COS_EC} DESC, c.centroid_id) = 1""",
+        "ann_ivf_topk": f"""WITH {_IVF_CENT},
+assign AS (SELECT e.vec_id, e.embedding, c.centroid_id
+           FROM embeddings e CROSS JOIN cent c
+           QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {_IVF_COS_EC} DESC, c.centroid_id) = 1),
+probe AS (SELECT e.vec_id AS query_id, e.embedding AS qemb, c.centroid_id AS list_id
+          FROM (SELECT * FROM embeddings WHERE vec_id < 20) e CROSS JOIN cent c
+          QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                                     ORDER BY {_IVF_COS_EC} DESC, c.centroid_id) <= 2),
+scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+                  round({_dot_sql('p.qemb', 'a.embedding')}
+                        / ({_nrm_sql('p.qemb')} * {_nrm_sql('a.embedding')}), 4) AS cos
+           FROM assign a JOIN probe p
+             ON a.centroid_id = p.list_id AND p.query_id != a.vec_id)
 SELECT query_id, neighbor_id, rank, cos FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
   FROM scored) WHERE rank <= 5""",

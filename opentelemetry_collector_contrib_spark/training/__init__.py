@@ -23,6 +23,9 @@ from .similarity import (
     cosine_pairs,
     cosine_pairs_bucketed,
     hyperplane_buckets,
+    ivf_assign,
+    ivf_centroids,
+    ivf_topk,
     lsh_topk,
     make_planes,
 )
@@ -38,6 +41,9 @@ __all__ = [
     "extract_features",
     "fingerprint",
     "hyperplane_buckets",
+    "ivf_assign",
+    "ivf_centroids",
+    "ivf_topk",
     "lang_id",
     "lsh_candidate_pairs",
     "make_planes",

@@ -11,6 +11,11 @@
   deterministic integer-arithmetic literals so runs (and the DuckDB
   oracle) reproduce bit-identically. The scale path: groupBy bucket,
   then exact scoring within buckets only.
+- ``ivf_centroids`` / ``ivf_assign`` / ``ivf_topk``: IVF-flat ANN — a
+  fitted coarse quantizer (deterministic data-vector sampling)
+  partitions the corpus into inverted lists; queries probe only their
+  ``n_probe`` nearest lists. The data-adaptive alternative to
+  hyperplane LSH.
 
 All dot products fold left-to-right over DOUBLE-cast elements, matching
 DuckDB ``list_reduce`` evaluation for bit-identical float results.
@@ -161,6 +166,119 @@ def lsh_topk(
         _bucket_expr(vec_col, n_planes, dim).alias("bucket"),
     )
     scored = c.join(F.broadcast(q), "bucket").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    cos = _dot(F.col("qv"), F.col("cv")) / (
+        _norm(F.col("qv")) * _norm(F.col("cv"))
+    )
+    scored = scored.select(
+        "query_id", "neighbor_id", F.round(cos, 4).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def ivf_centroids(
+    df: DataFrame,
+    n_list: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Fit an IVF coarse quantizer by deterministic sampling: the
+    ``n_list`` data vectors that sort first by ``md5(id)`` become the
+    centroids (train-by-sampling, the cheap end of the IVF training
+    spectrum from Jegou et al., "Product Quantization for Nearest
+    Neighbor Search", TPAMI 2011 — k-means refinement changes the
+    centroids, not the index structure). md5-order is a deterministic
+    stand-in for a uniform shuffle, reproducible bit-identically in any
+    engine. Returns ``[(centroid_id, vector)]`` with 1-based ids in
+    sample order; the collect is ``n_list`` rows — an index-build
+    constant, not a data-scale term."""
+    rows = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .withColumn("h", F.md5(F.col("id").cast("string")))
+        .orderBy("h", "id")
+        .limit(n_list)
+        .collect()
+    )
+    return [(i + 1, [float(x) for x in r["v"]]) for i, r in enumerate(rows)]
+
+
+def _centroid_ranking(vec_col: str, centroids: list[tuple[int, list[float]]]) -> Column:
+    """Array of struct(neg_cos, centroid_id) sorted best-first — the
+    per-row centroid ranking as a pure projection over literal centroid
+    vectors (no join, no shuffle; the fitted index ships inside the plan
+    the same way the LSH planes do)."""
+    entries = []
+    for cid, cvec in centroids:
+        lit = F.array(*[F.lit(v) for v in cvec])
+        cos = _dot(F.col(vec_col), lit) / (_norm(F.col(vec_col)) * _norm(lit))
+        entries.append(
+            F.struct((-cos).alias("neg"), F.lit(cid).alias("centroid_id"))
+        )
+    return F.sort_array(F.array(*entries))
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, list_id): each vector joins the inverted list of its nearest
+    centroid (max cosine, ties to the smaller centroid_id). Zero-shuffle
+    projection — at 100 TB this is the partitioning column the corpus is
+    written out under, so probes prune whole files."""
+    best = _centroid_ranking(vec_col, centroids)[0]
+    return df.select(
+        F.col(id_col), best.getField("centroid_id").alias("list_id")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat ANN: each query probes its ``n_probe`` nearest inverted
+    lists and scores exact cosine only against vectors assigned there.
+
+    Same 100 TB posture as :func:`lsh_topk`: the corpus is scanned once
+    (assignment is a projection), candidates come from a broadcast
+    equi-join on ``list_id`` (queries exploded to one row per probed
+    list — the small side), and the only exchange is the per-query rank
+    window. Each corpus vector lives in exactly one list, so a
+    (query, neighbor) candidate appears at most once regardless of
+    ``n_probe`` — no dedup pass needed. Recall is tuned by
+    ``n_probe``/``n_list`` instead of LSH's plane count; IVF adapts to
+    the data distribution where hyperplane-LSH is data-oblivious."""
+    ranking = _centroid_ranking(vec_col, centroids)
+    probed = F.transform(
+        F.slice(ranking, 1, n_probe), lambda s: s.getField("centroid_id")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(probed).alias("list_id"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _centroid_ranking(vec_col, centroids)[0]
+        .getField("centroid_id")
+        .alias("list_id"),
+    )
+    scored = c.join(F.broadcast(q), "list_id").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
     cos = _dot(F.col("qv"), F.col("cv")) / (

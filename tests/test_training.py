@@ -207,6 +207,91 @@ def test_cosine_pairs_bucketed_single_scan_and_cap(vecs):
     )
 
 
+def test_ivf_centroids_deterministic(vecs):
+    from opentelemetry_collector_contrib_spark.training import ivf_centroids
+
+    c1 = ivf_centroids(vecs, n_list=2)
+    c2 = ivf_centroids(vecs, n_list=2)
+    assert c1 == c2
+    assert [cid for cid, _ in c1] == [1, 2]
+    assert all(len(v) == 4 for _, v in c1)
+
+
+def test_ivf_assign_one_list_per_vector(vecs):
+    from opentelemetry_collector_contrib_spark.training import (
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    cents = ivf_centroids(vecs, n_list=2)
+    out = {r.vec_id: r.list_id for r in ivf_assign(vecs, cents).collect()}
+    assert len(out) == 4                       # exactly one list each
+    assert set(out.values()) <= {1, 2}
+    # a vector that IS a centroid lands in its own list (cos = 1)
+    cent_vecs = {tuple(v): cid for cid, v in cents}
+    for r in vecs.collect():
+        key = tuple(float(x) for x in r.embedding)
+        if key in cent_vecs:
+            assert out[r.vec_id] == cent_vecs[key]
+
+
+def test_ivf_topk_full_probe_matches_bruteforce(vecs):
+    """Probing every list makes IVF exhaustive — it must reproduce the
+    brute-force ranking and scores exactly (same fold-order cosine)."""
+    from opentelemetry_collector_contrib_spark.training import (
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    cents = ivf_centroids(vecs, n_list=2)
+    q = vecs.filter("vec_id = 0")
+    full = ivf_topk(vecs, q, cents, k=3, n_probe=2).collect()
+    brute = brute_force_topk(vecs, q, k=3).collect()
+    key = lambda rows: sorted(
+        (r.query_id, r.neighbor_id, r.rank, r.cos) for r in rows
+    )
+    assert key(full) == key(brute)
+
+
+def test_ivf_topk_narrow_probe_subset(vecs):
+    from opentelemetry_collector_contrib_spark.training import (
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    cents = ivf_centroids(vecs, n_list=2)
+    q = vecs.filter("vec_id = 0")
+    narrow = ivf_topk(vecs, q, cents, k=3, n_probe=1).collect()
+    brute = {
+        r.neighbor_id: r.cos for r in brute_force_topk(vecs, q, k=3).collect()
+    }
+    assert narrow, "probed list produced no candidates"
+    for r in narrow:  # scores identical to the exact path, never invented
+        assert r.cos == brute[r.neighbor_id]
+
+
+def test_ivf_topk_plan_is_broadcast(vecs):
+    """Plan guard: candidate generation joins the corpus against a
+    BROADCAST of the exploded query probes — no shuffle of the corpus
+    side (the 100 TB side)."""
+    import contextlib
+    import io
+
+    from opentelemetry_collector_contrib_spark.training import (
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    cents = ivf_centroids(vecs, n_list=2)
+    out = ivf_topk(vecs, vecs.filter("vec_id = 0"), cents, k=3, n_probe=1)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_multimodal_plumbing(docs):
     mm = binary_table(docs)
     assert dict(mm.dtypes)["payload"] == "binary"
