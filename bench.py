@@ -63,7 +63,10 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "ann_lsh_buckets",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "dedup_cosine_bucketed",
+    "enrich_geoip",
+    "exceptions_metrics",
     "tail_sampling",
     "metrics_transform",
     "text_token_stats",
