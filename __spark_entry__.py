@@ -80,6 +80,7 @@ from opentelemetry_collector_contrib_spark.training import (
     hyperplane_buckets,
     ivf_assign,
     ivf_centroids,
+    ivf_refine,
     ivf_topk,
     lang_id,
     lsh_candidate_pairs,
@@ -828,6 +829,14 @@ def _q_ann_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, emb.filter("vec_id < 20"), cents, k=5, n_probe=2)
 
 
+def _q_ann_ivf_kmeans(spark, sf_dir):
+    # one Lloyd iteration over the sampled quantizer (1e-9 fixed-point
+    # means — bit-identical in any engine), then the refined assignment
+    emb = _emb(spark, sf_dir)
+    cents = ivf_refine(emb, ivf_centroids(emb, n_list=16), n_iter=1)
+    return ivf_assign(emb, cents)
+
+
 def _q_cosine_bucketed(spark, sf_dir):
     return cosine_pairs_bucketed(
         _emb(spark, sf_dir), threshold=0.2, n_planes=4, max_bucket=200
@@ -904,6 +913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_assign": _q_ann_ivf_assign,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_ivf_kmeans": _q_ann_ivf_kmeans,
         "dedup_cosine_bucketed": _q_cosine_bucketed,
         "text_token_stats": _q_token_stats,
         "text_quality_score": _q_quality,
@@ -1252,6 +1262,27 @@ scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
 SELECT query_id, neighbor_id, rank, cos FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
   FROM scored) WHERE rank <= 5""",
+        "ann_ivf_kmeans": f"""WITH {_IVF_CENT},
+a0 AS (SELECT e.vec_id, e.embedding, c.centroid_id AS list_id
+       FROM embeddings e CROSS JOIN cent c
+       QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_IVF_COS_EC} DESC, c.centroid_id) = 1),
+ex AS (SELECT list_id, generate_subscripts(embedding, 1) - 1 AS pos,
+              unnest(embedding) AS val FROM a0),
+sums AS (SELECT list_id, pos,
+                sum(CAST(floor(CAST(val AS DOUBLE) * 1000000000.0) AS DECIMAL(38,0))) AS s,
+                count(*) AS n
+         FROM ex GROUP BY list_id, pos),
+cent1 AS (SELECT c0.centroid_id,
+                 coalesce(m.v, c0.cemb::DOUBLE[]) AS cemb
+          FROM cent c0 LEFT JOIN
+               (SELECT list_id, list((CAST(s AS DOUBLE) / n) / 1000000000.0 ORDER BY pos) AS v
+                FROM sums GROUP BY list_id) m
+            ON c0.centroid_id = m.list_id)
+SELECT e.vec_id, c.centroid_id AS list_id
+FROM embeddings e CROSS JOIN cent1 c
+QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY {_IVF_COS_EC} DESC, c.centroid_id) = 1""",
         "dedup_cosine_bucketed": f"""WITH b0 AS (SELECT vec_id, embedding, {_BUCKET4} AS bucket FROM embeddings),
 b AS (SELECT * FROM b0 QUALIFY count(*) OVER (PARTITION BY bucket) <= 200)
 SELECT a.vec_id AS a_id, c.vec_id AS b_id,

@@ -25,6 +25,7 @@ from .similarity import (
     hyperplane_buckets,
     ivf_assign,
     ivf_centroids,
+    ivf_refine,
     ivf_topk,
     lsh_topk,
     make_planes,
@@ -43,6 +44,7 @@ __all__ = [
     "hyperplane_buckets",
     "ivf_assign",
     "ivf_centroids",
+    "ivf_refine",
     "ivf_topk",
     "lang_id",
     "lsh_candidate_pairs",

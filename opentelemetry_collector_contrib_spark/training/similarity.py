@@ -297,6 +297,61 @@ def ivf_topk(
     )
 
 
+def ivf_refine(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    n_iter: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**9,
+) -> list[tuple[int, list[float]]]:
+    """Lloyd (k-means) refinement of the IVF coarse quantizer: each
+    iteration assigns every vector to its nearest centroid (a pure
+    projection — the current centroids ship as plan literals) and
+    recomputes each centroid as the mean of its list. Per iteration the
+    cluster cost is ONE posexplode + ONE grouped aggregate with map-side
+    combine (shuffle cardinality = n_list × dim, not data-scale); the
+    driver collects only the n_list × dim (sum, count) cells — an
+    index-build constant.
+
+    Means are computed in 1e-9 fixed point: elements are floor-scaled to
+    integers and summed exactly (DECIMAL(38,0)), so the fit is
+    bit-identical across engines, partition counts, and reduce orders —
+    IEEE double summation is order-sensitive and Spark/DuckDB round
+    double→DECIMAL(p,s) differently (HALF_UP vs HALF_EVEN), so neither
+    floating sums nor fractional decimal casts reproduce. Quantizing the
+    mean at 1e-9 is far below any clustering-relevant signal. Lists that
+    receive no vectors keep their previous centroid."""
+    dim = len(centroids[0][1])
+    for _ in range(n_iter):
+        best = _centroid_ranking(vec_col, centroids)[0]
+        # two-step select: a generator (posexplode) in the same select
+        # strips nested struct-field aliases (CleanupAliases), turning
+        # the ranking struct into col1/col2 — project first, then explode
+        cells = (
+            df.select(
+                best.getField("centroid_id").alias("list_id"),
+                F.col(vec_col),
+            )
+            .select("list_id", F.posexplode(F.col(vec_col)).alias("pos", "val"))
+            .withColumn(
+                "sv",
+                F.floor(F.col("val").cast("double") * F.lit(float(scale)))
+                .cast("decimal(38,0)"),
+            )
+            .groupBy("list_id", "pos")
+            .agg(F.sum("sv").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        means: dict[int, list[float]] = {}
+        for r in cells:
+            means.setdefault(r["list_id"], [0.0] * dim)[r["pos"]] = (
+                float(r["s"]) / r["n"]
+            ) / scale
+        centroids = [(cid, means.get(cid, vec)) for cid, vec in centroids]
+    return centroids
+
+
 def cosine_pairs_bucketed(
     df: DataFrame,
     id_col: str = "vec_id",

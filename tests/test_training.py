@@ -292,6 +292,51 @@ def test_ivf_topk_plan_is_broadcast(vecs):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_ivf_refine_means_match_hand_computation(vecs):
+    """One Lloyd iteration: each refined centroid equals the 1e-9
+    fixed-point mean of its assigned vectors, bit-for-bit, regardless of
+    input partitioning."""
+    import math
+
+    from opentelemetry_collector_contrib_spark.training import (
+        ivf_assign,
+        ivf_centroids,
+        ivf_refine,
+    )
+
+    cents = ivf_centroids(vecs, n_list=2)
+    r1 = ivf_refine(vecs, cents, n_iter=1)
+    r2 = ivf_refine(vecs.repartition(3), cents, n_iter=1)
+    assert r1 == r2                     # partitioning-independent fit
+
+    assign = {r.vec_id: r.list_id for r in ivf_assign(vecs, cents).collect()}
+    rows = {
+        r.vec_id: [float(x) for x in r.embedding] for r in vecs.collect()
+    }
+    for (cid, vec), (_, old) in zip(r1, cents):
+        members = [rows[i] for i, l in assign.items() if l == cid]
+        if not members:
+            assert vec == old
+            continue
+        expect = [
+            (sum(math.floor(m[p] * 1e9) for m in members) / len(members))
+            / 1e9
+            for p in range(len(members[0]))
+        ]
+        assert vec == expect
+
+
+def test_ivf_refine_empty_list_keeps_previous_centroid(vecs):
+    from opentelemetry_collector_contrib_spark.training import ivf_refine
+
+    # centroid 2 duplicates centroid 1, and cosine ties resolve to the
+    # smaller centroid_id — list 2 receives nothing
+    cents = [(1, [1.0, 0.0, 0.0, 0.0]), (2, [1.0, 0.0, 0.0, 0.0])]
+    refined = ivf_refine(vecs, cents, n_iter=1)
+    assert refined[1] == (2, [1.0, 0.0, 0.0, 0.0])
+    assert refined[0][1] != cents[0][1]  # non-empty list moved
+
+
 def test_multimodal_plumbing(docs):
     mm = binary_table(docs)
     assert dict(mm.dtypes)["payload"] == "binary"
