@@ -414,3 +414,72 @@ def test_journald_invalid_lines_flagged_not_dropped(spark, tmp_path):
         by_valid.setdefault(r.valid, []).append(r)
     assert len(by_valid[True]) == 1 and by_valid[True][0].cursor == "c0"
     assert len(by_valid[False]) == 2  # parse errors surfaced, not silently lost
+
+
+# --- stdin / namedpipe inputs (pkg/stanza/operator/input/{stdin,namedpipe}) --
+
+
+def test_stdin_one_entry_per_line_empties_kept(spark, tmp_path):
+    """stdin input.go:56-65: scanner.Text() per line, newline stripped,
+    empty lines emitted (no empty-skip in the stdin loop)."""
+    from opentelemetry_collector_contrib_spark.sources import StdinSource
+
+    p = tmp_path / "stdin.capture"
+    p.write_text("first\n\n  indented\nlast no newline")
+    rows = sorted(
+        StdinSource()(spark, str(p)).collect(), key=lambda r: r.line_idx
+    )
+    # positions must be the real 0..n line numbers, not accidental zeros
+    assert [(r.line_idx, r.body) for r in rows] == [
+        (0, "first"), (1, ""), (2, "  indented"), (3, "last no newline"),
+    ]
+
+
+def test_namedpipe_trim_empty_skip_and_order(spark, tmp_path):
+    """namedpipe input.go:113-131: newline split, default both-side
+    whitespace trim (trim.go Whitespace), empty tokens skipped."""
+    from opentelemetry_collector_contrib_spark.sources import NamedPipeSource
+
+    p = tmp_path / "pipe.capture"
+    p.write_bytes(b"  padded  \r\n\t\r\nplain\ntrailing tab\t\n")
+    rows = sorted(
+        NamedPipeSource()(spark, str(p)).collect(), key=lambda r: r.line_idx
+    )
+    # "\t" line trims to empty -> skipped, like the reference loop
+    assert [(r.body, r.valid) for r in rows] == [
+        ("padded", True), ("plain", True), ("trailing tab", True),
+    ]
+
+
+def test_namedpipe_preserve_flags_and_encoding(spark, tmp_path):
+    from opentelemetry_collector_contrib_spark.sources import NamedPipeSource
+
+    p = tmp_path / "latin.capture"
+    p.write_bytes(" caf\xe9 \n".encode("latin-1"))
+    src = NamedPipeSource(
+        encoding="iso-8859-1", preserve_leading=True, preserve_trailing=True
+    )
+    rows = src(spark, str(p)).collect()
+    assert [r.body for r in rows] == [" caf\xe9 "]
+
+
+def test_namedpipe_max_log_size_kills_capture_tail(spark, tmp_path):
+    """An oversized token ends the reference scanner (ErrTooLong):
+    the oversized row surfaces with valid=false and nothing after it in
+    that capture is emitted; other captures are unaffected."""
+    from opentelemetry_collector_contrib_spark.sources import NamedPipeSource
+
+    a = tmp_path / "a.capture"
+    a.write_bytes(b"ok1\n" + b"X" * 50 + b"\nnever-seen\n")
+    b = tmp_path / "b.capture"
+    b.write_bytes(b"other\n")
+    rows = NamedPipeSource(max_log_size=10)(
+        spark, [str(a), str(b)]
+    ).collect()
+    by_cap = {}
+    for r in rows:
+        by_cap.setdefault(r.capture.rsplit("/", 1)[-1], []).append(
+            (r.line_idx, r.body[:4], r.valid)
+        )
+    assert sorted(by_cap["a.capture"]) == [(0, "ok1", True), (1, "XXXX", False)]
+    assert by_cap["b.capture"] == [(0, "othe", True)]
