@@ -107,7 +107,7 @@ def _ensure_sf1(spark, base_dir: str, out_dir: str) -> None:
     driver-side term shows up as a >>10x ratio)."""
     from pyspark.sql import functions as F
 
-    marker = os.path.join(out_dir, "_BUILT")
+    marker = os.path.join(out_dir, "_BUILT_v2")
     if os.path.exists(marker):
         return
     reps = list(range(10))
@@ -148,6 +148,21 @@ def _ensure_sf1(spark, base_dir: str, out_dir: str) -> None:
     emb_sf1.repartition(32).write.mode("overwrite").parquet(
         f"{out_dir}/embeddings.parquet"
     )
+    # dim/side tables the headline queries join against (nation for the
+    # geoip CIDR enrich, etc.) don't scale with the fact side — copy
+    # them verbatim so every queries() entry runs at sf1
+    import shutil
+
+    for t in os.listdir(base_dir):
+        if t.endswith(".parquet") and not os.path.exists(
+            os.path.join(out_dir, t)
+        ):
+            src = os.path.join(base_dir, t)
+            dst = os.path.join(out_dir, t)
+            if os.path.isdir(src):
+                shutil.copytree(src, dst)
+            else:
+                shutil.copy(src, dst)
     with open(marker, "w") as f:
         f.write("ok\n")
 

@@ -66,9 +66,18 @@ def transcripts_to_envelope(df: DataFrame) -> DataFrame:
 
 
 def _split(path: str) -> list[str]:
-    return path.replace('["', ".").replace('"]', "").replace("['", ".").replace(
-        "']", ""
-    ).split(".")
+    """Bracketed keys are atomic — ``attributes["to.int"]`` is the
+    stanza field syntax for map keys that contain dots
+    (pkg/stanza/entry/field.go fromJSONDot), so dots inside brackets
+    must not split."""
+    import re
+
+    return [
+        next(g for g in m.groups() if g is not None)
+        for m in re.finditer(
+            r"\[\"([^\"]*)\"\]|\['([^']*)'\]|([^.\[\]]+)", path
+        )
+    ]
 
 
 def field_get(path: str) -> Column:

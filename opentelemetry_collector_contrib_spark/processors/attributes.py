@@ -2,8 +2,11 @@
 
 Reference semantics: internal/coreinternal/attraction/attraction.go —
 actions ``insert`` (only if absent, :106-140), ``update`` (only if
-present), ``upsert``, ``delete``, ``hash`` (SHA1, :235), ``extract``
-(regex named groups -> new attrs, :235-260), ``convert`` (:261-276),
+present), ``upsert``, ``delete``, ``hash`` (SHA2-256 over type-tagged
+bytes, hasher.go:29-58: string=utf8, bool=1 byte, int/double=8-byte
+LITTLE-endian), ``extract`` (regex named groups -> new attrs,
+:235-260), ``convert`` (type_converter.go:19-76 — a failed string
+parse KEEPS the original value),
 with value sources literal or ``from_attribute``. Include/exclude match
 sets guard which records the actions touch
 (internal/filter/filterconfig/config.go:68-110).
@@ -21,7 +24,79 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..envelope import field_delete, field_get, field_set
+from ..envelope import _split, field_delete, field_get, field_set
+
+
+def _le_hex64(h: Column) -> Column:
+    """Byte-swap a 16-hex-digit string to little-endian order."""
+    return F.concat(*[F.substring(h, i, 2) for i in range(15, 0, -2)])
+
+
+def sha256_typed(col: Column, dtype: str) -> Column:
+    """SHA2-256 with the reference's per-type byte encoding
+    (attraction/hasher.go:29-58): string = raw utf8; bool = one 0/1
+    byte; int = 8-byte little-endian two's complement; double = 8-byte
+    little-endian IEEE-754 bits. Verified against the exact digests in
+    attributes_log_test.go TestLogAttributes_Hash. All JVM-side — the
+    double bit-pattern comes from `reflect('java.lang.Double',
+    'doubleToRawLongBits', x)`, not Python."""
+    if dtype == "boolean":
+        return F.sha2(
+            F.unhex(F.when(col, F.lit("01")).otherwise(F.lit("00"))), 256
+        )
+    if dtype in ("bigint", "int", "smallint", "tinyint"):
+        h = F.lpad(F.hex(col.cast("long")), 16, "0")
+        return F.sha2(F.unhex(_le_hex64(h)), 256)
+    if dtype in ("double", "float"):
+        bits = F.call_function(
+            "reflect",
+            F.lit("java.lang.Double"),
+            F.lit("doubleToRawLongBits"),
+            col.cast("double"),
+        ).cast("long")
+        return F.sha2(F.unhex(_le_hex64(F.lpad(F.hex(bits), 16, "0"))), 256)
+    return F.sha2(col.cast("string"), 256)
+
+
+_BOOL_SHAPE = "^(true|false)$"
+_INT_SHAPE = r"^-?\d+$"
+
+
+def convert_in_map(s: Column, target: str) -> Column:
+    """``convert`` for a ``map<string,string>`` attribute entry: the
+    stringly-typed restatement of type_converter.go's pcommon.Value
+    switch. Value SHAPE stands in for the pcommon type tag (our
+    renderers emit "true"/"false" for bools, bare digits for ints),
+    the parsed value is re-rendered into the map, and — like the
+    reference — an unparseable string KEEPS its original value."""
+    if target == "string":
+        return s
+    if target == "int":
+        from_bool = F.when(s == "true", F.lit("1")).otherwise(F.lit("0"))
+        return (
+            F.when(s.rlike(_BOOL_SHAPE), from_bool)
+            .when(
+                s.try_cast("long").isNotNull(),
+                s.try_cast("long").cast("string"),
+            )
+            .when(  # double-shaped: int64(d) truncation, Go int64()
+                s.try_cast("double").isNotNull(),
+                s.try_cast("double").cast("long").cast("string"),
+            )
+            .otherwise(s)
+        )
+    if target == "double":
+        from_bool = F.when(s == "true", F.lit("1.0")).otherwise(F.lit("0.0"))
+        return (
+            F.when(s.rlike(_BOOL_SHAPE), from_bool)
+            .when(s.rlike(_INT_SHAPE), s)  # renders without a ".0" in Go
+            .when(
+                s.try_cast("double").isNotNull(),
+                s.try_cast("double").cast("string"),
+            )
+            .otherwise(s)
+        )
+    raise ValueError(f"unknown converted_type {target}")
 
 
 @dataclass
@@ -94,7 +169,11 @@ class AttributesProcessor:
                     df = field_set(df, a.key, gated(F.lit(None), field_get(a.key)))
             elif a.action == "hash":
                 cur = field_get(a.key)
-                df = field_set(df, a.key, gated(F.sha1(cur.cast("string")), cur))
+                try:
+                    dtype = df.select(cur).schema[0].dataType.simpleString()
+                except Exception:
+                    dtype = "string"
+                df = field_set(df, a.key, gated(sha256_typed(cur, dtype), cur))
             elif a.action == "extract":
                 if not a.pattern:
                     raise ValueError("extract requires pattern")
@@ -113,11 +192,23 @@ class AttributesProcessor:
                     a.converted_type or "string"
                 ]
                 cur = field_get(a.key)
-                if a.key.split(".")[0] in ("attributes", "resource") and "." in a.key:
-                    # string map: converting in place is a no-op textually;
-                    # promote to a typed top-level column instead
-                    col_name = a.key.split(".", 1)[1]
-                    df = df.withColumn(col_name, gated(cur.cast(spark_type), F.lit(None)))
+                key_parts = _split(a.key)
+                if key_parts[0] in ("attributes", "resource") and len(key_parts) > 1:
+                    # string map: convert IN PLACE with the reference's
+                    # keep-on-parse-failure rule (type_converter.go),
+                    # re-rendered as a string; ALSO promote to a typed
+                    # top-level column for downstream typed use (null
+                    # where the parse failed — a typed column can't
+                    # hold the kept original)
+                    df = field_set(
+                        df,
+                        a.key,
+                        gated(convert_in_map(cur, a.converted_type or "string"), cur),
+                    )
+                    col_name = ".".join(key_parts[1:])
+                    df = df.withColumn(
+                        col_name, gated(cur.try_cast(spark_type), F.lit(None))
+                    )
                 else:
                     df = field_set(df, a.key, gated(cur.cast(spark_type), cur))
             else:

@@ -49,7 +49,7 @@ def test_attraction_delete_hash_convert(df):
         Action("upsert", key="attributes.id_str", from_attribute="id"),
     ])
     out = {r["id"]: r["attributes"] for r in p(df).collect()}
-    assert len(out[1]["secret"]) == 40  # sha1 hex
+    assert len(out[1]["secret"]) == 64  # sha2-256 hex (attraction hasher.go)
     assert "region" not in out[1] and "region" not in out[2]
     assert out[2]["id_str"] == "2"
 
