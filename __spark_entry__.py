@@ -458,14 +458,15 @@ def _q_redaction(spark, sf_dir):
     red = Redaction(
         allowed_keys=["role", "tool"],
         blocked_value_patterns=["^bash$", "^http$"],
+        summary="debug",
     )(df)
     return red.select(
         "conv_id",
         "turn_idx",
         F.element_at("attributes", "role").alias("role_attr"),
         F.element_at("attributes", "tool").alias("tool_attr"),
-        F.array_join(F.array_sort("redaction_ignored_keys"), ",").alias("ignored"),
-        "redaction_masked_count",
+        F.element_at("attributes", "redaction.redacted.keys").alias("redacted_keys"),
+        F.element_at("attributes", "redaction.masked.count").alias("masked_count"),
     )
 
 
@@ -1027,8 +1028,8 @@ FROM transcripts""",
 SELECT conv_id, turn_idx,
   role AS role_attr,
   CASE WHEN tool IN ('bash','http') THEN '****' ELSE tool END AS tool_attr,
-  'secret' AS ignored,
-  CASE WHEN tool IN ('bash','http') THEN 1 ELSE 0 END AS redaction_masked_count
+  'secret' AS redacted_keys,
+  CASE WHEN tool IN ('bash','http') THEN '1' END AS masked_count
 FROM transcripts""",
         "groupbyattrs": f"""WITH {TRANSCRIPTS_ORACLE_CTE.strip()}
 SELECT role, tool, count(*)::BIGINT AS records FROM transcripts GROUP BY role, tool""",

@@ -129,10 +129,12 @@ def test_redaction(df):
     r = Redaction(
         allowed_keys=["region", "secret"],
         blocked_value_patterns=[r"tok-\d+"],
+        summary="debug",
     )
     out = {row["id"]: row for row in r(df).collect()}
     assert out[1]["attributes"]["secret"] == "****"
-    assert out[1]["redaction_masked_count"] == 1
+    assert out[1]["attributes"]["redaction.masked.count"] == "1"
+    assert out[1]["attributes"]["redaction.masked.keys"] == "secret"
     assert out[2]["attributes"] == {"region": "eu"}
 
 
