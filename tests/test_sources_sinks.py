@@ -483,3 +483,42 @@ def test_namedpipe_max_log_size_kills_capture_tail(spark, tmp_path):
         )
     assert sorted(by_cap["a.capture"]) == [(0, "ok1", True), (1, "XXXX", False)]
     assert by_cap["b.capture"] == [(0, "othe", True)]
+
+
+# --- Iceberg-posture table sink (fallback layout) ---------------------------
+
+
+def test_table_sink_fallback_layout_and_dynamic_overwrite(spark, tmp_path):
+    """Without the iceberg runtime (this sandbox), TableSink writes the
+    SAME partition layout as the intended Iceberg spec (days(ts) + the
+    identity sink column) and 'replace' only rewrites the partitions
+    present in the incoming frame (dynamic overwrite = the idempotent
+    re-run posture)."""
+    import datetime as dt
+    import os
+
+    from opentelemetry_collector_contrib_spark.sinks import (
+        TableSink,
+        has_iceberg,
+    )
+
+    assert not has_iceberg(spark)  # sandbox has no runtime jar
+    path = str(tmp_path / "tbl")
+    rows = [
+        (dt.datetime(2026, 1, 1, 10), "a", "r1"),
+        (dt.datetime(2026, 1, 2, 10), "b", "r2"),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, sink string, v string")
+    TableSink(path, partition_by=["sink"], mode="append")(df)
+    days = {d for d in os.listdir(path) if d.startswith("ts_day=")}
+    assert days == {"ts_day=2026-01-01", "ts_day=2026-01-02"}
+    assert os.path.isdir(f"{path}/ts_day=2026-01-01/sink=a")
+
+    # replace only the day-2 partition; day-1 data must survive
+    df2 = spark.createDataFrame(
+        [(dt.datetime(2026, 1, 2, 11), "b", "r2-fixed")],
+        "ts timestamp, sink string, v string",
+    )
+    TableSink(path, partition_by=["sink"], mode="replace")(df2)
+    out = {r.v for r in spark.read.parquet(path).collect()}
+    assert out == {"r1", "r2-fixed"}
