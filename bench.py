@@ -31,7 +31,10 @@ SPARK_GRAFT_SCALING_LO/HI (default CPUS/16, CPUS/4),
 SPARK_GRAFT_SCALING_REPS (min matched pairs, default 2),
 SPARK_GRAFT_SCALING_REPS_MAX (default 6),
 SPARK_GRAFT_SCALING_STRESS=0, SPARK_GRAFT_SF1=0 (skip the sf1
-per-query table), SPARK_GRAFT_SF1_DIR (default /tmp/spark_graft_sf1).
+per-query table), SPARK_GRAFT_SF1_DIR (default /tmp/spark_graft_sf1),
+SPARK_GRAFT_BENCH_BUDGET (global wall-clock budget in seconds,
+default 2700 — the adaptive pair loop and the stress pair yield to
+it so ONE json line always prints before any external timeout).
 """
 
 from __future__ import annotations
@@ -46,6 +49,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "48000000"))
 SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
+BUDGET = int(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "2700"))
+_T_START = time.monotonic()
+
+
+def _remaining() -> float:
+    """Seconds left in the global bench budget."""
+    return BUDGET - (time.monotonic() - _T_START)
 
 # headline sf-dir queries (subset of __spark_entry__.queries(): the full
 # pipeline + the scale-relevant training ops; excludes the O(n^2)
@@ -294,13 +304,22 @@ def _scaling(
     # a different estimator, is the honest fix).
     reps_max = reps_max or reps
     pairs = []
+    pair_secs: list[float] = []
     while len(pairs) < reps_max:
+        t_pair = time.monotonic()
         pair = {c: run_level(c) for c in (lo, hi)}
+        pair_secs.append(time.monotonic() - t_pair)
         pairs.append(pair)
         eff_so_far = max(
             p[hi][0] / (p[lo][0] * (hi / lo)) for p in pairs
         )
         if len(pairs) >= reps and eff_so_far >= target:
+            break
+        # yield to the global wall-clock budget: past the minimum reps,
+        # only sample another epoch if one more pair (plus the ceiling
+        # kernels, ~60 s) still fits — a truncated adaptive search with
+        # a printed JSON line beats a perfect one killed by a timeout
+        if len(pairs) >= reps and _remaining() < max(pair_secs) * 1.2 + 60:
             break
     effs = [p[hi][0] / (p[lo][0] * (hi / lo)) for p in pairs]
     best = pairs[max(range(len(pairs)), key=lambda i: effs[i])]
@@ -350,6 +369,7 @@ def main() -> None:
         if (
             os.environ.get("SPARK_GRAFT_SF1") != "0"
             and SF_DIR.rstrip("/").endswith("sf0.1")
+            and _remaining() > 1800  # leave room for the scaling section
         ):
             _ensure_sf1(spark, SF_DIR, SF1_DIR)
             queries_sf1 = _run_queries(spark, SF1_DIR, warm=False)
@@ -382,7 +402,12 @@ def main() -> None:
         sc = _scaling(BENCH_ROWS // 2, lo, hi, reps, reps_max=reps_max)
         result["scaling"] = sc
         tps_best = sc["tps_hi_best"]
-        if os.environ.get("SPARK_GRAFT_SCALING_STRESS") != "0":
+        # stress pair costs ~8-10 min (2x rows at 2x cores); only run it
+        # when the global budget still has comfortable headroom
+        if (
+            os.environ.get("SPARK_GRAFT_SCALING_STRESS") != "0"
+            and _remaining() > 900
+        ):
             stress = _scaling(BENCH_ROWS, max(CPUS // 8, 1), max(CPUS // 2, 2), 1)
             result["scaling_stress"] = stress
             tps_best = max(tps_best, stress["tps_hi_best"])
