@@ -709,6 +709,28 @@ def _q_tail_sampling(spark, sf_dir):
     return ts(_transcripts(spark, sf_dir)).select("conv_id", "turn_idx")
 
 
+def _q_tail_invert(spark, sf_dir):
+    # string_attribute with invert_match: keep traces where NO row's
+    # text contains FATAL (InvertSampled promotion path, 40/150 convs
+    # at sf0.01 — discriminating)
+    ts = TailSampling(policies=[
+        TailPolicy("no_fatal", "string_attribute", key="text",
+                   values=["FATAL"], enabled_regex_matching=True,
+                   invert_match=True),
+    ])
+    return ts(_transcripts(spark, sf_dir)).select("conv_id", "turn_idx")
+
+
+def _q_tail_span_count(spark, sf_dir):
+    # span_count range OR'd with a row condition: the reference's
+    # multi-policy combine (any Sampled keeps)
+    ts = TailSampling(policies=[
+        TailPolicy("mid", "span_count", min_spans=60, max_spans=70),
+        TailPolicy("fatal", "condition", condition="text LIKE '%FATAL%'"),
+    ])
+    return ts(_transcripts(spark, sf_dir)).select("conv_id", "turn_idx")
+
+
 def _q_groupbytrace(spark, sf_dir):
     g = GroupByTraceProc()(_transcripts(spark, sf_dir))
     return g.select(
@@ -903,6 +925,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_transform": _q_metrics_transform,
         "metrics_generation": _q_metrics_generation,
         "tail_sampling": _q_tail_sampling,
+        "tail_sampling_invert": _q_tail_invert,
+        "tail_sampling_span_count": _q_tail_span_count,
         "groupbytrace": _q_groupbytrace,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_lsh,
@@ -1121,6 +1145,23 @@ dec AS (
 SELECT t.conv_id, t.turn_idx
 FROM transcripts t JOIN dec d ON t.conv_id = d.conv_id
 WHERE coalesce(p_slow OR p_late OR p_prob, false)""",
+        "tail_sampling_invert": f"""WITH {TRANSCRIPTS_ORACLE_CTE.strip()},
+dec AS (
+  SELECT conv_id,
+    max(CASE WHEN regexp_matches(text, 'FATAL') THEN 1 ELSE 0 END) = 1 AS has_fatal
+  FROM transcripts GROUP BY conv_id)
+SELECT t.conv_id, t.turn_idx
+FROM transcripts t JOIN dec d ON t.conv_id = d.conv_id
+WHERE NOT d.has_fatal""",
+        "tail_sampling_span_count": f"""WITH {TRANSCRIPTS_ORACLE_CTE.strip()},
+dec AS (
+  SELECT conv_id,
+    count(*) BETWEEN 60 AND 70 AS p_mid,
+    max(CASE WHEN text LIKE '%FATAL%' THEN 1 ELSE 0 END) = 1 AS p_fatal
+  FROM transcripts GROUP BY conv_id)
+SELECT t.conv_id, t.turn_idx
+FROM transcripts t JOIN dec d ON t.conv_id = d.conv_id
+WHERE d.p_mid OR d.p_fatal""",
         "groupbytrace": f"""WITH {TRANSCRIPTS_ORACLE_CTE.strip()}
 SELECT conv_id, count(*)::BIGINT AS span_count,
        md5(string_agg(text, chr(31) ORDER BY turn_idx)) AS digest

@@ -139,7 +139,7 @@ OPERATOR_REGISTRY: dict[str, Callable[..., Callable[[DataFrame], DataFrame]]] = 
         [GenerationRule(**r) for r in rules], **kw
     ),
     "tail_sampling": lambda policies, **kw: TailSampling(
-        [TailPolicy(**p) for p in policies], **kw
+        [_tail_policy(p) for p in policies], **kw
     ),
     "groupbytrace": _GroupByTrace,
     # connectors
@@ -154,6 +154,14 @@ OPERATOR_REGISTRY: dict[str, Callable[..., Callable[[DataFrame], DataFrame]]] = 
     # way, exceptionsconnector factory.go)
     "exceptions": lambda **kw: _build_exceptions(**kw),
 }
+
+
+def _tail_policy(p: dict) -> TailPolicy:
+    """TailPolicy from config, recursing into and/composite sub_policies."""
+    p = dict(p)
+    if "sub_policies" in p:
+        p["sub_policies"] = [_tail_policy(sp) for sp in p["sub_policies"]]
+    return TailPolicy(**p)
 
 
 def _build_exceptions(
