@@ -259,6 +259,28 @@ def _md5_bucket_sql(expr: str, seed: int = 22) -> str:
     ) + ") % 10000"
 
 
+def _fnv_bucket_sql(expr: str, seed: int = 22) -> str:
+    """DuckDB twin of processors.sampler._fnv_bucket — the reference's
+    EXACT FNV-1a (fnvhasher.go): seed's 4 LE bytes folded driver-side,
+    data bytes folded via list_reduce over the hex-pair expansion,
+    masked to the 14-bit bucket (sampler_mode.go:311-312)."""
+    h0 = 2166136261
+    for b in seed.to_bytes(4, "little"):
+        h0 = ((h0 ^ b) * 16777619) & 0xFFFFFFFF
+    hx = f"hex(encode({expr}))"
+
+    def nib(pos: str) -> str:
+        a = f"ascii(substring({hx}, {pos}, 1))"
+        return f"({a} - CASE WHEN {a} >= 65 THEN 55 ELSE 48 END)::BIGINT"
+
+    byte = f"({nib('i*2+1')} * 16 + {nib('i*2+2')})"
+    return (
+        f"(list_reduce(list_prepend({h0}::BIGINT, "
+        f"list_transform(range(0, octet_length(encode({expr}))), i -> {byte})), "
+        f"(acc, x) -> (xor(acc, x) * 16777619) % 4294967296) % 16384)"
+    )
+
+
 def _plane_dot(p: int) -> str:
     lit = "[" + ",".join(repr(v) for v in _PLANES[p]) + "]"
     return (
@@ -697,6 +719,16 @@ def _q_sampler_equalizing(spark, sf_dir):
     return s(df).select("conv_id", "turn_idx", "sampling_probability")
 
 
+def _q_sampler_fnv(spark, sf_dir):
+    # byte-exact reference hashing: Go hash/fnv FNV-1a over
+    # i32tob(seed) ++ key bytes, 14-bit bucket vs pct * 163.84 — the
+    # decisions here EQUAL the collector's hash_seed mode decisions
+    s = ProbabilisticSampler(
+        percentage=25.0, attribute_source="conv_id", hash_function="fnv"
+    )
+    return s(_transcripts(spark, sf_dir)).select("conv_id", "turn_idx")
+
+
 def _q_tail_sampling(spark, sf_dir):
     # thresholds sit in the upper tail of the sf0.01 distribution so the
     # decision is DISCRIMINATING (some traces kept, some dropped)
@@ -920,6 +952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exceptions_logs": _q_exceptions_logs,
         "parse_container": _q_parse_container,
         "sampler_deterministic": _q_sampler,
+        "sampler_fnv": _q_sampler_fnv,
         "sampler_proportional": _q_sampler_proportional,
         "sampler_equalizing": _q_sampler_equalizing,
         "metrics_transform": _q_metrics_transform,
@@ -1169,6 +1202,9 @@ FROM transcripts GROUP BY conv_id""",
         "sampler_deterministic": f"""WITH {TRANSCRIPTS_ORACLE_CTE.strip()}
 SELECT conv_id, turn_idx FROM transcripts
 WHERE {_md5_bucket_sql('conv_id')} < 2500""",
+        "sampler_fnv": f"""WITH {TRANSCRIPTS_ORACLE_CTE.strip()}
+SELECT conv_id, turn_idx FROM transcripts
+WHERE {_fnv_bucket_sql('conv_id')} < 4096""",
         "sampler_proportional": f"""WITH {TRANSCRIPTS_ORACLE_CTE.strip()}
 SELECT conv_id, turn_idx, 0.5 * 0.3 AS sampling_probability FROM transcripts
 WHERE {_md5_bucket_sql('conv_id')} < 3000""",

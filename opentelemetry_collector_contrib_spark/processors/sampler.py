@@ -48,6 +48,48 @@ def _bucket(key: Column, seed: int, hash_function: str) -> Column:
     return F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("bigint") % 10000
 
 
+_FNV_OFFSET, _FNV_PRIME, _U32 = 2166136261, 16777619, 0xFFFFFFFF
+NUM_HASH_BUCKETS = 0x4000  # sampler_mode.go:36 — 14-bit bucket space
+
+
+def fnv1a32(data: Column, seed: int) -> Column:
+    """EXACT reference hash: Go hash/fnv New32a over
+    ``i32tob(seed) ++ utf8(data)`` (fnvhasher.go:12-24 — the seed's 4
+    little-endian bytes are written first, then the attribute bytes).
+
+    The 4 seed bytes are constants, so they fold into the initial state
+    driver-side; the data bytes run through one ``aggregate`` over the
+    hex-pair expansion of ``encode(data,'utf-8')`` — pure Column
+    expressions inside codegen, no UDF. 64-bit intermediates can't
+    overflow: state < 2^32, prime < 2^25, product < 2^57.
+    """
+    h = _FNV_OFFSET
+    for b in seed.to_bytes(4, "little"):
+        h = ((h ^ b) * _FNV_PRIME) & _U32
+    hx = F.hex(F.encode(data, "utf-8"))  # 2 hex chars per input byte
+    byte_arr = F.transform(
+        F.sequence(F.lit(0), (F.length(hx) / 2).cast("int") - 1),
+        lambda i: F.conv(F.substring(hx, i * 2 + 1, F.lit(2)), 16, 10).cast(
+            "bigint"
+        ),
+    )
+    folded = F.aggregate(
+        byte_arr,
+        F.lit(h).cast("bigint"),
+        lambda acc, x: (acc.bitwiseXOR(x) * _FNV_PRIME).bitwiseAND(F.lit(_U32)),
+    )
+    # empty input: sequence(0,-1) auto-reverses to [0,-1] instead of [],
+    # so short-circuit to the seed-folded state (hash of just the seed)
+    return F.when(F.length(hx) == 0, F.lit(h).cast("bigint")).otherwise(folded)
+
+
+def _fnv_bucket(key: Column, seed: int) -> Column:
+    """The reference's 14-bit sampling bucket:
+    ``computeHash(bytes, seed) & bitMaskHashBuckets``
+    (sampler_mode.go:311-312)."""
+    return fnv1a32(key, seed).bitwiseAND(F.lit(NUM_HASH_BUCKETS - 1))
+
+
 @dataclass
 class ProbabilisticSampler:
     percentage: float                    # 0..100
@@ -62,14 +104,24 @@ class ProbabilisticSampler:
             raise ValueError("percentage must be in [0, 100]")
         if self.mode not in MODES:
             raise ValueError(f"mode must be one of {MODES}")
-        if self.hash_function not in ("md5", "xxhash64"):
-            raise ValueError("hash_function must be md5 or xxhash64")
+        if self.hash_function not in ("md5", "xxhash64", "fnv"):
+            raise ValueError("hash_function must be md5, xxhash64 or fnv")
 
     def __call__(self, df: DataFrame) -> DataFrame:
         if self.percentage >= 100 and self.mode == "hash_seed":
             return df
         key = field_get(self.attribute_source).cast("string")
-        bucket = _bucket(key, self.hash_seed, self.hash_function)
+        if self.hash_function == "fnv":
+            # byte-exact reference decisions: 14-bit FNV-1a bucket vs
+            # uint32(percentage * numHashBuckets/100) — the collector's
+            # classic hash_seed acceptance rule
+            bucket = _fnv_bucket(key, self.hash_seed)
+            space = NUM_HASH_BUCKETS
+            cutoff = int(self.percentage * (NUM_HASH_BUCKETS / 100.0))
+        else:
+            bucket = _bucket(key, self.hash_seed, self.hash_function)
+            space = 10000
+            cutoff = int(self.percentage * 100)
         target = self.percentage / 100.0
         prior = (
             F.col(self.prior_col).cast("double")
@@ -78,11 +130,11 @@ class ProbabilisticSampler:
         )
         if self.mode == "equalizing":
             ratio = F.least(F.lit(1.0), F.lit(target) / prior)
-            out = df.filter(bucket < ratio * 10000)
+            out = df.filter(bucket < ratio * space)
             return out.withColumn(
                 "sampling_probability", F.least(prior, F.lit(target))
             )
-        out = df.filter(bucket < int(self.percentage * 100))
+        out = df.filter(bucket < cutoff)
         if self.mode == "proportional":
             out = out.withColumn("sampling_probability", prior * F.lit(target))
         return out

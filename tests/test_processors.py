@@ -179,6 +179,46 @@ def test_sampler_modes(spark):
     assert fast(df).count() == fast(df).count()
 
 
+def _py_fnv1a32(data: bytes, seed: int) -> int:
+    """Independent FNV-1a reimplementation (the public algorithm Go's
+    hash/fnv implements) for cross-checking the Column expression."""
+    h = 2166136261
+    for b in seed.to_bytes(4, "little") + data:
+        h = ((h ^ b) * 16777619) & 0xFFFFFFFF
+    return h
+
+
+def test_sampler_fnv_exact_reference_hash(spark):
+    from opentelemetry_collector_contrib_spark.processors.sampler import fnv1a32
+
+    vals = [
+        "", "test", "conv-123", "héllo wörld", "日本語テキスト",
+        "a" * 300, "trace-00deadbeef",
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    for seed in (0, 22, 0x3024001):
+        got = {
+            r["s"]: r["h"]
+            for r in df.select("s", fnv1a32(F.col("s"), seed).alias("h")).collect()
+        }
+        for v in vals:
+            assert got[v] == _py_fnv1a32(v.encode("utf-8"), seed), (v, seed)
+
+
+def test_sampler_fnv_mode_decisions(spark):
+    # decisions equal the collector's classic hash_seed acceptance rule:
+    # fnv(seed ++ key) & 0x3FFF < pct * 16384/100
+    df = spark.range(2000).withColumn("key", F.concat(F.lit("k-"), "id"))
+    s = ProbabilisticSampler(25.0, attribute_source="key", hash_function="fnv")
+    kept = {r["key"] for r in s(df).collect()}
+    expected = {
+        f"k-{i}"
+        for i in range(2000)
+        if (_py_fnv1a32(f"k-{i}".encode(), 22) & 0x3FFF) < int(25.0 * 163.84)
+    }
+    assert kept == expected
+
+
 def test_tail_sampling_policies(spark):
     import datetime as dt
 
