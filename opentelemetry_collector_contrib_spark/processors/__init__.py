@@ -5,6 +5,7 @@ from .groupbyattrs import GroupByAttrs  # noqa: F401
 from .redaction import Redaction  # noqa: F401
 from .resourcedetection import ResourceDetection  # noqa: F401
 from .sampler import ProbabilisticSampler  # noqa: F401
+from .span import SpanProcessor, ToAttributeRule  # noqa: F401
 from .tail_sampling import GroupByTrace, TailPolicy, TailSampling  # noqa: F401
 from .transform import TransformProcessor  # noqa: F401
 from .metrics_state import (  # noqa: F401
