@@ -146,3 +146,67 @@ def load_balance(df: DataFrame, n: int, key: str) -> DataFrame:
     """loadbalancingexporter semantics: consistent-hash rows on ``key``
     into n buckets (repartition shuffle = the routing fabric)."""
     return df.repartition(n, F.col(key))
+
+
+def round_robin(df: DataFrame, n: int, sink_col: str = "sink_idx") -> DataFrame:
+    """roundrobinconnector semantics: EQUALLY split load across n
+    same-type pipelines regardless of content
+    (connector/roundrobinconnector/connector.go — each consume call goes
+    to the next consumer in turn).
+
+    Columnar restatement: the per-partition row sequence plays the role
+    of the consume-call sequence — ``monotonically_increasing_id`` is
+    sequential within a partition, so ``id % n`` cycles through the
+    sinks with at most one row of imbalance per partition, with NO
+    shuffle and NO coordination (an exact global counter would serialize
+    the fleet, the one thing a 1000-executor round-robin must not do).
+    Deterministic for a fixed partitioning; pair with
+    ``write_routed(route_col=sink_col)`` for the fan-out write.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    return df.withColumn(
+        sink_col, F.pmod(F.monotonically_increasing_id(), F.lit(n)).cast("int")
+    )
+
+
+@dataclass
+class FailoverSink:
+    """failoverconnector semantics: priority levels of sinks; data goes
+    to the highest-priority healthy level, falling through on failure
+    (connector/failoverconnector/config.go PipelinePriority — a level is
+    a FANOUT list, and if any member fails the level is unhealthy;
+    failover.go walks down the priority list).
+
+    Batch restatement: per invocation, try each level in priority order;
+    a level "fails" when any of its sink callables raises. The batch
+    analog of the retry timers (retry_interval/retry_gap wall-clock
+    recovery probes) is simply that every invocation starts from the top
+    level again — each run IS a retry of the stable level. ``max_retries``
+    caps how many consecutive invocations may fail a level before it is
+    pinned unhealthy for this connector instance. Returns the 0-based
+    level that served the batch (obsreport-style signal for lineage).
+    """
+
+    levels: list[list]  # list of priority levels, each a list of sink callables
+    max_retries: int = 0  # 0 = never pin a level unhealthy
+
+    def __post_init__(self):
+        if not self.levels:
+            raise ValueError("failover needs at least one priority level")
+        self._fail_counts = [0] * len(self.levels)
+
+    def __call__(self, df: DataFrame) -> int:
+        last_err: Exception | None = None
+        for i, level in enumerate(self.levels):
+            if self.max_retries and self._fail_counts[i] >= self.max_retries:
+                continue
+            try:
+                for sink in level:
+                    sink(df)
+                self._fail_counts[i] = 0
+                return i
+            except Exception as e:  # level unhealthy -> fall through
+                self._fail_counts[i] += 1
+                last_err = e
+        raise RuntimeError("all failover levels failed") from last_err

@@ -522,3 +522,94 @@ def test_table_sink_fallback_layout_and_dynamic_overwrite(spark, tmp_path):
     TableSink(path, partition_by=["sink"], mode="replace")(df2)
     out = {r.v for r in spark.read.parquet(path).collect()}
     assert out == {"r1", "r2-fixed"}
+
+
+def test_round_robin_equal_split_no_shuffle(spark):
+    from opentelemetry_collector_contrib_spark.sinks import round_robin
+
+    df = spark.range(9000).repartition(3)
+    tagged = round_robin(df, 3)
+    # equal split: per-partition cycling leaves at most 1 row/partition
+    # of imbalance (roundrobinconnector: consume calls alternate)
+    counts = {
+        r["sink_idx"]: r["n"]
+        for r in tagged.groupBy("sink_idx").count().withColumnRenamed("count", "n").collect()
+    }
+    assert set(counts) == {0, 1, 2}
+    assert max(counts.values()) - min(counts.values()) <= 3  # <=1 per partition
+    # distribution is a projection: no exchange beyond the setup repartition
+    plan = tagged._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1  # only the explicit repartition(3)
+    # deterministic for a fixed partitioning
+    a = sorted((r["id"], r["sink_idx"]) for r in tagged.collect())
+    b = sorted((r["id"], r["sink_idx"]) for r in round_robin(df, 3).collect())
+    assert a == b
+
+
+def test_failover_sink_priority_walk(spark, tmp_path):
+    from opentelemetry_collector_contrib_spark.sinks import FailoverSink, FileSink
+
+    df = spark.range(10)
+    ok_path = tmp_path / "primary"
+    calls = []
+
+    def broken(_df):
+        calls.append("broken")
+        raise IOError("sink down")
+
+    def healthy(d):
+        calls.append("healthy")
+        FileSink(str(ok_path))(d)
+
+    fo = FailoverSink(levels=[[broken], [healthy]])
+    assert fo(df) == 1  # served by the second priority level
+    assert spark.read.parquet(str(ok_path)).count() == 10
+    # next invocation starts from the top again (retry of stable level)
+    assert fo(df) == 1
+    assert calls == ["broken", "healthy", "broken", "healthy"]
+
+
+def test_failover_sink_max_retries_pins_level(spark, tmp_path):
+    from opentelemetry_collector_contrib_spark.sinks import FailoverSink
+
+    df = spark.range(1)
+    tries = []
+
+    def broken(_df):
+        tries.append(1)
+        raise IOError("down")
+
+    def ok(_df):
+        pass
+
+    fo = FailoverSink(levels=[[broken], [ok]], max_retries=2)
+    assert fo(df) == 1 and fo(df) == 1 and fo(df) == 1
+    assert len(tries) == 2  # third call skipped the pinned level
+
+
+def test_failover_all_levels_fail(spark):
+    from opentelemetry_collector_contrib_spark.sinks import FailoverSink
+
+    def broken(_df):
+        raise IOError("down")
+
+    fo = FailoverSink(levels=[[broken]])
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="all failover levels"):
+        fo(spark.range(1))
+
+
+def test_failover_level_fanout_partial_failure(spark, tmp_path):
+    from opentelemetry_collector_contrib_spark.sinks import FailoverSink, FileSink
+
+    # a level is a FANOUT list: any member failing makes the whole level
+    # unhealthy and the batch falls through
+    def broken(_df):
+        raise IOError("down")
+
+    good = FileSink(str(tmp_path / "l0"))
+    fallback = FileSink(str(tmp_path / "l1"))
+    fo = FailoverSink(levels=[[good, broken], [fallback]])
+    assert fo(spark.range(5)) == 1
+    assert spark.read.parquet(str(tmp_path / "l1")).count() == 5
