@@ -63,6 +63,7 @@ from opentelemetry_collector_contrib_spark.processors import (
     MetricsGeneration,
     MetricsTransform,
     ProbabilisticSampler,
+    SpanProcessor,
     TailPolicy,
     TailSampling,
 )
@@ -729,6 +730,47 @@ def _q_sampler_fnv(spark, sf_dir):
     return s(_transcripts(spark, sf_dir)).select("conv_id", "turn_idx")
 
 
+def _q_span_rename(spark, sf_dir):
+    # spanprocessor to_attributes: every 7th span gets a non-matching
+    # name so BOTH branches (first-match {group} splice + untouched
+    # passthrough) are oracle-exercised; set_status gated on the
+    # extracted attribute afterward
+    t = _transcripts(spark, sf_dir).select(
+        "conv_id",
+        "turn_idx",
+        F.when(
+            F.col("turn_idx") % 7 == 0,
+            F.concat(F.lit("noop-"), F.col("turn_idx").cast("string")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("/api/"), "role", F.lit("/op/"), "tool", F.lit("/run")
+            )
+        )
+        .alias("span_name"),
+        F.expr("map()").cast("map<string,string>").alias("attributes"),
+        F.lit("UNSET").alias("status_code"),
+    )
+    sp = SpanProcessor(
+        to_attributes=[r"^/api/(?P<rolePart>[^/]+)/op/(?P<toolPart>[^/]+)/run$"]
+    )
+    mark = SpanProcessor(
+        status_code="Error",
+        status_description="exec span",
+        include_condition="element_at(attributes, 'toolPart') = 'bash'",
+    )
+    out = mark(sp(t))
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "span_name",
+        F.element_at("attributes", "rolePart").alias("role_part"),
+        F.element_at("attributes", "toolPart").alias("tool_part"),
+        "status_code",
+        "status_description",
+    )
+
+
 def _q_tail_sampling(spark, sf_dir):
     # thresholds sit in the upper tail of the sf0.01 distribution so the
     # decision is DISCRIMINATING (some traces kept, some dropped)
@@ -957,6 +999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampler_equalizing": _q_sampler_equalizing,
         "metrics_transform": _q_metrics_transform,
         "metrics_generation": _q_metrics_generation,
+        "span_rename": _q_span_rename,
         "tail_sampling": _q_tail_sampling,
         "tail_sampling_invert": _q_tail_invert,
         "tail_sampling_span_count": _q_tail_span_count,
@@ -1178,6 +1221,15 @@ dec AS (
 SELECT t.conv_id, t.turn_idx
 FROM transcripts t JOIN dec d ON t.conv_id = d.conv_id
 WHERE coalesce(p_slow OR p_late OR p_prob, false)""",
+        "span_rename": f"""WITH {TRANSCRIPTS_ORACLE_CTE.strip()}
+SELECT conv_id, turn_idx,
+  CASE WHEN turn_idx % 7 = 0 THEN 'noop-' || CAST(turn_idx AS VARCHAR)
+       ELSE '/api/{{rolePart}}/op/{{toolPart}}/run' END AS span_name,
+  CASE WHEN turn_idx % 7 = 0 THEN NULL ELSE role END AS role_part,
+  CASE WHEN turn_idx % 7 = 0 THEN NULL ELSE tool END AS tool_part,
+  CASE WHEN turn_idx % 7 != 0 AND tool = 'bash' THEN 'ERROR' ELSE 'UNSET' END AS status_code,
+  CASE WHEN turn_idx % 7 != 0 AND tool = 'bash' THEN 'exec span' END AS status_description
+FROM transcripts""",
         "tail_sampling_invert": f"""WITH {TRANSCRIPTS_ORACLE_CTE.strip()},
 dec AS (
   SELECT conv_id,
