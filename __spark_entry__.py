@@ -730,6 +730,54 @@ def _q_sampler_fnv(spark, sf_dir):
     return s(_transcripts(spark, sf_dir)).select("conv_id", "turn_idx")
 
 
+def _q_k8sattributes(spark, sf_dir):
+    # pod association by connection IP against a nation-derived pod dim;
+    # every 5th event carries a pre-existing attr that must WIN over the
+    # pod metadata; ips with event_id%30 >= 25 have no pod (no match)
+    from opentelemetry_collector_contrib_spark.processors import (
+        AssociationRule,
+        AssociationSource,
+        K8sAttributes,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    fact = ev.select(
+        "event_id",
+        F.concat(
+            F.lit("10."), (F.col("event_id") % 30).cast("string"), F.lit(".0.1")
+        ).alias("ip"),
+        F.when(
+            F.col("event_id") % 5 == 0,
+            F.expr("map('k8s.nation', 'preset')"),
+        )
+        .otherwise(F.expr("map()"))
+        .cast("map<string,string>")
+        .alias("attributes"),
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    pods = nation.select(
+        F.concat(
+            F.lit("10."), F.col("n_nationkey").cast("string"), F.lit(".0.1")
+        ).alias("pod_ip"),
+        F.map_from_arrays(
+            F.array(F.lit("k8s.nation"), F.lit("k8s.region")),
+            F.array(F.col("n_name"), F.col("n_regionkey").cast("string")),
+        ).alias("metadata"),
+    )
+    proc = K8sAttributes(
+        pods,
+        [AssociationRule(sources=[AssociationSource("connection")], dim_keys=["pod_ip"])],
+    )
+    out = proc(fact)
+    return out.select(
+        "event_id",
+        "ip",
+        F.element_at("attributes", "k8s.nation").alias("nation_attr"),
+        F.element_at("attributes", "k8s.region").alias("region_attr"),
+        F.element_at("attributes", "k8s.pod.ip").alias("pod_ip_attr"),
+    )
+
+
 def _q_span_rename(spark, sf_dir):
     # spanprocessor to_attributes: every 7th span gets a non-matching
     # name so BOTH branches (first-match {group} splice + untouched
@@ -999,6 +1047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampler_equalizing": _q_sampler_equalizing,
         "metrics_transform": _q_metrics_transform,
         "metrics_generation": _q_metrics_generation,
+        "k8sattributes": _q_k8sattributes,
         "span_rename": _q_span_rename,
         "tail_sampling": _q_tail_sampling,
         "tail_sampling_invert": _q_tail_invert,
@@ -1221,6 +1270,12 @@ dec AS (
 SELECT t.conv_id, t.turn_idx
 FROM transcripts t JOIN dec d ON t.conv_id = d.conv_id
 WHERE coalesce(p_slow OR p_late OR p_prob, false)""",
+        "k8sattributes": """SELECT e.event_id,
+  '10.' || CAST(e.event_id % 30 AS VARCHAR) || '.0.1' AS ip,
+  CASE WHEN e.event_id % 5 = 0 THEN 'preset' ELSE n.n_name END AS nation_attr,
+  CAST(n.n_regionkey AS VARCHAR) AS region_attr,
+  '10.' || CAST(e.event_id % 30 AS VARCHAR) || '.0.1' AS pod_ip_attr
+FROM events e LEFT JOIN nation n ON n.n_nationkey = e.event_id % 30""",
         "span_rename": f"""WITH {TRANSCRIPTS_ORACLE_CTE.strip()}
 SELECT conv_id, turn_idx,
   CASE WHEN turn_idx % 7 = 0 THEN 'noop-' || CAST(turn_idx AS VARCHAR)

@@ -2,6 +2,11 @@ from .attributes import AttributesProcessor, Action  # noqa: F401
 from .enrich import CidrEnrich, LookupEnrich, ipv4_to_long  # noqa: F401
 from .filter import FilterProcessor, LogMatchProperties  # noqa: F401
 from .groupbyattrs import GroupByAttrs  # noqa: F401
+from .k8sattributes import (  # noqa: F401
+    AssociationRule,
+    AssociationSource,
+    K8sAttributes,
+)
 from .redaction import Redaction  # noqa: F401
 from .resourcedetection import ResourceDetection  # noqa: F401
 from .sampler import ProbabilisticSampler  # noqa: F401
