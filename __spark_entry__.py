@@ -886,13 +886,57 @@ def _q_metrics_transform(spark, sf_dir):
     # combine req.count + err.count into one summed metric per label set
     mt = MetricsTransform([
         MetricTransform(
-            include=r"^(req|err)\.count$", match_type="regexp",
+            # non-capturing: a capture group would become a "$1" label on
+            # every combined point (reference combine(), otlp.go:398-441)
+            include=r"^(?:req|err)\.count$", match_type="regexp",
             action="combine", new_name="all.count", aggregation_type="sum",
         )
     ])
     out = mt(_metric_frame(spark, sf_dir))
     return out.select(
         "metric_name", F.element_at("labels", "uid").alias("uid"), "value"
+    )
+
+
+def _q_metrics_combine_captures(spark, sf_dir):
+    # combine with capture-group labels (otlp.go:398-441: each include
+    # group becomes a label keyed by its name) + a second update whose
+    # match_labels only hits SOME datapoints per metric — canChangeMetric
+    # is false, so the dp-level scale applies per matching point and the
+    # rename/aggregate class would be skipped (transformMetric:526-563).
+    # Int-typed points: scale truncates toward zero.
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    frame = events.select(
+        F.when(F.col("event_id") % 2 == 0, "lat.p50.ms")
+        .otherwise("lat.p99.ms")
+        .alias("metric_name"),
+        F.floor(F.col("value") * 1e3).cast("double").alias("value"),
+        F.create_map(
+            F.lit("uid"), (F.col("user_id") % 10).cast("string")
+        ).alias("labels"),
+        F.lit("int").alias("value_type"),
+    )
+    mt = MetricsTransform(
+        [
+            MetricTransform(
+                include=r"^lat\.(?P<q>p\d+)\.ms$", match_type="regexp",
+                action="combine", new_name="lat.ms", aggregation_type="sum",
+            ),
+            MetricTransform(
+                include="lat.ms", action="update",
+                match_labels={"q": "p99"},
+                operations=[MetricOp("experimental_scale_value", scale=2.0)],
+            ),
+        ],
+        type_col="value_type",
+    )
+    out = mt(frame)
+    return out.select(
+        "metric_name",
+        F.element_at("labels", "q").alias("q"),
+        F.element_at("labels", "uid").alias("uid"),
+        "value",
+        "value_type",
     )
 
 
@@ -1046,6 +1090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampler_proportional": _q_sampler_proportional,
         "sampler_equalizing": _q_sampler_equalizing,
         "metrics_transform": _q_metrics_transform,
+        "metrics_combine_captures": _q_metrics_combine_captures,
         "metrics_generation": _q_metrics_generation,
         "k8sattributes": _q_k8sattributes,
         "span_rename": _q_span_rename,
@@ -1252,6 +1297,15 @@ GROUP BY client, server""",
   FROM events)
 SELECT 'all.count' AS metric_name, uid, sum(v)::DOUBLE AS value
 FROM mf GROUP BY uid""",
+        "metrics_combine_captures": """WITH mf AS (
+  SELECT CASE WHEN event_id % 2 = 0 THEN 'p50' ELSE 'p99' END AS q,
+         floor(value * 1000) AS v, CAST(user_id % 10 AS VARCHAR) AS uid
+  FROM events),
+agg AS (SELECT q, uid, sum(v) AS sv FROM mf GROUP BY q, uid)
+SELECT 'lat.ms' AS metric_name, q, uid,
+       CASE WHEN q = 'p99' THEN CAST(sv * 2.0 AS BIGINT)::DOUBLE ELSE sv::DOUBLE END AS value,
+       'int' AS value_type
+FROM agg""",
         "metrics_generation": """WITH mf AS (
   SELECT CASE WHEN event_id % 2 = 0 THEN 'req.count' ELSE 'err.count' END AS metric_name,
          floor(value * 1000000) AS v, CAST(user_id AS VARCHAR) AS uid

@@ -149,5 +149,9 @@ def test_broadcast_plan_no_fact_shuffle(spark, pods):
         .executedPlan()
         .toString()
     )
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # equi-key on the source value, rule gate as residual — must be a
+    # hash join, never a nested-loop broadcast
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
     assert "Exchange hashpartitioning" not in plan  # fact never shuffles
