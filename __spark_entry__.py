@@ -940,6 +940,33 @@ def _q_metrics_combine_captures(spark, sf_dir):
     )
 
 
+def _q_grafanacloud_hosts(spark, sf_dir):
+    # hourly flush of distinct host ids; every 3rd event lacks host.id
+    # and falls back to host.name (first-present-identifier rule)
+    from opentelemetry_collector_contrib_spark.connectors import GrafanaCloudConnector
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    spans = ev.select(
+        F.col("ts"),
+        F.map_filter(
+            F.create_map(
+                F.lit("host.id"),
+                F.when(
+                    F.col("event_id") % 3 != 0,
+                    F.concat(F.lit("h"), (F.col("user_id") % 37).cast("string")),
+                ),
+                F.lit("host.name"),
+                F.concat(F.lit("n"), (F.col("user_id") % 11).cast("string")),
+            ),
+            lambda _, v: v.isNotNull(),
+        ).alias("attributes"),
+    )
+    conn = GrafanaCloudConnector(
+        host_identifiers=["host.id", "host.name"], flush_interval="1 hour"
+    )
+    return conn(spans)
+
+
 def _q_metrics_generation(spark, sf_dir):
     # aggregate per uid, then generate err.ratio = err/req percent
     mt = MetricsTransform([
@@ -1091,6 +1118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampler_equalizing": _q_sampler_equalizing,
         "metrics_transform": _q_metrics_transform,
         "metrics_combine_captures": _q_metrics_combine_captures,
+        "grafanacloud_hosts": _q_grafanacloud_hosts,
         "metrics_generation": _q_metrics_generation,
         "k8sattributes": _q_k8sattributes,
         "span_rename": _q_span_rename,
@@ -1297,6 +1325,12 @@ GROUP BY client, server""",
   FROM events)
 SELECT 'all.count' AS metric_name, uid, sum(v)::DOUBLE AS value
 FROM mf GROUP BY uid""",
+        "grafanacloud_hosts": """SELECT DISTINCT 'traces_host_info' AS metric_name,
+  date_trunc('hour', ts) AS flush_start,
+  CASE WHEN event_id % 3 <> 0 THEN 'h' || CAST(user_id % 37 AS VARCHAR)
+       ELSE 'n' || CAST(user_id % 11 AS VARCHAR) END AS host_id,
+  CAST(1 AS BIGINT) AS value
+FROM events""",
         "metrics_combine_captures": """WITH mf AS (
   SELECT CASE WHEN event_id % 2 = 0 THEN 'p50' ELSE 'p99' END AS q,
          floor(value * 1000) AS v, CAST(user_id % 10 AS VARCHAR) AS uid
