@@ -967,6 +967,46 @@ def _q_grafanacloud_hosts(spark, sf_dir):
     return conn(spans)
 
 
+def _q_sumologic_shape(spark, sf_dir):
+    # cloud_namespace -> translate -> nest pipeline (sumologicprocessor
+    # sub-op order, processor.go:33-45); nesting include-listed to the
+    # net.* keys so the oracle can build the fixed JSON shape
+    from opentelemetry_collector_contrib_spark.processors import (
+        NestingConfig,
+        SumoLogicProcessor,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    fact = ev.select(
+        "event_id",
+        F.create_map(
+            F.lit("cloud.platform"),
+            F.element_at(
+                F.array(
+                    F.lit("aws_ec2"), F.lit("aws_ecs"),
+                    F.lit("aws_elastic_beanstalk"), F.lit("gcp_compute_engine"),
+                ),
+                (F.col("event_id") % 4 + 1).cast("int"),
+            ),
+            F.lit("host.name"),
+            F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string")),
+            F.lit("net.peer"),
+            F.concat(F.lit("p"), (F.col("event_id") % 7).cast("string")),
+        ).alias("attributes"),
+    )
+    proc = SumoLogicProcessor(
+        nest_attributes=NestingConfig(enabled=True, include=["net."])
+    )
+    out = proc(fact)
+    return out.select(
+        "event_id",
+        F.element_at("attributes", "aws_service").alias("aws_service"),
+        F.element_at("attributes", "cloud.namespace").alias("namespace"),
+        F.element_at("attributes", "host").alias("host"),
+        F.element_at("attributes", "net").alias("net_json"),
+    )
+
+
 def _q_metrics_generation(spark, sf_dir):
     # aggregate per uid, then generate err.ratio = err/req percent
     mt = MetricsTransform([
@@ -1119,6 +1159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_transform": _q_metrics_transform,
         "metrics_combine_captures": _q_metrics_combine_captures,
         "grafanacloud_hosts": _q_grafanacloud_hosts,
+        "sumologic_shape": _q_sumologic_shape,
         "metrics_generation": _q_metrics_generation,
         "k8sattributes": _q_k8sattributes,
         "span_rename": _q_span_rename,
@@ -1325,6 +1366,14 @@ GROUP BY client, server""",
   FROM events)
 SELECT 'all.count' AS metric_name, uid, sum(v)::DOUBLE AS value
 FROM mf GROUP BY uid""",
+        "sumologic_shape": """SELECT event_id,
+  CASE event_id % 4 WHEN 0 THEN 'aws_ec2' WHEN 1 THEN 'aws_ecs'
+       WHEN 2 THEN 'aws_elastic_beanstalk' ELSE 'gcp_compute_engine' END AS aws_service,
+  CASE event_id % 4 WHEN 0 THEN 'aws/ec2' WHEN 1 THEN 'ecs'
+       WHEN 2 THEN 'ElasticBeanstalk' ELSE NULL END AS namespace,
+  'h' || CAST(user_id % 20 AS VARCHAR) AS host,
+  '{"peer":"p' || CAST(event_id % 7 AS VARCHAR) || '"}' AS net_json
+FROM events""",
         "grafanacloud_hosts": """SELECT DISTINCT 'traces_host_info' AS metric_name,
   date_trunc('hour', ts) AS flush_start,
   CASE WHEN event_id % 3 <> 0 THEN 'h' || CAST(user_id % 37 AS VARCHAR)

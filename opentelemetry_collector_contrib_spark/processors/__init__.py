@@ -8,6 +8,11 @@ from .k8sattributes import (  # noqa: F401
     K8sAttributes,
 )
 from .redaction import Redaction  # noqa: F401
+from .sumologic import (  # noqa: F401
+    AggregationPair,
+    NestingConfig,
+    SumoLogicProcessor,
+)
 from .resourcedetection import ResourceDetection  # noqa: F401
 from .sampler import ProbabilisticSampler  # noqa: F401
 from .span import SpanProcessor, ToAttributeRule  # noqa: F401

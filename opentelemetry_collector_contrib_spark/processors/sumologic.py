@@ -1,0 +1,370 @@
+"""Sumo Logic processor: attribute shaping sub-processors.
+
+Reference: processor/sumologicprocessor (processor.go:33-59 fixes the
+sub-processor order: cloud_namespace -> translate_attributes ->
+nest_attributes -> aggregate_attributes -> log-fields conversion):
+
+- cloud_namespace_processor.go:57-71: resources whose ``cloud.platform``
+  is aws_ec2 / aws_ecs / aws_elastic_beanstalk gain ``cloud.namespace``
+  = "aws/ec2" / "ecs" / "ElasticBeanstalk".
+- translate_attributes_processor.go:19-41 + translateAttributes: a fixed
+  OT->Sumo key rename table; a key is NOT renamed when the target key
+  already exists in the original map, and when two keys map to the same
+  target the FIRST in map order wins.
+- nesting_processor.go:119-199: dotted keys expand into nested maps
+  (allowlist/denylist prefixes, leaf-vs-map collisions put the former
+  value under ``""``), optional squash_single_values re-joins
+  single-entry chains ("a"->"b"->{...} becomes "a.b").
+- aggregate_attributes_processor.go:73-127 + getNewKey:166-172: keys
+  matching any configured prefix are removed and re-keyed (prefix
+  stripped) under one new map-valued attribute, in prefix-then-map
+  order.
+- log_fields_conversion_processor.go:92-112: severity number/text and
+  span/trace ids become attributes unless the canonical attribute
+  (loglevel / severitytext / spanid / traceid) is already present.
+
+Columnar restatement: attributes are ``map<string,string>`` where a
+map-valued attribute is its compact JSON object encoding. The cloud
+namespace, translation, and log-fields steps are pure Column
+expressions (zero shuffle, whole-stage codegen). Nesting and
+aggregation build a per-record tree — no fixed-depth Column expression
+exists — so they run in ONE Arrow-batched pandas UDF over the map
+column (the documented slow path; O(keys) per record, no shuffle).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from functools import reduce
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+# translate_attributes_processor.go:19-41
+ATTRIBUTE_TRANSLATIONS = {
+    "cloud.account.id": "AccountId",
+    "cloud.availability_zone": "AvailabilityZone",
+    "cloud.platform": "aws_service",
+    "cloud.region": "Region",
+    "host.id": "InstanceId",
+    "host.name": "host",
+    "host.type": "InstanceType",
+    "k8s.cluster.name": "Cluster",
+    "k8s.container.name": "container",
+    "k8s.daemonset.name": "daemonset",
+    "k8s.deployment.name": "deployment",
+    "k8s.namespace.name": "namespace",
+    "k8s.node.name": "node",
+    "k8s.service.name": "service",
+    "k8s.pod.hostname": "host",
+    "k8s.pod.name": "pod",
+    "k8s.pod.uid": "pod_id",
+    "k8s.replicaset.name": "replicaset",
+    "k8s.statefulset.name": "statefulset",
+    "service.name": "service",
+    "log.file.path_resolved": "_sourceName",
+}
+
+# cloud_namespace_processor.go:17-22 + addCloudNamespaceAttribute
+CLOUD_NAMESPACES = {
+    "aws_ec2": "aws/ec2",
+    "aws_ecs": "ecs",
+    "aws_elastic_beanstalk": "ElasticBeanstalk",
+}
+
+# log_fields_conversion_processor.go:14-19 — the presence check uses
+# these CANONICAL names even when the configured output name differs
+CANONICAL_LOG_FIELDS = {
+    "severity_number": "loglevel",
+    "severity_text": "severitytext",
+    "span_id": "spanid",
+    "trace_id": "traceid",
+}
+
+_SEV_BASE = ["TRACE", "DEBUG", "INFO", "WARN", "ERROR", "FATAL"]
+
+
+def severity_number_to_level(n: int) -> str | None:
+    """plog severity number (1-24) -> Sumo level string
+    (log_fields_conversion_processor.go:51-77)."""
+    if not 1 <= n <= 24:
+        return None
+    base, off = _SEV_BASE[(n - 1) // 4], (n - 1) % 4
+    return base if off == 0 else f"{base}{off + 1}"
+
+
+@dataclass
+class NestingConfig:
+    enabled: bool = False
+    separator: str = "."
+    include: list[str] = field(default_factory=list)
+    exclude: list[str] = field(default_factory=list)
+    squash_single_values: bool = False
+
+
+@dataclass
+class AggregationPair:
+    attribute: str
+    prefixes: list[str]
+
+
+# --- python tree ops shared by the pandas UDF (and unit-testable) -----------
+
+
+def _decode(v: str):
+    """Flat-model decode: a JSON-object string is a map value."""
+    if isinstance(v, str) and v.startswith("{"):
+        try:
+            d = json.loads(v)
+            if isinstance(d, dict):
+                return {k: _decode(x) if isinstance(x, str) else x for k, x in d.items()}
+        except ValueError:
+            pass
+    return v
+
+
+def _encode(v) -> str:
+    if isinstance(v, dict):
+        return json.dumps(
+            {k: json.loads(_encode(x)) if isinstance(x, dict) else x for k, x in v.items()},
+            separators=(",", ":"),
+        )
+    return v
+
+
+def translate_attrs(attrs: dict) -> dict:
+    """Python twin of the columnar ``_translated`` (translateAttributes,
+    translate_attributes_processor.go:63-90): rename unless the target
+    key already exists in the ORIGINAL map; first occurrence wins."""
+    result: dict = {}
+    for k, v in attrs.items():
+        sumo = ATTRIBUTE_TRANSLATIONS.get(k)
+        key = sumo if sumo is not None and sumo not in attrs else k
+        if key not in result:
+            result[key] = v
+    return result
+
+
+def _should_nest_key(k: str, include: list[str], exclude: list[str]) -> bool:
+    """nesting_processor.go:199-223 shouldTranslateKey."""
+    if include and not any(k.startswith(p) for p in include):
+        return False
+    return not any(k.startswith(p) for p in exclude)
+
+
+def nest_attrs(attrs: dict, cfg: NestingConfig) -> dict:
+    """nesting_processor.go:119-173 processAttributes."""
+    new: dict = {}
+    for k, v in attrs.items():
+        if not _should_nest_key(k, cfg.include, cfg.exclude):
+            new[k] = v
+            continue
+        keys = k.split(cfg.separator)
+        node = new
+        for i, part in enumerate(keys):
+            missing = part not in node
+            existing = node.get(part)
+            last = i == len(keys) - 1
+            if last:
+                if isinstance(existing, dict):
+                    if isinstance(v, dict):
+                        existing.update(v)  # merge maps
+                    else:
+                        existing[""] = v  # former-map rule, inverted
+                else:
+                    node[part] = v
+            else:
+                if missing:
+                    node[part] = {}
+                elif not isinstance(existing, dict):
+                    # leaf displaced under "" (nesting_processor.go:143-149)
+                    node[part] = {"": existing}
+                node = node[part]
+    if cfg.squash_single_values:
+        suf, sv = _squash_value(new, cfg.separator)
+        new = {suf: sv} if suf is not None else sv
+    return new
+
+
+def _squash_value(v, sep: str):
+    """nesting_processor.go:225-289 squash/squashAttribute: returns
+    (joined key suffix or None, squashed value)."""
+    if not isinstance(v, dict):
+        return None, v
+    if len(v) == 1:
+        (k, inner), = v.items()
+        suf, sv = _squash_value(inner, sep)
+        return (k if suf is None else k + sep + suf), sv
+    out = {}
+    for k, inner in v.items():
+        suf, sv = _squash_value(inner, sep)
+        out[k if suf is None else k + sep + suf] = sv
+    return None, out
+
+
+def aggregate_attrs(attrs: dict, pairs: list[AggregationPair]) -> dict:
+    """aggregate_attributes_processor.go:73-127."""
+    out = dict(attrs)
+    for pair in pairs:
+        collected: dict = {}
+        for prefix in pair.prefixes:
+            remaining: dict = {}
+            for k, v in out.items():
+                if k.startswith(prefix):
+                    collected[k[len(prefix):]] = v  # last-wins like PutEmpty
+                else:
+                    remaining[k] = v
+            out = remaining
+        if collected:
+            out[pair.attribute] = collected
+    return out
+
+
+@dataclass
+class SumoLogicProcessor:
+    add_cloud_namespace: bool = True
+    translate_attributes: bool = True
+    nest_attributes: NestingConfig | None = None
+    aggregate_attributes: list[AggregationPair] = field(default_factory=list)
+    # enabled log fields: config key -> output attribute name
+    log_fields: dict[str, str] = field(default_factory=dict)
+    attrs_col: str = "attributes"
+    severity_number_col: str = "severity_number"
+    severity_text_col: str = "severity_text"
+    span_id_col: str = "span_id"
+    trace_id_col: str = "trace_id"
+
+    def __post_init__(self):
+        bad = set(self.log_fields) - set(CANONICAL_LOG_FIELDS)
+        if bad:
+            raise ValueError(f"unknown log fields: {sorted(bad)}")
+
+    # --- columnar steps ------------------------------------------------------
+
+    def _with_cloud_namespace(self, attrs: Column) -> Column:
+        platform = F.element_at(attrs, "cloud.platform")
+        ns = reduce(
+            lambda acc, kv: acc.when(platform == kv[0], F.lit(kv[1])),
+            CLOUD_NAMESPACES.items(),
+            F.when(F.lit(False), F.lit(None)),
+        ).otherwise(F.lit(None))
+        return F.when(
+            ns.isNotNull(),
+            F.map_concat(
+                F.map_filter(attrs, lambda k, _: k != "cloud.namespace"),
+                F.create_map(F.lit("cloud.namespace"), ns),
+            ),
+        ).otherwise(attrs)
+
+    def _translated(self, attrs: Column) -> Column:
+        table = F.create_map(
+            *[F.lit(x) for kv in ATTRIBUTE_TRANSLATIONS.items() for x in kv]
+        )
+        entries = F.map_entries(attrs)
+        renamed = F.transform(
+            entries,
+            lambda e: F.struct(
+                F.when(
+                    F.element_at(table, e.getField("key")).isNotNull()
+                    & ~F.map_contains_key(attrs, F.element_at(table, e.getField("key"))),
+                    F.element_at(table, e.getField("key")),
+                )
+                .otherwise(e.getField("key"))
+                .alias("key"),
+                e.getField("value").alias("value"),
+            ),
+        )
+        # first occurrence wins on rename collisions (translateAttributes
+        # result.Get guard) — maps are small, the O(n^2) scan is per-row
+        # constant work inside codegen
+        firsts = F.filter(
+            renamed,
+            lambda e, idx: ~F.exists(
+                F.slice(renamed, F.lit(1), idx),
+                lambda prev: prev.getField("key") == e.getField("key"),
+            ),
+        )
+        return F.map_from_entries(firsts)
+
+    def _with_log_fields(self, df: DataFrame) -> DataFrame:
+        attrs = F.col(self.attrs_col)
+        adds: list[tuple[str, Column, Column]] = []
+        if "severity_number" in self.log_fields:
+            n = F.col(self.severity_number_col)
+            level = reduce(
+                lambda acc, i: acc.when(n == i, F.lit(severity_number_to_level(i))),
+                range(1, 25),
+                F.when(F.lit(False), F.lit(None)),
+            ).otherwise(F.lit(None))
+            adds.append(("severity_number", (n != 0) & n.isNotNull(), level))
+        if "severity_text" in self.log_fields:
+            adds.append(("severity_text", F.lit(True), F.col(self.severity_text_col)))
+        if "span_id" in self.log_fields:
+            adds.append(("span_id", F.lit(True), F.coalesce(F.col(self.span_id_col), F.lit(""))))
+        if "trace_id" in self.log_fields:
+            adds.append(("trace_id", F.lit(True), F.coalesce(F.col(self.trace_id_col), F.lit(""))))
+        out = df
+        for fld, cond, value in adds:
+            canonical = CANONICAL_LOG_FIELDS[fld]
+            target = self.log_fields[fld]
+            attrs = F.col(self.attrs_col)
+            out = out.withColumn(
+                self.attrs_col,
+                F.when(
+                    cond & ~F.map_contains_key(attrs, canonical) & value.isNotNull(),
+                    F.map_concat(
+                        F.map_filter(attrs, lambda k, _: k != F.lit(target)),
+                        F.create_map(F.lit(target), value),
+                    ),
+                ).otherwise(attrs),
+            )
+        return out
+
+    # --- driver ---------------------------------------------------------------
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        out = df
+        attrs = F.col(self.attrs_col)
+        if self.add_cloud_namespace:
+            out = out.withColumn(self.attrs_col, self._with_cloud_namespace(attrs))
+
+        nest_cfg = self.nest_attributes
+        pairs = self.aggregate_attributes
+        udf_path = bool(nest_cfg and nest_cfg.enabled) or bool(pairs)
+
+        # Catalyst cannot extract a pandas UDF whose (projection-collapsed)
+        # input embeds the translate expression's correlated nested lambda
+        # (exists-over-slice referencing the outer lambda variable) —
+        # [INTERNAL_ERROR] Cannot generate code for expression. When the
+        # shaping UDF runs anyway, fold translation into the same Arrow
+        # pass (identical semantics, one batch transfer); columnar
+        # translation remains the UDF-free fast path.
+        do_translate_in_udf = self.translate_attributes and udf_path
+        if self.translate_attributes and not udf_path:
+            out = out.withColumn(self.attrs_col, self._translated(F.col(self.attrs_col)))
+
+        if udf_path:
+            @pandas_udf("map<string,string>")
+            def shape(col: pd.Series) -> pd.Series:
+                def one(m):
+                    if m is None:
+                        return m
+                    d = {k: _decode(v) for k, v in m.items()}
+                    if do_translate_in_udf:
+                        d = translate_attrs(d)
+                    if nest_cfg and nest_cfg.enabled:
+                        d = nest_attrs(d, nest_cfg)
+                    if pairs:
+                        d = aggregate_attrs(d, pairs)
+                    return {k: _encode(v) for k, v in d.items()}
+
+                return col.map(one)
+
+            out = out.withColumn(self.attrs_col, shape(F.col(self.attrs_col)))
+
+        if self.log_fields:
+            out = self._with_log_fields(out)
+        return out
