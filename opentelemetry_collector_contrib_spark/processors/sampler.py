@@ -63,24 +63,44 @@ def fnv1a32(data: Column, seed: int) -> Column:
     expressions inside codegen, no UDF. 64-bit intermediates can't
     overflow: state < 2^32, prime < 2^25, product < 2^57.
     """
-    h = _FNV_OFFSET
-    for b in seed.to_bytes(4, "little"):
-        h = ((h ^ b) * _FNV_PRIME) & _U32
-    hx = F.hex(F.encode(data, "utf-8"))  # 2 hex chars per input byte
-    byte_arr = F.transform(
-        F.sequence(F.lit(0), (F.length(hx) / 2).cast("int") - 1),
-        lambda i: F.conv(F.substring(hx, i * 2 + 1, F.lit(2)), 16, 10).cast(
-            "bigint"
-        ),
+    return fnv1a32_hex(F.hex(F.encode(data, "utf-8")), seed)
+
+
+def fnv1a32_hex(hx: Column, seed: int | Column) -> Column:
+    """FNV-1a over the bytes whose hex encoding is ``hx`` (2 hex chars
+    per byte) — the raw-bytes entry point: trace ids hash their 16 id
+    BYTES (tracesprocessor.go randomnessFromSpan: ``s.TraceID()[:]``),
+    not the hex string. ``seed`` may be a per-row Column; a Python int
+    folds its 4 little-endian bytes into the initial state driver-side.
+    """
+    # empty input: sequence(0,-1) auto-reverses to [0,-1] instead of [],
+    # so guard to an empty byte array
+    data_bytes = F.when(F.length(hx) == 0, F.array().cast("array<bigint>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), (F.length(hx) / 2).cast("int") - 1),
+            lambda i: F.conv(F.substring(hx, i * 2 + 1, F.lit(2)), 16, 10).cast(
+                "bigint"
+            ),
+        )
     )
-    folded = F.aggregate(
+    if isinstance(seed, Column):
+        s = seed.cast("bigint")
+        seed_bytes = F.array(
+            *[F.shiftright(s, 8 * i).bitwiseAND(F.lit(255)) for i in range(4)]
+        )
+        byte_arr = F.concat(seed_bytes, data_bytes)
+        init = F.lit(_FNV_OFFSET).cast("bigint")
+    else:
+        h = _FNV_OFFSET
+        for b in seed.to_bytes(4, "little"):
+            h = ((h ^ b) * _FNV_PRIME) & _U32
+        byte_arr = data_bytes
+        init = F.lit(h).cast("bigint")
+    return F.aggregate(
         byte_arr,
-        F.lit(h).cast("bigint"),
+        init,
         lambda acc, x: (acc.bitwiseXOR(x) * _FNV_PRIME).bitwiseAND(F.lit(_U32)),
     )
-    # empty input: sequence(0,-1) auto-reverses to [0,-1] instead of [],
-    # so short-circuit to the seed-folded state (hash of just the seed)
-    return F.when(F.length(hx) == 0, F.lit(h).cast("bigint")).otherwise(folded)
 
 
 def _fnv_bucket(key: Column, seed: int) -> Column:
