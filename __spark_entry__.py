@@ -622,6 +622,66 @@ def _span_frame(spark, sf_dir):
     )
 
 
+def _q_servicegraph_spanpair(spark, sf_dir):
+    # reference span-pair store semantics as a full-outer equi-join:
+    # even turns are client spans, odd turns server spans whose parent
+    # is the previous turn's span id; every 10th server is missing so
+    # its client expires into a virtual edge (peer attr or "unknown")
+    from opentelemetry_collector_contrib_spark.connectors import SpanServiceGraph
+
+    t = _transcripts(spark, sf_dir)
+    svc = F.concat(F.lit("svc-"), (F.col("turn_idx") % 5).cast("string"))
+    dur = ((F.col("turn_idx") % 9 + 1) / F.lit(1000.0)).cast("double")
+    spans = t.filter(
+        (F.col("turn_idx") % 2 == 0) | (F.col("turn_idx") % 10 != 7)
+    ).select(
+        F.col("conv_id").alias("trace_id"),
+        F.concat(F.col("conv_id"), F.lit("#"), F.col("turn_idx").cast("string")).alias(
+            "span_id"
+        ),
+        F.when(
+            F.col("turn_idx") % 2 == 1,
+            F.concat(
+                F.col("conv_id"), F.lit("#"), (F.col("turn_idx") - 1).cast("string")
+            ),
+        )
+        .otherwise(F.lit(""))
+        .alias("parent_span_id"),
+        F.when(F.col("turn_idx") % 2 == 0, "SPAN_KIND_CLIENT")
+        .otherwise("SPAN_KIND_SERVER")
+        .alias("span_kind"),
+        svc.alias("service_name"),
+        F.when(F.col("turn_idx") % 5 == 0, "STATUS_CODE_ERROR")
+        .otherwise("STATUS_CODE_OK")
+        .alias("status_code"),
+        dur.alias("duration_s"),
+        F.map_filter(
+            F.create_map(
+                F.lit("peer.service"),
+                F.when(
+                    F.col("turn_idx") % 3 != 0,
+                    F.concat(F.lit("peer-"), (F.col("turn_idx") % 3).cast("string")),
+                ),
+            ),
+            lambda _, v: v.isNotNull(),
+        ).alias("attributes"),
+    )
+    out = SpanServiceGraph()(spans)
+    return out.select(
+        "client",
+        "server",
+        "connection_type",
+        "request_count",
+        "failed_count",
+        # exact micro sums: the connector sums bigint micros internally
+        # and divides once, so round(sum_s*1e6) recovers the integer sum
+        # exactly (±ulp from the /1e6 round-trip rounds away) — the
+        # value-hash is parallelism-proof
+        F.round(F.col("client_latency_sum_s") * 1e6, 0).cast("bigint").alias("client_lat_us"),
+        F.round(F.col("server_latency_sum_s") * 1e6, 0).cast("bigint").alias("server_lat_us"),
+    )
+
+
 def _q_exceptions_metrics(spark, sf_dir):
     return ExceptionsConnector().metrics(_span_frame(spark, sf_dir))
 
@@ -1147,6 +1207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cumulative_to_delta": _q_cumulative_to_delta,
         "delta_to_rate": _q_delta_to_rate,
         "interval_last": _q_interval_last,
+        "servicegraph_spanpair": _q_servicegraph_spanpair,
         "servicegraph_edges": _q_servicegraph,
         "servicegraph_hist": _q_servicegraph_hist,
         "exceptions_metrics": _q_exceptions_metrics,
@@ -1348,6 +1409,35 @@ SELECT conv_id, turn_idx,
   try_strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S'), '%Y-%m-%dT%H:%M:%S') AS event_ts,
   CASE WHEN turn_idx % 2 = 0 THEN false ELSE turn_idx % 3 = 0 END AS partial
 FROM transcripts""",
+        "servicegraph_spanpair": f"""WITH {TRANSCRIPTS_ORACLE_CTE.strip()},
+clients AS (
+  SELECT conv_id, turn_idx,
+         'svc-' || CAST(turn_idx % 5 AS VARCHAR) AS client,
+         (turn_idx % 9 + 1) * 1000 AS lat_us,
+         turn_idx % 5 = 0 AS cerr,
+         CASE WHEN turn_idx % 3 <> 0 THEN 'peer-' || CAST(turn_idx % 3 AS VARCHAR) END AS peer
+  FROM transcripts WHERE turn_idx % 2 = 0),
+servers AS (
+  SELECT conv_id, turn_idx - 1 AS client_turn,
+         'svc-' || CAST(turn_idx % 5 AS VARCHAR) AS server,
+         (turn_idx % 9 + 1) * 1000 AS lat_us,
+         turn_idx % 5 = 0 AS serr
+  FROM transcripts WHERE turn_idx % 2 = 1 AND turn_idx % 10 <> 7),
+edges AS (
+  SELECT c.client,
+         coalesce(s.server, coalesce(c.peer, 'unknown')) AS server,
+         CASE WHEN s.server IS NULL THEN 'virtual_node' ELSE '' END AS connection_type,
+         c.cerr OR coalesce(s.serr, false) AS failed,
+         c.lat_us AS client_lat_us,
+         coalesce(s.lat_us, 0) AS server_lat_us
+  FROM clients c LEFT JOIN servers s
+    ON c.conv_id = s.conv_id AND c.turn_idx = s.client_turn)
+SELECT client, server, connection_type,
+       count(*) AS request_count,
+       sum(CASE WHEN failed THEN 1 ELSE 0 END) AS failed_count,
+       sum(client_lat_us) AS client_lat_us,
+       sum(server_lat_us) AS server_lat_us
+FROM edges GROUP BY client, server, connection_type""",
         "servicegraph_edges": f"""WITH {TRANSCRIPTS_ORACLE_CTE.strip()},
 paired AS (
   SELECT role AS client, ts,
