@@ -522,6 +522,19 @@ def _q_spanmetrics(spark, sf_dir):
     return sm(parsed)
 
 
+def _q_spanmetrics_calls(spark, sf_dir):
+    # calls metric: namespace prefix + configured dims with a default
+    # (reserved key dims absent from this frame are skipped)
+    parsed = _pipe().enrich(_pipe().parse(_transcripts(spark, sf_dir)))
+    sm = SpanMetricsConnector(
+        duration_col="dur_ms",
+        dimensions=["tool_category", "missing_dim"],
+        dimension_defaults={"missing_dim": "none"},
+        namespace="traces.span.metrics",
+    )
+    return sm.calls(parsed)
+
+
 def _q_parse_container(spark, sf_dir):
     ts_str = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss")
     docker = F.concat(
@@ -1203,6 +1216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupbyattrs": _q_groupbyattrs,
         "parse_syslog": _q_parse_syslog,
         "spanmetrics_hist": _q_spanmetrics,
+        "spanmetrics_calls": _q_spanmetrics_calls,
         "delta_to_cumulative": _q_delta_to_cumulative,
         "cumulative_to_delta": _q_cumulative_to_delta,
         "delta_to_rate": _q_delta_to_rate,
@@ -1372,6 +1386,10 @@ SELECT conv_id, turn_idx,
   '-' AS structured_data,
   text AS message
 FROM transcripts""",
+        "spanmetrics_calls": f"""{_BASE_CTES}
+SELECT tool_category, 'none' AS missing_dim, count(*)::BIGINT AS calls,
+       'traces.span.metrics.calls' AS metric_name
+FROM enriched GROUP BY tool_category""",
         "spanmetrics_hist": f"""{_BASE_CTES}
 SELECT tool_category,
   CASE WHEN CAST(dur_ms AS BIGINT) <= 100 THEN '100'

@@ -24,6 +24,21 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+# connector.go:39-41
+METRIC_NAME_DURATION = "duration"
+METRIC_NAME_CALLS = "calls"
+METRIC_NAME_EVENTS = "events"
+
+# the reserved buildKey dimensions (connector.go buildKey; they resolve
+# from the standard span columns, not the attributes map)
+DEFAULT_KEY_DIMENSIONS = ("service.name", "span.name", "span.kind", "status.code")
+
+
+def build_metric_name(namespace: str, name: str) -> str:
+    """connector.go:588-593 — ``ns.name`` when a namespace is set."""
+    return f"{namespace}.{name}" if namespace else name
+
+
 @dataclass
 class SpanMetricsConnector:
     duration_col: str                      # numeric duration (e.g. ms)
@@ -33,10 +48,22 @@ class SpanMetricsConnector:
     )  # reference default explicit bounds (ms), config.go histogram defaults
     histogram: str = "explicit_buckets"    # explicit_buckets | exponential
     scale: int = 0                         # exponential mode: OTel scale
+    # config.go:79-80 Namespace, :61 ExcludeDimensions (may name the
+    # reserved key dims, TestBuildKeyExcludeDimensionsAll), Dimensions
+    # defaults (dimension.value fallback, TestBuildKeyWithDimensions)
+    namespace: str = ""
+    exclude_dimensions: list[str] = field(default_factory=list)
+    dimension_defaults: dict[str, str] = field(default_factory=dict)
 
     def __post_init__(self):
         if self.histogram not in ("explicit_buckets", "exponential"):
             raise ValueError(f"unknown histogram mode {self.histogram!r}")
+
+    def metric_names(self) -> dict[str, str]:
+        return {
+            k: build_metric_name(self.namespace, k)
+            for k in (METRIC_NAME_CALLS, METRIC_NAME_DURATION, METRIC_NAME_EVENTS)
+        }
 
     def bucket_label(self, dur: Column) -> Column:
         expr = None
@@ -59,13 +86,53 @@ class SpanMetricsConnector:
 
     def _dim(self, df: DataFrame, name: str) -> Column:
         # dimensions resolve like the reference's attribute lookup
-        # (config.go Dimensions: span attribute else resource attribute):
-        # top-level column first, else the attributes map
+        # (config.go Dimensions: span attribute else resource attribute
+        # else the configured default): top-level column first, else the
+        # attributes map, else the default
         if name in df.columns:
-            return F.col(name).alias(name)
-        if "attributes" in df.columns:
-            return F.element_at(F.col("attributes"), name).alias(name)
-        return F.lit(None).cast("string").alias(name)
+            expr = F.col(name)
+        elif "attributes" in df.columns:
+            expr = F.element_at(F.col("attributes"), name)
+        else:
+            expr = F.lit(None).cast("string")
+        default = self.dimension_defaults.get(name)
+        if default is not None:
+            expr = F.coalesce(expr, F.lit(default))
+        return expr.alias(name)
+
+    def _key_dims(self, df: DataFrame) -> tuple[list[Column], list[str]]:
+        """Reserved key dims (minus exclusions) + configured dims."""
+        wanted = [
+            d for d in (*DEFAULT_KEY_DIMENSIONS, *self.dimensions)
+            if d not in self.exclude_dimensions
+        ]
+        cols, names = [], []
+        for d in wanted:
+            # reserved dims read the standard span columns when present
+            std = d.replace(".", "_")
+            if d in DEFAULT_KEY_DIMENSIONS and std in df.columns:
+                cols.append(F.col(std).alias(std))
+                names.append(std)
+            elif d in DEFAULT_KEY_DIMENSIONS:
+                continue  # reserved dim without a standard column
+            else:
+                cols.append(self._dim(df, d))
+                names.append(d)
+        return cols, names
+
+    def calls(self, df: DataFrame) -> DataFrame:
+        """The ``calls`` monotonic sum (connector.go:296-299): one count
+        per key — the same single-scan map-side-combined aggregation."""
+        cols, names = self._key_dims(df)
+        return (
+            df.select(*cols)
+            .groupBy(*names)
+            .agg(F.count(F.lit(1)).alias("calls"))
+            .withColumn(
+                "metric_name",
+                F.lit(build_metric_name(self.namespace, METRIC_NAME_CALLS)),
+            )
+        )
 
     def __call__(self, df: DataFrame) -> DataFrame:
         dur = F.col(self.duration_col).cast("double")
