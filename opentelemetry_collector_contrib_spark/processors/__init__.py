@@ -31,3 +31,4 @@ from .metrics_transform import (  # noqa: F401
     MetricsGeneration,
     MetricsTransform,
 )
+from .remotetap import RemoteTap  # noqa: F401

@@ -112,6 +112,11 @@ class IntervalProcessor:
     stream_keys: list[str] = field(default_factory=lambda: ["metric"])
     order_col: str = "ts"
     tiebreak_col: str | None = None  # deterministic pick on equal timestamps
+    # SQL predicate marking rows the reference emits IMMEDIATELY instead
+    # of holding for the interval flush (processor.go:104-123: gauges,
+    # summaries, non-monotonic sums, delta temporality). Passed-through
+    # rows carry a null interval_start.
+    passthrough: str | None = None
 
     def __post_init__(self):
         parts = self.interval.split()
@@ -133,6 +138,19 @@ class IntervalProcessor:
             raise ValueError(f"unsupported interval unit in {self.interval!r}")
 
     def __call__(self, df: DataFrame) -> DataFrame:
+        if self.passthrough:
+            p = F.coalesce(F.expr(self.passthrough), F.lit(False))
+            passed = df.filter(p).withColumn(
+                "interval_start", F.lit(None).cast("timestamp")
+            )
+            held = IntervalProcessor(
+                interval=self.interval,
+                value_col=self.value_col,
+                stream_keys=self.stream_keys,
+                order_col=self.order_col,
+                tiebreak_col=self.tiebreak_col,
+            )(df.filter(~p))
+            return held.unionByName(passed)
         ts = F.col(self.order_col).cast("timestamp")
         if self._interval_us is not None:
             ius = F.lit(self._interval_us)

@@ -463,3 +463,44 @@ def test_cidr_enrich_longest_prefix_match(spark):
     got = sorted((r.id, r.name) for r in out.collect())
     # duplicate fact rows each keep their own LPM result
     assert got == [(1, "wide"), (2, "mid"), (3, "narrow"), (3, "narrow")]
+
+
+# --- remote tap (processor/remotetapprocessor/processor.go:95-140) ----------
+
+
+def test_remote_tap_passthrough_and_bounded_sample(spark, tmp_path):
+    import json
+    import os
+
+    from opentelemetry_collector_contrib_spark.processors import RemoteTap
+
+    df = spark.createDataFrame(
+        [(f"b{i}", "INFO") for i in range(50)], "body string, severity_text string"
+    )
+    tap = RemoteTap(str(tmp_path / "tap"), sample_rows=3)
+    out = tap(df)
+    # pass-through: the returned frame is the input, unmodified
+    assert out is df
+    files = []
+    for root, _, names in os.walk(tmp_path / "tap"):
+        files += [os.path.join(root, n) for n in names if not n.startswith(("_", "."))]
+    lines = []
+    for f in files:
+        lines += [ln for ln in open(f).read().splitlines() if ln]
+    # tap volume is bounded by sample_rows, never O(data)
+    assert len(lines) == 3
+    doc = json.loads(lines[0])
+    rec = doc["resourceLogs"][0]["scopeLogs"][0]["logRecords"][0]
+    assert rec["severityText"] == "INFO"
+
+
+def test_remote_tap_successive_invocations_separate_dirs(spark, tmp_path):
+    import os
+
+    from opentelemetry_collector_contrib_spark.processors import RemoteTap
+
+    df = spark.createDataFrame([("x",)], "body string")
+    tap = RemoteTap(str(tmp_path / "tap"))
+    tap(df)
+    tap(df)
+    assert sorted(os.listdir(tmp_path / "tap")) == ["tap-00000", "tap-00001"]
