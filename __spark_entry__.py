@@ -1080,6 +1080,47 @@ def _q_sumologic_shape(spark, sf_dir):
     )
 
 
+_SCHEMA_VERSIONS = {
+    "1.0.0": {},
+    "1.1.0": {"all": {"changes": [
+        {"rename_attributes": {"attribute_map": {"k8s.cluster": "k8s.cluster.name"}}}]}},
+    "1.2.0": {"logs": {"changes": [
+        {"rename_attributes": {"attribute_map": {"log.path": "log.file.path"}}}]}},
+}
+
+
+def _q_schema_translate(spark, sf_dir):
+    # mixed source versions translated to 1.2.0 in one pass: rows at
+    # 1.0.0 get both renames, 1.1.0 only the 1.2.0 rename, 1.2.0 none
+    from opentelemetry_collector_contrib_spark.processors import SchemaProcessor
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    fact = ev.select(
+        "event_id",
+        F.concat(
+            F.lit("https://opentelemetry.io/schemas/1."),
+            (F.col("event_id") % 3).cast("string"),
+            F.lit(".0"),
+        ).alias("schema_url"),
+        F.create_map(
+            F.lit("k8s.cluster"),
+            F.concat(F.lit("c"), (F.col("user_id") % 5).cast("string")),
+            F.lit("log.path"),
+            F.concat(F.lit("/p"), (F.col("event_id") % 7).cast("string")),
+        ).alias("attributes"),
+    )
+    proc = SchemaProcessor(versions=_SCHEMA_VERSIONS, target="1.2.0", signal="log")
+    out = proc(fact)
+    return out.select(
+        "event_id",
+        "schema_url",
+        F.element_at("attributes", "k8s.cluster.name").alias("cluster_new"),
+        F.element_at("attributes", "k8s.cluster").alias("cluster_old"),
+        F.element_at("attributes", "log.file.path").alias("path_new"),
+        F.element_at("attributes", "log.path").alias("path_old"),
+    )
+
+
 def _q_metrics_generation(spark, sf_dir):
     # aggregate per uid, then generate err.ratio = err/req percent
     mt = MetricsTransform([
@@ -1235,6 +1276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_combine_captures": _q_metrics_combine_captures,
         "grafanacloud_hosts": _q_grafanacloud_hosts,
         "sumologic_shape": _q_sumologic_shape,
+        "schema_translate": _q_schema_translate,
         "metrics_generation": _q_metrics_generation,
         "k8sattributes": _q_k8sattributes,
         "span_rename": _q_span_rename,
@@ -1474,6 +1516,13 @@ GROUP BY client, server""",
   FROM events)
 SELECT 'all.count' AS metric_name, uid, sum(v)::DOUBLE AS value
 FROM mf GROUP BY uid""",
+        "schema_translate": """SELECT event_id,
+  'https://opentelemetry.io/schemas/1.2.0' AS schema_url,
+  CASE WHEN event_id % 3 = 0 THEN 'c' || CAST(user_id % 5 AS VARCHAR) END AS cluster_new,
+  CASE WHEN event_id % 3 <> 0 THEN 'c' || CAST(user_id % 5 AS VARCHAR) END AS cluster_old,
+  CASE WHEN event_id % 3 <> 2 THEN '/p' || CAST(event_id % 7 AS VARCHAR) END AS path_new,
+  CASE WHEN event_id % 3 = 2 THEN '/p' || CAST(event_id % 7 AS VARCHAR) END AS path_old
+FROM events""",
         "sumologic_shape": """SELECT event_id,
   CASE event_id % 4 WHEN 0 THEN 'aws_ec2' WHEN 1 THEN 'aws_ecs'
        WHEN 2 THEN 'aws_elastic_beanstalk' ELSE 'gcp_compute_engine' END AS aws_service,

@@ -32,3 +32,4 @@ from .metrics_transform import (  # noqa: F401
     MetricsTransform,
 )
 from .remotetap import RemoteTap  # noqa: F401
+from .schema import SchemaProcessor  # noqa: F401
