@@ -75,6 +75,111 @@ CLOUD_NAMESPACES = {
     "aws_elastic_beanstalk": "ElasticBeanstalk",
 }
 
+# translate_telegraf_metrics_processor.go:19-66 metricsTranslations
+TELEGRAF_METRIC_TRANSLATIONS = {
+    "cpu_usage_active": "CPU_Total",
+    "cpu_usage_idle": "CPU_Idle",
+    "cpu_usage_iowait": "CPU_IOWait",
+    "cpu_usage_irq": "CPU_Irq",
+    "cpu_usage_nice": "CPU_Nice",
+    "cpu_usage_softirq": "CPU_SoftIrq",
+    "cpu_usage_steal": "CPU_Stolen",
+    "cpu_usage_System": "CPU_Sys",
+    "cpu_usage_user": "CPU_User",
+    "system_load1": "CPU_LoadAvg_1min",
+    "system_load5": "CPU_LoadAvg_5min",
+    "system_load15": "CPU_LoadAvg_15min",
+    "disk_used": "Disk_Used",
+    "disk_used_percent": "Disk_UsedPercent",
+    "disk_inodes_free": "Disk_InodesAvailable",
+    "diskio_reads": "Disk_Reads",
+    "diskio_read_bytes": "Disk_ReadBytes",
+    "diskio_writes": "Disk_Writes",
+    "diskio_write_bytes": "Disk_WriteBytes",
+    "mem_total": "Mem_Total",
+    "mem_free": "Mem_free",
+    "mem_available": "Mem_ActualFree",
+    "mem_used": "Mem_ActualUsed",
+    "mem_used_percent": "Mem_UsedPercent",
+    "mem_available_percent": "Mem_FreePercent",
+    "procstat_num_threads": "Proc_Threads",
+    "procstat_memory_vms": "Proc_VMSize",
+    "procstat_memory_rss": "Proc_RSSize",
+    "procstat_cpu_usage": "Proc_CPU",
+    "procstat_major_faults": "Proc_MajorFaults",
+    "procstat_minor_faults": "Proc_MinorFaults",
+    "net_bytes_sent": "Net_OutBytes",
+    "net_bytes_recv": "Net_InBytes",
+    "net_packets_sent": "Net_OutPackets",
+    "net_packets_recv": "Net_InPackets",
+    "netstat_tcp_close": "TCP_Close",
+    "netstat_tcp_close_wait": "TCP_CloseWait",
+    "netstat_tcp_closing": "TCP_Closing",
+    "netstat_tcp_established": "TCP_Established",
+    "netstat_tcp_listen": "TCP_Listen",
+    "netstat_tcp_time_wait": "TCP_TimeWait",
+}
+
+# translate_docker_metrics_processor.go dockerMetricsTranslations
+DOCKER_METRIC_TRANSLATIONS = {
+    "container.cpu.percent": "cpu_percentage",
+    "container.cpu.usage.system": "system_cpu_usage",
+    "container.cpu.usage.percpu": "cpu_usage.percpu_usage",
+    "container.cpu.usage.total": "cpu_usage.total_usage",
+    "container.cpu.usage.kernelmode": "cpu_usage.usage_in_kernelmode",
+    "container.cpu.usage.usermode": "cpu_usage.usage_in_usermode",
+    "container.cpu.throttling_data.periods": "throttling_data.periods",
+    "container.cpu.throttling_data.throttled_periods": "throttling_data.throttled_periods",
+    "container.cpu.throttling_data.throttled_time": "throttling_data.throttled_time",
+    "container.memory.usage.limit": "limit",
+    "container.memory.usage.max": "max_usage",
+    "container.memory.percent": "memory_percentage",
+    "container.memory.usage.total": "usage",
+    "container.memory.active_anon": "stats.active_anon",
+    "container.memory.active_file": "stats.active_file",
+    "container.memory.cache": "stats.cache",
+    "container.memory.hierarchical_memory_limit": "stats.hierarchical_memory_limit",
+    "container.memory.inactive_anon": "stats.inactive_anon",
+    "container.memory.inactive_file": "stats.inactive_file",
+    "container.memory.mapped_file": "stats.mapped_file",
+    "container.memory.pgfault": "stats.pgfault",
+    "container.memory.pgmajfault": "stats.pgmajfault",
+    "container.memory.pgpgin": "stats.pgpgin",
+    "container.memory.pgpgout": "stats.pgpgout",
+    "container.memory.rss": "stats.rss",
+    "container.memory.rss_huge": "stats.rss_huge",
+    "container.memory.unevictable": "stats.unevictable",
+    "container.memory.writeback": "stats.writeback",
+    "container.memory.total_active_anon": "stats.total_active_anon",
+    "container.memory.total_active_file": "stats.total_active_file",
+    "container.memory.total_cache": "stats.total_cache",
+    "container.memory.total_inactive_anon": "stats.total_inactive_anon",
+    "container.memory.total_mapped_file": "stats.total_mapped_file",
+    "container.memory.total_pgfault": "stats.total_pgfault",
+    "container.memory.total_pgmajfault": "stats.total_pgmajfault",
+    "container.memory.total_pgpgin": "stats.total_pgpgin",
+    "container.memory.total_pgpgout": "stats.total_pgpgout",
+    "container.memory.total_rss": "stats.total_rss",
+    "container.memory.total_rss_huge": "stats.total_rss_huge",
+    "container.memory.total_unevictable": "stats.total_unevictable",
+    "container.memory.total_writeback": "stats.total_writeback",
+    "container.blockio.io_merged_recursive": "io_merged_recursive",
+    "container.blockio.io_queued_recursive": "io_queue_recursive",
+    "container.blockio.io_service_bytes_recursive": "io_service_bytes_recursive",
+    "container.blockio.io_service_time_recursive": "io_service_time_recursive",
+    "container.blockio.io_serviced_recursive": "io_serviced_recursive",
+    "container.blockio.io_time_recursive": "io_time_recursive",
+    "container.blockio.io_wait_time_recursive": "io_wait_time_recursive",
+    "container.blockio.sectors_recursive": "sectors_recursive",
+}
+
+# translate_docker_metrics_processor.go dockerReasourceAttributeTranslations
+DOCKER_RESOURCE_ATTRIBUTE_TRANSLATIONS = {
+    "container.id": "container.FullID",
+    "container.image.name": "container.ImageName",
+    "container.name": "container.Name",
+}
+
 # log_fields_conversion_processor.go:14-19 — the presence check uses
 # these CANONICAL names even when the configured output name differs
 CANONICAL_LOG_FIELDS = {
@@ -227,11 +332,19 @@ def aggregate_attrs(attrs: dict, pairs: list[AggregationPair]) -> dict:
 class SumoLogicProcessor:
     add_cloud_namespace: bool = True
     translate_attributes: bool = True
+    # config.go TranslateTelegrafAttributes / TranslateDockerMetrics:
+    # metric NAME rename tables (translate_telegraf_metrics_processor.go
+    # translateTelegrafMetric, translate_docker_metrics_processor.go
+    # translateDockerMetric + resource-attr table with the same
+    # translateAttributes no-overwrite semantics)
+    translate_telegraf_metrics: bool = False
+    translate_docker_metrics: bool = False
     nest_attributes: NestingConfig | None = None
     aggregate_attributes: list[AggregationPair] = field(default_factory=list)
     # enabled log fields: config key -> output attribute name
     log_fields: dict[str, str] = field(default_factory=dict)
     attrs_col: str = "attributes"
+    metric_name_col: str = "metric_name"
     severity_number_col: str = "severity_number"
     severity_text_col: str = "severity_text"
     span_id_col: str = "span_id"
@@ -259,9 +372,13 @@ class SumoLogicProcessor:
             ),
         ).otherwise(attrs)
 
-    def _translated(self, attrs: Column) -> Column:
+    def _translated(self, attrs: Column, translations: dict[str, str] | None = None) -> Column:
         table = F.create_map(
-            *[F.lit(x) for kv in ATTRIBUTE_TRANSLATIONS.items() for x in kv]
+            *[
+                F.lit(x)
+                for kv in (translations or ATTRIBUTE_TRANSLATIONS).items()
+                for x in kv
+            ]
         )
         entries = F.map_entries(attrs)
         renamed = F.transform(
@@ -367,4 +484,30 @@ class SumoLogicProcessor:
 
         if self.log_fields:
             out = self._with_log_fields(out)
+
+        # metric-plane renames: simple name-table lookups (the docker
+        # variant also translates resource attrs via the no-overwrite
+        # translateAttributes rule, but with its own table)
+        name_tables = []
+        if self.translate_telegraf_metrics:
+            name_tables.append(TELEGRAF_METRIC_TRANSLATIONS)
+        if self.translate_docker_metrics:
+            name_tables.append(DOCKER_METRIC_TRANSLATIONS)
+        if name_tables and self.metric_name_col in out.columns:
+            for tbl in name_tables:
+                lookup = F.create_map(*[F.lit(x) for kv in tbl.items() for x in kv])
+                out = out.withColumn(
+                    self.metric_name_col,
+                    F.coalesce(
+                        F.element_at(lookup, F.col(self.metric_name_col)),
+                        F.col(self.metric_name_col),
+                    ),
+                )
+        if self.translate_docker_metrics and self.attrs_col in out.columns:
+            out = out.withColumn(
+                self.attrs_col,
+                self._translated(
+                    F.col(self.attrs_col), DOCKER_RESOURCE_ATTRIBUTE_TRANSLATIONS
+                ),
+            )
         return out

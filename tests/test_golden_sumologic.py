@@ -438,3 +438,69 @@ def test_log_fields_unspecified_severity_skipped(spark):
     )
     got = _run_log(spark, proc, ({}, 0, None, None, None))
     assert got == {}
+
+
+# --- telegraf / docker metric translations -----------------------------------
+# translate_telegraf_metrics_processor.go:19-72,
+# translate_docker_metrics_processor.go (name + resource-attr tables)
+
+METRIC_SCHEMA = "metric_name string, attributes map<string,string>"
+
+
+def test_telegraf_metric_names(spark):
+    proc = SumoLogicProcessor(
+        add_cloud_namespace=False,
+        translate_attributes=False,
+        translate_telegraf_metrics=True,
+    )
+    df = spark.createDataFrame(
+        [("cpu_usage_active", {}), ("system_load5", {}), ("not_mapped", {})],
+        METRIC_SCHEMA,
+    )
+    got = sorted(r.metric_name for r in proc(df).collect())
+    assert got == ["CPU_LoadAvg_5min", "CPU_Total", "not_mapped"]
+
+
+def test_docker_metric_names_and_resource_attrs(spark):
+    proc = SumoLogicProcessor(
+        add_cloud_namespace=False,
+        translate_attributes=False,
+        translate_docker_metrics=True,
+    )
+    df = spark.createDataFrame(
+        [("container.cpu.percent", {"container.id": "abc", "keep": "x"})],
+        METRIC_SCHEMA,
+    )
+    r = proc(df).collect()[0]
+    assert r.metric_name == "cpu_percentage"
+    assert r.attributes == {"container.FullID": "abc", "keep": "x"}
+
+
+def test_docker_attr_no_overwrite(spark):
+    proc = SumoLogicProcessor(
+        add_cloud_namespace=False,
+        translate_attributes=False,
+        translate_docker_metrics=True,
+    )
+    df = spark.createDataFrame(
+        [("m", {"container.id": "abc", "container.FullID": "pre"})], METRIC_SCHEMA
+    )
+    r = proc(df).collect()[0]
+    assert r.attributes == {"container.id": "abc", "container.FullID": "pre"}
+
+
+def test_docker_translation_composes_with_nesting_udf(spark):
+    proc = SumoLogicProcessor(
+        add_cloud_namespace=False,
+        translate_attributes=False,
+        translate_docker_metrics=True,
+        nest_attributes=NestingConfig(enabled=True, include=["net."]),
+    )
+    df = spark.createDataFrame(
+        [("container.memory.rss", {"container.name": "c1", "net.peer": "p"})],
+        METRIC_SCHEMA,
+    )
+    r = proc(df).collect()[0]
+    assert r.metric_name == "stats.rss"
+    assert r.attributes["container.Name"] == "c1"
+    assert json.loads(r.attributes["net"]) == {"peer": "p"}
