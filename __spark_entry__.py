@@ -1152,6 +1152,20 @@ def _q_dedup_lsh(spark, sf_dir):
     return lsh_candidate_pairs(sigs, bands=_BANDS, rows_per_band=_ROWS)
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    # LSH candidate pairs -> connected components: each doc labeled with
+    # the minimum reachable doc_id (the canonical representative); docs
+    # in no pair keep their own id
+    from opentelemetry_collector_contrib_spark.training.dedup import (
+        connected_components,
+    )
+
+    docs = _docs(spark, sf_dir)
+    sigs = minhash_signatures(docs, n_hashes=_MINHASH_N)
+    pairs = lsh_candidate_pairs(sigs, bands=_BANDS, rows_per_band=_ROWS)
+    return connected_components(docs, pairs)
+
+
 def _q_dedup_simhash(spark, sf_dir):
     return simhash(_docs(spark, sf_dir))
 
@@ -1286,6 +1300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupbytrace": _q_groupbytrace,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_lsh,
+        "dedup_clusters": _q_dedup_clusters,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_embedding_cosine": _q_dedup_cosine,
@@ -1678,6 +1693,21 @@ bands AS (SELECT doc_id, band,
           FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, {_BANDS - 1})) AS band))
 SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
 FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id""",
+        "dedup_clusters": f"""WITH RECURSIVE sigs AS (SELECT doc_id, {_SIG} AS sig FROM documents),
+bands AS (SELECT doc_id, band,
+                 md5(array_to_string(list_transform(list_slice(sig, band*{_ROWS}+1, band*{_ROWS}+{_ROWS}), x -> CAST(x AS VARCHAR)), '|')) AS bh
+          FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, {_BANDS - 1})) AS band)),
+prs AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+edges AS (SELECT a_id AS src, b_id AS dst FROM prs
+          UNION SELECT b_id AS src, a_id AS dst FROM prs),
+reach(a, b) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+SELECT d.doc_id, least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+GROUP BY d.doc_id""",
         "dedup_simhash": f"""WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
 hv AS (SELECT doc_id, {_HEXVAL} AS hv FROM toks),
 sums AS (SELECT doc_id, {_BITSUMS} FROM hv GROUP BY doc_id)

@@ -242,3 +242,62 @@ def ngram_jaccard_pairs(
         .select("a_id", "b_id", F.round(jac, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def connected_components(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Candidate pairs -> dedup clusters: every document gets the
+    MINIMUM id reachable through the pair graph as its ``cluster_id``
+    (documents in no pair keep their own id). This is the step between
+    LSH candidate generation and actual dedup at scale: keep one
+    canonical doc per cluster (``cluster_id == doc_id``), drop the rest.
+
+    Distributed min-label propagation: per round, every node adopts the
+    smallest label among itself and its neighbors — one shuffle join +
+    one grouped min per round, converging in O(graph diameter) rounds
+    (near-dup clusters are shallow; a chain of k docs needs ~log-to-k
+    rounds). Each round materializes via localCheckpoint so the plan
+    does not grow with iterations — the standard iterative-algorithm
+    posture on a 1000-executor cluster (GraphX/Pregel does the same).
+    The driver-side loop reads ONE scalar (changed-count) per round;
+    all data stays distributed.
+    """
+    ids = F.col(id_col)
+    # undirected edge list, plus self-loops so isolated nodes survive joins
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    labels = docs.select(ids.alias("node"), ids.alias("cluster_id"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("cluster_id").alias("__nmin__"))
+        )
+        updated = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("__nmin__", F.col("cluster_id"))
+                ).alias("cluster_id"),
+                (F.coalesce("__nmin__", F.col("cluster_id")) < F.col("cluster_id")).alias(
+                    "__chg__"
+                ),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)
+        changed = updated.filter(F.col("__chg__")).limit(1).count()
+        labels = updated.drop("__chg__")
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), "cluster_id")

@@ -356,3 +356,55 @@ def test_training_ops_on_driver_tables(spark, sf_dir):
     sigs = minhash_signatures(docs, n_hashes=8)
     assert sigs.filter(F.size("sig") != 8).count() == 0
     assert hyperplane_buckets(emb, n_planes=4).count() == emb.count()
+
+
+# --- connected components (pairs -> dedup clusters) --------------------------
+
+
+def _cc(spark, n_docs, pairs, **kw):
+    from opentelemetry_collector_contrib_spark.training.dedup import (
+        connected_components,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(n_docs)], "doc_id int")
+    pdf = spark.createDataFrame(pairs or [(None, None)], "a_id int, b_id int")
+    if not pairs:
+        pdf = pdf.filter("a_id IS NOT NULL")
+    out = connected_components(docs, pdf, **kw)
+    return {r.doc_id: r.cluster_id for r in out.collect()}
+
+
+def test_cc_chain_collapses_to_min(spark):
+    # 0-1, 1-2, 2-3 chain + isolated 4
+    got = _cc(spark, 5, [(0, 1), (1, 2), (2, 3)])
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4}
+
+
+def test_cc_two_components(spark):
+    got = _cc(spark, 6, [(0, 1), (3, 4), (4, 5)])
+    assert got == {0: 0, 1: 0, 2: 2, 3: 3, 4: 3, 5: 3}
+
+
+def test_cc_no_pairs_all_singletons(spark):
+    got = _cc(spark, 3, [])
+    assert got == {0: 0, 1: 1, 2: 2}
+
+
+def test_cc_long_chain_converges(spark):
+    n = 12
+    got = _cc(spark, n, [(i, i + 1) for i in range(n - 1)])
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_cc_canonical_selection(spark):
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_contrib_spark.training.dedup import (
+        connected_components,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(4)], "doc_id int")
+    pairs = spark.createDataFrame([(1, 3)], "a_id int, b_id int")
+    cc = connected_components(docs, pairs)
+    keep = cc.filter(F.col("doc_id") == F.col("cluster_id"))
+    assert sorted(r.doc_id for r in keep.collect()) == [0, 1, 2]
