@@ -21,6 +21,13 @@ canonical, shuffle-stable key). Everything is Column expressions; the
 only shuffles are the aggregate_labels / combine groupBys and the
 calculate-rule equi-join — exactly the shuffles the semantics demand.
 ``group`` (resource re-grouping) is out of the log-pipeline slice.
+
+Scale note: each transform splits the frame into filter branches
+(matched / rest, combine adds the 1-row canBeCombined gate), and union
+branches re-evaluate the upstream subtree — free when the upstream is a
+pruned parquet scan, but when chaining transforms over an EXPENSIVE
+derivation, ``df.persist()`` (or localCheckpoint) the input first so
+the branches share one materialization.
 """
 
 from __future__ import annotations
