@@ -1166,6 +1166,22 @@ def _q_dedup_clusters(spark, sf_dir):
     return connected_components(docs, pairs)
 
 
+def _q_curation(spark, sf_dir):
+    # the composed pipeline: quality + language gate, then ONE canonical
+    # (best-quality) document per LSH dedup cluster — see
+    # training/curation.py for the 100 TB plan audit
+    from opentelemetry_collector_contrib_spark.training.curation import curate
+    from opentelemetry_collector_contrib_spark.training.dedup import (
+        connected_components,
+    )
+
+    docs = _docs(spark, sf_dir)
+    sigs = minhash_signatures(docs, n_hashes=_MINHASH_N)
+    pairs = lsh_candidate_pairs(sigs, bands=_BANDS, rows_per_band=_ROWS)
+    clusters = connected_components(docs, pairs)
+    return curate(docs, clusters, min_quality=4000, lang="en")
+
+
 def _q_dedup_simhash(spark, sf_dir):
     return simhash(_docs(spark, sf_dir))
 
@@ -1301,6 +1317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_lsh,
         "dedup_clusters": _q_dedup_clusters,
+        "curation_select": _q_curation,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_embedding_cosine": _q_dedup_cosine,
@@ -1708,6 +1725,36 @@ reach(a, b) AS (
 SELECT d.doc_id, least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
 FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
 GROUP BY d.doc_id""",
+        "curation_select": f"""WITH RECURSIVE sigs AS (SELECT doc_id, {_SIG} AS sig FROM documents),
+bands AS (SELECT doc_id, band,
+                 md5(array_to_string(list_transform(list_slice(sig, band*{_ROWS}+1, band*{_ROWS}+{_ROWS}), x -> CAST(x AS VARCHAR)), '|')) AS bh
+          FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, {_BANDS - 1})) AS band)),
+prs AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+edges AS (SELECT a_id AS src, b_id AS dst FROM prs
+          UNION SELECT b_id AS src, a_id AS dst FROM prs),
+reach(a, b) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+cl AS (SELECT d.doc_id, least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+       FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+       GROUP BY d.doc_id),
+met AS (SELECT doc_id,
+  floor((0.3 * least(len(text)::DOUBLE / 500.0, 1.0)
+      + 0.4 * (len(list_distinct({_TOKS}))::DOUBLE / len({_TOKS}))
+      + 0.3 * least(4.0 * len(list_filter({_TOKS}, t -> list_contains({_STOP}, t)))::DOUBLE
+                    / len({_TOKS}), 1.0)) * 10000 + 0.5)::BIGINT AS quality_q4,
+  CASE WHEN len(list_filter({_TOKS}, t -> list_contains({_STOP}, t)))::DOUBLE
+            / len({_TOKS}) > 0.02 THEN 'en' ELSE 'unknown' END AS pred_lang
+  FROM documents),
+elig AS (SELECT m.doc_id, c.cluster_id, m.quality_q4
+         FROM met m JOIN cl c ON c.doc_id = m.doc_id
+         WHERE m.pred_lang = 'en' AND m.quality_q4 >= 4000)
+SELECT doc_id, cluster_id, quality_q4, n_members FROM (
+  SELECT *, row_number() OVER (PARTITION BY cluster_id ORDER BY quality_q4 DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY cluster_id) AS n_members
+  FROM elig) WHERE rn = 1""",
         "dedup_simhash": f"""WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
 hv AS (SELECT doc_id, {_HEXVAL} AS hv FROM toks),
 sums AS (SELECT doc_id, {_BITSUMS} FROM hv GROUP BY doc_id)

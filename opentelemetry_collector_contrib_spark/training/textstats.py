@@ -32,10 +32,10 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Composite quality score in [0,1]: length saturation + lexical
-    diversity + function-word presence (the classic cheap filters a
-    pretraining pipeline applies before expensive dedup)."""
+def quality_col(text_col: str = "text"):
+    """Column expression for the composite quality score, scaled to an
+    integer in 0..10000 — exposed so composed pipelines (curation) can
+    evaluate quality and language in ONE projection pass."""
     toks = tokens(F.col(text_col))
     n = F.size(toks)
     nd = F.size(F.array_distinct(toks))
@@ -46,20 +46,29 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     raw = 0.3 * len_sat + 0.4 * diversity + 0.3 * stop_ratio
     # scaled-int score (0..10000): floor(x*1e4 + 0.5) is bit-deterministic
     # across engines, unlike round(x, 4) whose boundary behavior varies
-    score = F.floor(raw * 10000 + F.lit(0.5)).cast("bigint")
-    return df.select(F.col(id_col), score.alias("quality_q4"))
+    return F.floor(raw * 10000 + F.lit(0.5)).cast("bigint")
+
+
+def lang_col(text_col: str = "text"):
+    """Column expression for the stopword-ratio language heuristic:
+    'en' when English function words exceed 2% of tokens."""
+    toks = tokens(F.col(text_col))
+    stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+    ratio = stop / F.size(toks)
+    return F.when(ratio > 0.02, "en").otherwise("unknown")
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Composite quality score in [0,1]: length saturation + lexical
+    diversity + function-word presence (the classic cheap filters a
+    pretraining pipeline applies before expensive dedup)."""
+    return df.select(F.col(id_col), quality_col(text_col).alias("quality_q4"))
 
 
 def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Stopword-ratio language heuristic: (id, pred_lang). 'en' when
     English function words exceed 2% of tokens, else 'unknown'."""
-    toks = tokens(F.col(text_col))
-    stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
-    ratio = stop / F.size(toks)
-    return df.select(
-        F.col(id_col),
-        F.when(ratio > 0.02, "en").otherwise("unknown").alias("pred_lang"),
-    )
+    return df.select(F.col(id_col), lang_col(text_col).alias("pred_lang"))
 
 
 def fingerprint(

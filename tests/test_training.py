@@ -408,3 +408,54 @@ def test_cc_canonical_selection(spark):
     cc = connected_components(docs, pairs)
     keep = cc.filter(F.col("doc_id") == F.col("cluster_id"))
     assert sorted(r.doc_id for r in keep.collect()) == [0, 1, 2]
+
+
+class TestCuration:
+    """curate(): quality/language gate + one canonical doc per cluster
+    (training/curation.py)."""
+
+    def _run(self, spark, rows, clusters, **kw):
+        from opentelemetry_collector_contrib_spark.training.curation import curate
+
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        cl = spark.createDataFrame(clusters, ["doc_id", "cluster_id"])
+        return {r["doc_id"]: r.asDict() for r in curate(docs, cl, **kw).collect()}
+
+    def test_best_quality_member_wins(self, spark):
+        # docs 0/1/2 share cluster 0; doc 2 has the richest text (longer,
+        # more distinct tokens, more stopwords) so it is the canonical one
+        rows = [
+            (0, "the fox the fox the fox"),
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog and it is a "
+                "very long tale of an old forest full of distinct words"),
+            (3, "an entirely different document about the spark engine and "
+                "how it is built to run in a cluster of many machines"),
+        ]
+        clusters = [(0, 0), (1, 0), (2, 0), (3, 3)]
+        out = self._run(spark, rows, clusters)
+        assert set(out) == {2, 3}
+        assert out[2]["cluster_id"] == 0 and out[2]["n_members"] == 3
+        assert out[3]["cluster_id"] == 3 and out[3]["n_members"] == 1
+
+    def test_quality_and_lang_gate_prune_before_selection(self, spark):
+        # doc 1 is non-English (no stopwords): excluded even though it is
+        # in cluster 0; n_members counts only eligible members
+        rows = [
+            (0, "the quick brown fox is in a field and it jumps to the sky"),
+            (1, "zzz qqq www rrr ttt yyy uuu iii ooo ppp"),
+            (2, "the dog is in the yard and the cat is on the mat again"),
+        ]
+        clusters = [(0, 0), (1, 0), (2, 2)]
+        out = self._run(spark, rows, clusters)
+        assert set(out) == {0, 2}
+        assert out[0]["n_members"] == 1
+        # a min_quality above every score empties the result
+        assert self._run(spark, rows, clusters, min_quality=10001) == {}
+
+    def test_tie_breaks_on_smallest_id(self, spark):
+        rows = [(7, "the cat is on the mat"), (3, "the cat is on the mat")]
+        clusters = [(7, 3), (3, 3)]
+        out = self._run(spark, rows, clusters)
+        assert set(out) == {3}
+        assert out[3]["n_members"] == 2
