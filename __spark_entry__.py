@@ -240,9 +240,12 @@ _IVF_CENT = (
     " AS centroid_id, embedding AS cemb FROM embeddings"
     " QUALIFY centroid_id <= 16)"
 )
+# ranking key is dot/||centroid|| — the row norm is a common positive
+# factor across centroids so it cannot change the per-row order, and
+# the Spark side (training.similarity._centroid_ranking) ranks by the
+# SAME expression, keeping order and ties bit-identical
 _IVF_COS_EC = (
-    f"({_dot_sql('e.embedding', 'c.cemb')}"
-    f" / ({_nrm_sql('e.embedding')} * {_nrm_sql('c.cemb')}))"
+    f"({_dot_sql('e.embedding', 'c.cemb')} / {_nrm_sql('c.cemb')})"
 )
 
 

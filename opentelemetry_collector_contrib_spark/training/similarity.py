@@ -210,19 +210,58 @@ def ivf_centroids(
     return [(i + 1, [float(x) for x in r["v"]]) for i, r in enumerate(rows)]
 
 
+def _py_norm(vec: list[float]) -> float:
+    """Python twin of :func:`_norm`: identical IEEE left fold
+    (acc + x*x from 0.0, then sqrt), so a centroid norm computed here
+    is bit-identical to the Spark/DuckDB aggregate over the same
+    literal array — it can ship as a plan literal instead of being
+    re-derived per row."""
+    import math
+
+    acc = 0.0
+    for x in vec:
+        acc += float(x) * float(x)
+    return math.sqrt(acc)
+
+
 def _centroid_ranking(vec_col: str, centroids: list[tuple[int, list[float]]]) -> Column:
     """Array of struct(neg_cos, centroid_id) sorted best-first — the
     per-row centroid ranking as a pure projection over literal centroid
     vectors (no join, no shuffle; the fitted index ships inside the plan
-    the same way the LSH planes do)."""
-    entries = []
-    for cid, cvec in centroids:
-        lit = F.array(*[F.lit(v) for v in cvec])
-        cos = _dot(F.col(vec_col), lit) / (_norm(F.col(vec_col)) * _norm(lit))
-        entries.append(
-            F.struct((-cos).alias("neg"), F.lit(cid).alias("centroid_id"))
+    the same way the LSH planes do).
+
+    Two shape decisions keep this cheap (they took the sf0.1 IVF top-k
+    query from ~8s to well under 2s for 2000x64 vectors):
+
+    - ONE ``transform`` over a single literal array of (id, norm,
+      vector) structs, NOT one unrolled expression per centroid — the
+      unrolled form at 16 lists x 64 dims built a ~50k-node tree whose
+      driver-side analysis dominated, and higher-order functions are
+      CodegenFallback so every duplicated subtree was also interpreted
+      per row.
+    - the ranking key is ``dot(v, c) / ||c||``, NOT the full cosine:
+      the row norm ``||v||`` is a common positive factor across all
+      centroids, so dividing by it cannot change the order — dropping
+      it removes a 64-element fold per centroid per row (HOF lambdas
+      re-evaluate outer non-lambda subexpressions per element). The
+      centroid norm ships as a Python-float literal (:func:`_py_norm`
+      folds identically to the Spark/DuckDB aggregate), and the DuckDB
+      oracle ranks by the SAME dot/||c|| expression, so order and ties
+      stay bit-identical across engines."""
+    entries = [
+        F.struct(
+            F.lit(cid).alias("id"),
+            F.lit(_py_norm(cvec)).alias("nrm"),
+            F.array(*[F.lit(float(x)) for x in cvec]).alias("v"),
         )
-    return F.sort_array(F.array(*entries))
+        for cid, cvec in centroids
+    ]
+
+    def _rank_one(c):
+        key = _dot(F.col(vec_col), c.getField("v")) / c.getField("nrm")
+        return F.struct((-key).alias("neg"), c.getField("id").alias("centroid_id"))
+
+    return F.sort_array(F.transform(F.array(*entries), _rank_one))
 
 
 def ivf_assign(
@@ -266,14 +305,19 @@ def ivf_topk(
     probed = F.transform(
         F.slice(ranking, 1, n_probe), lambda s: s.getField("centroid_id")
     )
+    # norms are staged BELOW the join (one fold per input row); the
+    # scoring projection above the join reads them as plain columns, so
+    # a corpus row matched by many queries never re-derives its norm
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("__qnrm__"),
         F.explode(probed).alias("list_id"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("__cnrm__"),
         _centroid_ranking(vec_col, centroids)[0]
         .getField("centroid_id")
         .alias("list_id"),
@@ -282,7 +326,7 @@ def ivf_topk(
         F.col("query_id") != F.col("neighbor_id")
     )
     cos = _dot(F.col("qv"), F.col("cv")) / (
-        _norm(F.col("qv")) * _norm(F.col("cv"))
+        F.col("__qnrm__") * F.col("__cnrm__")
     )
     scored = scored.select(
         "query_id", "neighbor_id", F.round(cos, 4).alias("cos")
