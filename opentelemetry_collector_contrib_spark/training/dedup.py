@@ -258,24 +258,39 @@ def connected_components(
     LSH candidate generation and actual dedup at scale: keep one
     canonical doc per cluster (``cluster_id == doc_id``), drop the rest.
 
-    Distributed min-label propagation: per round, every node adopts the
-    smallest label among itself and its neighbors — one shuffle join +
-    one grouped min per round, converging in O(graph diameter) rounds
-    (near-dup clusters are shallow; a chain of k docs needs ~log-to-k
-    rounds). Each round materializes via localCheckpoint so the plan
-    does not grow with iterations — the standard iterative-algorithm
-    posture on a 1000-executor cluster (GraphX/Pregel does the same).
-    The driver-side loop reads ONE scalar (changed-count) per round;
-    all data stays distributed.
+    Distributed min-label propagation over the NEAR-DUP SUBGRAPH only:
+    a document outside every candidate pair can never change label, so
+    the iterative loop runs on the edge-endpoint nodes (for web-scale
+    corpora a tiny fraction of the table) and the full corpus is
+    labeled once at the end with a single left join — the loop cost is
+    proportional to the duplicate graph, not the corpus. Per round,
+    every node adopts the smallest label among itself and its
+    neighbors — one shuffle join + one grouped min — converging in
+    O(graph diameter) rounds (near-dup clusters are shallow). Each
+    round materializes via localCheckpoint so the plan does not grow
+    with iterations, and the edge list is checkpointed ONCE so the
+    candidate-pair pipeline (MinHash signatures + bucket shuffle) is
+    not re-run from the source scan every iteration — the standard
+    iterative-algorithm posture on a 1000-executor cluster
+    (GraphX/Pregel does the same). The driver-side loop reads ONE
+    scalar (changed-count) per round; all data stays distributed.
     """
     ids = F.col(id_col)
-    # undirected edge list, plus self-loops so isolated nodes survive joins
+    # undirected edge list
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
     )
-    labels = docs.select(ids.alias("node"), ids.alias("cluster_id"))
+    # materialize ONCE: every round's join re-evaluates its inputs, and
+    # edges' lineage is the whole candidate-pair pipeline — without this
+    # checkpoint each iteration re-runs that subtree from the source scan
+    edges = edges.localCheckpoint(eager=True)
+    # loop only over nodes that have at least one edge (src covers every
+    # endpoint since edges are symmetric)
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("cluster_id")
+    )
     labels = labels.localCheckpoint(eager=True)
     for _ in range(max_iter):
         neighbor_min = (
@@ -300,4 +315,8 @@ def connected_components(
         labels = updated.drop("__chg__")
         if changed == 0:
             break
-    return labels.select(F.col("node").alias(id_col), "cluster_id")
+    # label the full corpus: docs in no pair keep their own id; AQE
+    # picks a broadcast join when the subgraph labels are small
+    return docs.select(ids).join(
+        labels.withColumnRenamed("node", id_col), id_col, "left"
+    ).select(ids, F.coalesce("cluster_id", ids).alias("cluster_id"))
