@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "enrich_geoip",
     "exceptions_metrics",
     "tail_sampling",
+    "curation_select",
     "metrics_transform",
     "text_token_stats",
     "text_quality_score",
