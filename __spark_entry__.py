@@ -747,6 +747,25 @@ def _q_cumulative_to_delta(spark, sf_dir):
     )
 
 
+def _q_cumulative_to_delta_mono(spark, sf_dir):
+    # monotonic-sum semantics (processor_test.go restart_detected): a
+    # value below its predecessor is a counter restart — dropped but
+    # re-referenced; the synthetic value stream has plenty of dips so
+    # the restart path is exercised on every stream
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "mono", F.lit(True)
+    )
+    out = CumulativeToDelta(
+        value_col="value",
+        stream_keys=["user_id"],
+        order_col="event_id",
+        monotonic_col="mono",
+    )(events)
+    return out.select(
+        "user_id", "event_id", F.round("delta", 6).alias("delta")
+    )
+
+
 def _q_delta_to_rate(spark, sf_dir):
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     out = DeltaToRate(
@@ -1293,6 +1312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spanmetrics_calls": _q_spanmetrics_calls,
         "delta_to_cumulative": _q_delta_to_cumulative,
         "cumulative_to_delta": _q_cumulative_to_delta,
+        "cumulative_to_delta_mono": _q_cumulative_to_delta_mono,
         "delta_to_rate": _q_delta_to_rate,
         "interval_last": _q_interval_last,
         "servicegraph_spanpair": _q_servicegraph_spanpair,
@@ -1487,6 +1507,10 @@ FROM events""",
   SELECT user_id, event_id,
     value - lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS delta
   FROM events) WHERE delta IS NOT NULL""",
+        "cumulative_to_delta_mono": """SELECT user_id, event_id, round(value - prev, 6) AS delta FROM (
+  SELECT user_id, event_id, value,
+    lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+  FROM events) WHERE prev IS NOT NULL AND value >= prev""",
         "delta_to_rate": """SELECT user_id, event_id, round(rate, 6) AS rate FROM (
   SELECT user_id, event_id,
     value / (epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))) AS rate,

@@ -45,20 +45,159 @@ class DeltaToCumulative:
         return df.withColumn(self.out_col, F.sum(self.value_col).over(w))
 
 
+def _name_match(name: Column, patterns: list[str], match_type: str) -> Column:
+    """filterset matcher (internal/filter/filterset): ``strict`` is exact
+    name equality over the pattern list, ``regexp`` is UNANCHORED
+    (`regexp.MatchString` — the reference's "_1" matches "metric_1")."""
+    if match_type == "regexp":
+        m = F.lit(False)
+        for p in patterns:
+            m = m | name.rlike(p)
+        return m
+    return name.isin(patterns)
+
+
 @dataclass
 class CumulativeToDelta:
+    """Adjacent-point difference per stream, with the reference
+    tracker's full datapoint semantics
+    (processor/cumulativetodeltaprocessor/processor.go:processMetrics,
+    internal/tracking MetricTracker.Convert — observable in
+    processor_test.go:57-441):
+
+    - the FIRST point of a stream initializes state and is dropped;
+    - ``include``/``exclude`` metric matchers (strict | regexp,
+      exclude wins) scope the conversion; out-of-scope metrics pass
+      through UNCHANGED (still cumulative);
+    - when ``monotonic_col`` is given, non-monotonic sums are out of
+      scope, and a scoped value BELOW the previous one is a counter
+      RESTART: the point is dropped but becomes the new reference;
+    - a NaN value is emitted as a NaN delta but does NOT update the
+      reference (the next delta is taken against the last valid value);
+    - points flagged no-recorded-value (``novalue_col``) are dropped
+      and ignored for state.
+
+    With only the four basic fields set this degrades to the plain
+    lag-diff (first point dropped), the oracle-gated batch shape.
+    """
+
     value_col: str = "value"
     stream_keys: list[str] = field(default_factory=lambda: ["metric"])
     order_col: str = "ts"
     out_col: str = "delta"
+    metric_col: str | None = None
+    include: list[str] | None = None
+    include_match: str = "strict"
+    exclude: list[str] | None = None
+    exclude_match: str = "strict"
+    monotonic_col: str | None = None
+    novalue_col: str | None = None
+
+    def scope_expr(self) -> Column:
+        scope = F.lit(True)
+        if self.metric_col is not None:
+            name = F.col(self.metric_col)
+            if self.include is not None:
+                scope = scope & _name_match(name, self.include, self.include_match)
+            if self.exclude is not None:
+                scope = scope & ~_name_match(name, self.exclude, self.exclude_match)
+        if self.monotonic_col is not None:
+            scope = scope & F.col(self.monotonic_col)
+        return scope
 
     def __call__(self, df: DataFrame) -> DataFrame:
-        w = Window.partitionBy(*self.stream_keys).orderBy(self.order_col)
-        prev = F.lag(self.value_col).over(w)
-        return (
-            df.withColumn(self.out_col, F.col(self.value_col) - prev)
-            .filter(F.col(self.out_col).isNotNull())
+        scope = self.scope_expr()
+        val = F.col(self.value_col)
+        nan = F.isnan(val.cast("double"))
+        novalue = (
+            F.coalesce(F.col(self.novalue_col), F.lit(False))
+            if self.novalue_col is not None
+            else F.lit(False)
         )
+        w = (
+            Window.partitionBy(*self.stream_keys)
+            .orderBy(self.order_col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        # reference value = last scoped, non-NaN, recorded point
+        prev = F.last(F.when(scope & ~novalue & ~nan, val), ignorenulls=True).over(w)
+        out = (
+            F.when(~scope, val)  # pass-through keeps the cumulative value
+            .when(nan, val)
+            .otherwise(val - prev)
+        )
+        emit = prev.isNotNull()
+        if self.monotonic_col is not None:
+            emit = emit & (val >= prev)  # below previous => restart, drop
+        keep = (~scope) | (~novalue & (nan | emit))
+        # window exprs are not allowed in a filter: materialize first
+        return (
+            df.withColumns({self.out_col: out, "__keep__": keep})
+            .filter(F.col("__keep__"))
+            .drop("__keep__")
+        )
+
+
+@dataclass
+class CumulativeToDeltaHistogram:
+    """Histogram twin of :class:`CumulativeToDelta`
+    (processor_test.go:224-441 histogram cases): count, sum and every
+    bucket count difference pointwise per stream; min/max are nulled on
+    converted points (a delta histogram has no running extrema); a NaN
+    sum is emitted as NaN without updating the sum reference while the
+    count/bucket references still advance; absent (null) sums stay
+    absent; no-value points are dropped and ignored for state."""
+
+    count_col: str = "count"
+    sum_col: str = "hsum"
+    buckets_col: str = "buckets"
+    min_col: str | None = None
+    max_col: str | None = None
+    stream_keys: list[str] = field(default_factory=lambda: ["metric"])
+    order_col: str = "ts"
+    metric_col: str | None = None
+    include: list[str] | None = None
+    include_match: str = "strict"
+    exclude: list[str] | None = None
+    exclude_match: str = "strict"
+    novalue_col: str | None = None
+    monotonic_col: str | None = None  # unused; histograms carry no monotonicity
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        scope = CumulativeToDelta.scope_expr(self)  # same matcher fields
+        cnt = F.col(self.count_col)
+        hsum = F.col(self.sum_col)
+        bkts = F.col(self.buckets_col)
+        nan_sum = F.isnan(hsum.cast("double"))
+        novalue = (
+            F.coalesce(F.col(self.novalue_col), F.lit(False))
+            if self.novalue_col is not None
+            else F.lit(False)
+        )
+        w = (
+            Window.partitionBy(*self.stream_keys)
+            .orderBy(self.order_col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        recorded = scope & ~novalue
+        prev_cnt = F.last(F.when(recorded, cnt), ignorenulls=True).over(w)
+        prev_sum = F.last(
+            F.when(recorded & hsum.isNotNull() & ~nan_sum, hsum), ignorenulls=True
+        ).over(w)
+        prev_bkts = F.last(F.when(recorded, bkts), ignorenulls=True).over(w)
+        d_sum = F.when(nan_sum, hsum).otherwise(hsum - prev_sum)
+        cols = {
+            self.count_col: F.when(~scope, cnt).otherwise(cnt - prev_cnt),
+            self.sum_col: F.when(~scope, hsum).otherwise(d_sum),
+            self.buckets_col: F.when(~scope, bkts).otherwise(
+                F.zip_with(bkts, prev_bkts, lambda x, y: x - y)
+            ),
+        }
+        for c in (self.min_col, self.max_col):
+            if c is not None:
+                cols[c] = F.when(~scope, F.col(c))  # converted => null
+        cols["__keep__"] = (~scope) | (~novalue & prev_cnt.isNotNull())
+        return df.withColumns(cols).filter(F.col("__keep__")).drop("__keep__")
 
 
 @dataclass
