@@ -118,6 +118,22 @@ class ProbabilisticSampler:
     mode: str = "hash_seed"              # hash_seed | proportional | equalizing
     prior_col: str | None = None         # incoming sampling probability (default 1.0)
     hash_function: str = "md5"           # md5 (oracle-checkable) | xxhash64
+    # FailClosed (config.go): a record whose randomness source is
+    # MISSING (null/empty key, or matching invalid_key_pattern — e.g.
+    # '^0{32}$' for the all-zero trace id) is dropped when True, kept
+    # when False (commonShouldSampleLogic: never- vs always-sample
+    # threshold, logsprocessor_test.go "roughly half" / "happy_path").
+    fail_closed: bool = True
+    invalid_key_pattern: str | None = None
+    # SamplingPriority (logsprocessor.go:231-267): numeric attribute
+    # that RAISES the per-record probability to its value (percent);
+    # when configured, a record whose attribute is absent or zero is
+    # never sampled — the override applies AFTER fail open/closed.
+    sampling_priority: str | None = None
+    # the key column holds the HEX encoding of the bytes to hash (trace
+    # ids / bytes-typed attributes hash their RAW bytes in the
+    # reference — tracesprocessor.go s.TraceID()[:] — not the hex text)
+    key_is_hex: bool = False
 
     def __post_init__(self):
         if not 0 <= self.percentage <= 100:
@@ -128,20 +144,30 @@ class ProbabilisticSampler:
             raise ValueError("hash_function must be md5, xxhash64 or fnv")
 
     def __call__(self, df: DataFrame) -> DataFrame:
-        if self.percentage >= 100 and self.mode == "hash_seed":
+        if (
+            self.percentage >= 100
+            and self.mode == "hash_seed"
+            and self.sampling_priority is None
+            and not self.fail_closed
+        ):
             return df
         key = field_get(self.attribute_source).cast("string")
         if self.hash_function == "fnv":
             # byte-exact reference decisions: 14-bit FNV-1a bucket vs
             # uint32(percentage * numHashBuckets/100) — the collector's
             # classic hash_seed acceptance rule
-            bucket = _fnv_bucket(key, self.hash_seed)
+            if self.key_is_hex:
+                bucket = fnv1a32_hex(F.upper(key), self.hash_seed).bitwiseAND(
+                    F.lit(NUM_HASH_BUCKETS - 1)
+                )
+            else:
+                bucket = _fnv_bucket(key, self.hash_seed)
             space = NUM_HASH_BUCKETS
-            cutoff = int(self.percentage * (NUM_HASH_BUCKETS / 100.0))
+            cutoff = F.lit(float(int(self.percentage * (NUM_HASH_BUCKETS / 100.0))))
         else:
             bucket = _bucket(key, self.hash_seed, self.hash_function)
             space = 10000
-            cutoff = int(self.percentage * 100)
+            cutoff = F.lit(float(int(self.percentage * 100)))
         target = self.percentage / 100.0
         prior = (
             F.col(self.prior_col).cast("double")
@@ -149,12 +175,32 @@ class ProbabilisticSampler:
             else F.lit(1.0)
         )
         if self.mode == "equalizing":
-            ratio = F.least(F.lit(1.0), F.lit(target) / prior)
-            out = df.filter(bucket < ratio * space)
+            cutoff = F.least(F.lit(1.0), F.lit(target) / prior) * space
+        missing = key.isNull() | (key == "")
+        if self.invalid_key_pattern is not None:
+            missing = missing | key.rlike(self.invalid_key_pattern)
+        cutoff = F.when(
+            missing, F.lit(0.0) if self.fail_closed else F.lit(float(space))
+        ).otherwise(cutoff)
+        if self.sampling_priority is not None:
+            prio = F.coalesce(
+                field_get(self.sampling_priority).cast("double"), F.lit(0.0)
+            )
+            # absent/zero priority => never sample; otherwise the
+            # priority can only RAISE the probability
+            cutoff = F.when(prio <= 0, F.lit(0.0)).otherwise(
+                F.greatest(cutoff, prio * (space / 100.0))
+            )
+        keep = (
+            F.when(cutoff >= space, F.lit(True))
+            .when(cutoff <= 0, F.lit(False))
+            .otherwise(bucket < cutoff)
+        )
+        out = df.filter(F.coalesce(keep, F.lit(False)))
+        if self.mode == "equalizing":
             return out.withColumn(
                 "sampling_probability", F.least(prior, F.lit(target))
             )
-        out = df.filter(bucket < cutoff)
         if self.mode == "proportional":
             out = out.withColumn("sampling_probability", prior * F.lit(target))
         return out
