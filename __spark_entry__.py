@@ -747,6 +747,43 @@ def _q_cumulative_to_delta(spark, sf_dir):
     )
 
 
+def _q_expo_cumulative(spark, sf_dir):
+    # delta -> cumulative EXPONENTIAL histograms: mixed scales per
+    # stream (2 or 3), synthetic bucket arrays of 0..3 buckets, zero
+    # counts — exercises the floor-shift scale alignment, the empty-
+    # point state carry, and the dense gap fill (processors/expo.py)
+    from opentelemetry_collector_contrib_spark.processors.expo import (
+        DeltaToCumulativeExpo,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id")
+    counts = F.slice(
+        F.array(*[((eid + i * 7) % 10 + 1).cast("long") for i in range(3)]),
+        1,
+        (eid % 4).cast("int"),
+    )
+    dp = ev.select(
+        "user_id",
+        eid.alias("ts"),
+        (F.lit(2) + F.col("user_id") % 2).cast("int").alias("scale"),
+        ((eid % 37) - 18).cast("int").alias("offset"),
+        counts.alias("counts"),
+        (eid % 3).cast("long").alias("zero_count"),
+    )
+    out = DeltaToCumulativeExpo(stream_keys=["user_id"], order_col="ts")(dp)
+    return out.select(
+        "user_id",
+        F.col("ts").alias("event_id"),
+        "scale_out",
+        "zero_cum",
+        "offset_out",
+        F.array_join(F.col("counts_out").cast("array<string>"), "|").alias(
+            "counts_str"
+        ),
+    )
+
+
 def _q_cumulative_to_delta_mono(spark, sf_dir):
     # monotonic-sum semantics (processor_test.go restart_detected): a
     # value below its predecessor is a counter restart — dropped but
@@ -1313,6 +1350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_to_cumulative": _q_delta_to_cumulative,
         "cumulative_to_delta": _q_cumulative_to_delta,
         "cumulative_to_delta_mono": _q_cumulative_to_delta_mono,
+        "delta_to_cumulative_expo": _q_expo_cumulative,
         "delta_to_rate": _q_delta_to_rate,
         "interval_last": _q_interval_last,
         "servicegraph_spanpair": _q_servicegraph_spanpair,
@@ -1507,6 +1545,46 @@ FROM events""",
   SELECT user_id, event_id,
     value - lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS delta
   FROM events) WHERE delta IS NOT NULL""",
+        "delta_to_cumulative_expo": """WITH dp AS (
+  SELECT user_id, event_id,
+         (2 + user_id % 2)::INT AS scale,
+         ((event_id % 37) - 18)::INT AS off,
+         list_transform(range(1, (event_id % 4)::INT + 1),
+                        i -> ((event_id + (i-1)*7) % 10 + 1)::BIGINT) AS counts,
+         (event_id % 3)::BIGINT AS zero_count
+  FROM events),
+base AS (
+  SELECT *, min(scale) OVER (PARTITION BY user_id) AS min_scale,
+         sum(zero_count) OVER (PARTITION BY user_id ORDER BY event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS zero_cum
+  FROM dp),
+ex AS (
+  SELECT user_id, event_id,
+         floor((off + generate_subscripts(counts, 1) - 1) / pow(2, scale - min_scale))::INT AS idx,
+         unnest(counts) AS cnt
+  FROM base),
+idx_cnt AS (SELECT user_id, event_id, idx, sum(cnt) AS cnt FROM ex GROUP BY 1, 2, 3),
+idx_first AS (SELECT user_id, idx, min(event_id) AS first_ts FROM idx_cnt GROUP BY 1, 2),
+points AS (SELECT user_id, event_id, min_scale, zero_cum FROM base),
+grid AS (SELECT p.user_id, p.event_id, f.idx
+         FROM points p JOIN idx_first f ON p.user_id = f.user_id AND p.event_id >= f.first_ts),
+filled AS (SELECT g.*, coalesce(c.cnt, 0) AS cnt0
+           FROM grid g LEFT JOIN idx_cnt c
+             ON c.user_id = g.user_id AND c.event_id = g.event_id AND c.idx = g.idx),
+cum AS (SELECT *, sum(cnt0) OVER (PARTITION BY user_id, idx ORDER BY event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM filled),
+bounds AS (SELECT user_id, event_id, min(idx) AS lo, max(idx) AS hi FROM cum GROUP BY 1, 2),
+spine AS (SELECT b.user_id, b.event_id, b.lo, unnest(range(b.lo, b.hi + 1)) AS idx FROM bounds b),
+dense AS (SELECT s.user_id, s.event_id, s.lo, s.idx, coalesce(c.cum, 0) AS v
+          FROM spine s LEFT JOIN cum c
+            ON c.user_id = s.user_id AND c.event_id = s.event_id AND c.idx = s.idx),
+arr AS (SELECT user_id, event_id, lo, string_agg(v::VARCHAR, '|' ORDER BY idx) AS counts_str
+        FROM dense GROUP BY 1, 2, 3)
+SELECT p.user_id, p.event_id, p.min_scale AS scale_out, p.zero_cum::BIGINT AS zero_cum,
+       coalesce(a.lo, 0)::INT AS offset_out,
+       coalesce(a.counts_str, '') AS counts_str
+FROM points p LEFT JOIN arr a ON a.user_id = p.user_id AND a.event_id = p.event_id""",
         "cumulative_to_delta_mono": """SELECT user_id, event_id, round(value - prev, 6) AS delta FROM (
   SELECT user_id, event_id, value,
     lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
