@@ -747,6 +747,57 @@ def _q_cumulative_to_delta(spark, sf_dir):
     )
 
 
+def _q_transform_metric_ctx(spark, sf_dir):
+    # metric-context OTTL editors composed: gauge->sum retype, then
+    # count + sum extraction from histogram metrics (appended, HasSum
+    # gate) — processors/transform_metrics.py
+    from opentelemetry_collector_contrib_spark.processors.transform_metrics import (
+        convert_gauge_to_sum,
+        extract_count_metric,
+        extract_sum_metric,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    m3 = F.col("event_id") % 3
+    frame = ev.select(
+        "event_id",
+        F.when(m3 == 0, "req").when(m3 == 1, "cpu").otherwise("lat").alias(
+            "metric_name"
+        ),
+        F.when(m3 == 0, "sum").when(m3 == 1, "gauge").otherwise("histogram").alias(
+            "metric_type"
+        ),
+        F.when(m3 == 0, "cumulative").when(m3 == 2, "delta").alias("temporality"),
+        F.when(m3 == 0, F.lit(True)).alias("is_monotonic"),
+        F.when(m3 == 0, "1").when(m3 == 1, "%").otherwise("ms").alias("unit"),
+        F.when(m3 <= 1, F.floor(F.col("value") * 1e6).cast("double")).alias("value"),
+        F.when(m3 == 2, (F.col("event_id") % 100).cast("long")).alias("count"),
+        F.when(
+            (m3 == 2) & (F.col("event_id") % 5 != 0),
+            F.floor(F.col("value") * 1e6).cast("double"),
+        ).alias("hsum"),
+    )
+    out = extract_sum_metric(
+        extract_count_metric(
+            convert_gauge_to_sum(frame, "delta", True), monotonic=False
+        ),
+        monotonic=True,
+    )
+    return out.select(
+        "event_id",
+        "metric_name",
+        "metric_type",
+        "temporality",
+        F.coalesce(F.col("is_monotonic").cast("string"), F.lit("null")).alias(
+            "is_monotonic"
+        ),
+        "unit",
+        F.coalesce("value", F.lit(-1.0)).alias("value"),
+        F.coalesce("count", F.lit(-1)).alias("count"),
+        F.coalesce("hsum", F.lit(-1.0)).alias("hsum"),
+    )
+
+
 def _q_expo_cumulative(spark, sf_dir):
     # delta -> cumulative EXPONENTIAL histograms: mixed scales per
     # stream (2 or 3), synthetic bucket arrays of 0..3 buckets, zero
@@ -1351,6 +1402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cumulative_to_delta": _q_cumulative_to_delta,
         "cumulative_to_delta_mono": _q_cumulative_to_delta_mono,
         "delta_to_cumulative_expo": _q_expo_cumulative,
+        "transform_metric_ctx": _q_transform_metric_ctx,
         "delta_to_rate": _q_delta_to_rate,
         "interval_last": _q_interval_last,
         "servicegraph_spanpair": _q_servicegraph_spanpair,
@@ -1545,6 +1597,40 @@ FROM events""",
   SELECT user_id, event_id,
     value - lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS delta
   FROM events) WHERE delta IS NOT NULL""",
+        "transform_metric_ctx": """WITH frame AS (
+  SELECT event_id,
+    CASE event_id % 3 WHEN 0 THEN 'req' WHEN 1 THEN 'cpu' ELSE 'lat' END AS metric_name,
+    CASE event_id % 3 WHEN 0 THEN 'sum' WHEN 1 THEN 'gauge' ELSE 'histogram' END AS metric_type,
+    CASE event_id % 3 WHEN 0 THEN 'cumulative' WHEN 2 THEN 'delta' END AS temporality,
+    CASE WHEN event_id % 3 = 0 THEN TRUE END AS is_monotonic,
+    CASE event_id % 3 WHEN 0 THEN '1' WHEN 1 THEN '%' ELSE 'ms' END AS unit,
+    CASE WHEN event_id % 3 <= 1 THEN floor(value * 1e6) END AS value,
+    CASE WHEN event_id % 3 = 2 THEN (event_id % 100)::BIGINT END AS "count",
+    CASE WHEN event_id % 3 = 2 AND event_id % 5 != 0 THEN floor(value * 1e6) END AS hsum
+  FROM events),
+conv AS (
+  SELECT event_id, metric_name,
+    CASE WHEN metric_type = 'gauge' THEN 'sum' ELSE metric_type END AS metric_type,
+    CASE WHEN metric_type = 'gauge' THEN 'delta' ELSE temporality END AS temporality,
+    CASE WHEN metric_type = 'gauge' THEN TRUE ELSE is_monotonic END AS is_monotonic,
+    unit, value, "count", hsum
+  FROM frame),
+unioned AS (
+  SELECT * FROM conv
+  UNION ALL
+  SELECT event_id, metric_name || '_count', 'sum', temporality, FALSE, '1',
+         "count"::DOUBLE, NULL::BIGINT, NULL::DOUBLE
+  FROM conv WHERE metric_type = 'histogram'
+  UNION ALL
+  SELECT event_id, metric_name || '_sum', 'sum', temporality, TRUE, unit,
+         hsum, NULL::BIGINT, NULL::DOUBLE
+  FROM conv WHERE metric_type = 'histogram' AND hsum IS NOT NULL)
+SELECT event_id, metric_name, metric_type, temporality,
+       coalesce(is_monotonic::VARCHAR, 'null') AS is_monotonic, unit,
+       coalesce(value, -1.0) AS value,
+       coalesce("count", -1) AS "count",
+       coalesce(hsum, -1.0) AS hsum
+FROM unioned""",
         "delta_to_cumulative_expo": """WITH dp AS (
   SELECT user_id, event_id,
          (2 + user_id % 2)::INT AS scale,
