@@ -71,6 +71,7 @@ from opentelemetry_collector_contrib_spark.processors import GroupByTrace as Gro
 from opentelemetry_collector_contrib_spark.functions import compile_statement
 from opentelemetry_collector_contrib_spark.training import (
     binary_table,
+    tokens,
     brute_force_topk,
     cosine_pairs,
     cosine_pairs_bucketed,
@@ -747,6 +748,31 @@ def _q_cumulative_to_delta(spark, sf_dir):
     )
 
 
+def _q_sample_stratified(spark, sf_dir):
+    # deterministic md5-ranked draw: 5 events per user stratum
+    from opentelemetry_collector_contrib_spark.training.sampling import (
+        stratified_sample,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = stratified_sample(ev, ["user_id"], n_per_stratum=5, id_col="event_id")
+    return out.select("user_id", "event_id")
+
+
+def _q_pack_sequences(spark, sf_dir):
+    # GPT-style concat-and-chunk: documents md5-shuffled into 4 shards,
+    # token streams cut every 256 tokens; straddlers span packs
+    from opentelemetry_collector_contrib_spark.training.sampling import (
+        pack_sequences,
+    )
+
+    docs = _docs(spark, sf_dir)
+    sized = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    return pack_sequences(sized, budget=256, n_shards=4)
+
+
 def _q_transform_metric_ctx(spark, sf_dir):
     # metric-context OTTL editors composed: gauge->sum retype, then
     # count + sum extraction from histogram metrics (appended, HasSum
@@ -1403,6 +1429,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cumulative_to_delta_mono": _q_cumulative_to_delta_mono,
         "delta_to_cumulative_expo": _q_expo_cumulative,
         "transform_metric_ctx": _q_transform_metric_ctx,
+        "sample_stratified": _q_sample_stratified,
+        "pack_sequences": _q_pack_sequences,
         "delta_to_rate": _q_delta_to_rate,
         "interval_last": _q_interval_last,
         "servicegraph_spanpair": _q_servicegraph_spanpair,
@@ -1597,6 +1625,26 @@ FROM events""",
   SELECT user_id, event_id,
     value - lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS delta
   FROM events) WHERE delta IS NOT NULL""",
+        "sample_stratified": """SELECT user_id, event_id FROM (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY md5('0:' || event_id::VARCHAR), event_id) AS rk
+  FROM events) WHERE rk <= 5""",
+        "pack_sequences": """WITH t AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), t -> t != ''))::BIGINT AS n_tokens,
+         md5('0:' || doc_id::VARCHAR) AS k
+  FROM documents),
+s AS (SELECT *, (((ascii(substring(k,1,1)) - CASE WHEN ascii(substring(k,1,1)) >= 97 THEN 87 ELSE 48 END)::BIGINT * 268435456+(ascii(substring(k,2,1)) - CASE WHEN ascii(substring(k,2,1)) >= 97 THEN 87 ELSE 48 END)::BIGINT * 16777216+(ascii(substring(k,3,1)) - CASE WHEN ascii(substring(k,3,1)) >= 97 THEN 87 ELSE 48 END)::BIGINT * 1048576+(ascii(substring(k,4,1)) - CASE WHEN ascii(substring(k,4,1)) >= 97 THEN 87 ELSE 48 END)::BIGINT * 65536+(ascii(substring(k,5,1)) - CASE WHEN ascii(substring(k,5,1)) >= 97 THEN 87 ELSE 48 END)::BIGINT * 4096+(ascii(substring(k,6,1)) - CASE WHEN ascii(substring(k,6,1)) >= 97 THEN 87 ELSE 48 END)::BIGINT * 256+(ascii(substring(k,7,1)) - CASE WHEN ascii(substring(k,7,1)) >= 97 THEN 87 ELSE 48 END)::BIGINT * 16+(ascii(substring(k,8,1)) - CASE WHEN ascii(substring(k,8,1)) >= 97 THEN 87 ELSE 48 END)::BIGINT * 1) % 4)::INT AS shard FROM t),
+laid AS (
+  SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY k, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM s)
+SELECT doc_id, n_tokens, shard,
+       (start // 256)::BIGINT AS pack_id,
+       (start % 256)::BIGINT AS pack_offset,
+       ((start + greatest(n_tokens, 1) - 1) // 256 - start // 256 + 1)::BIGINT AS n_packs
+FROM laid""",
         "transform_metric_ctx": """WITH frame AS (
   SELECT event_id,
     CASE event_id % 3 WHEN 0 THEN 'req' WHEN 1 THEN 'cpu' ELSE 'lat' END AS metric_name,

@@ -1,0 +1,98 @@
+"""Dataset-curation sampling + sequence packing for training pipelines.
+
+- ``stratified_sample``: keep a deterministic top-n (or fraction) per
+  stratum, ranked by md5(seed, id) — a reproducible uniform draw with
+  the same md5-lockstep shape as the probabilistic sampler
+  (processors/sampler.py), so runs, resumes, and the DuckDB oracle all
+  agree bit-for-bit. One window exchange on the strata; no rand().
+
+- ``pack_sequences``: GPT-style concat-and-chunk packing. Documents are
+  laid out in a deterministic order (md5-shuffled within each shard so
+  adjacent source documents decorrelate), the token stream is cut every
+  ``budget`` tokens, and each document reports the pack it STARTS in,
+  its offset there, and how many packs it spans (a straddling document
+  is split across consecutive packs — the standard pretraining layout).
+  Shards partition the work: each shard's packing is independent, so
+  the only exchange is the per-shard ordering window and the layout
+  scales by adding shards. Deterministic end-to-end: same input =>
+  same packs on any cluster size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata: list[str],
+    n_per_stratum: int | None = None,
+    fraction: float | None = None,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic per-stratum sample: rank rows inside each stratum
+    by md5(seed ':' id) and keep the first ``n_per_stratum``, or a
+    ``fraction`` of the stratum (ceil, so tiny strata keep >= 1 row
+    when fraction > 0). Exactly one of the two must be given."""
+    if (n_per_stratum is None) == (fraction is None):
+        raise ValueError("give exactly one of n_per_stratum / fraction")
+    key = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
+    w = Window.partitionBy(*strata).orderBy(key, id_col)
+    ranked = df.withColumn("__rk__", F.row_number().over(w))
+    if n_per_stratum is not None:
+        keep = F.col("__rk__") <= n_per_stratum
+    else:
+        # window exprs can't sit in a filter: materialize the cutoff
+        size = F.count(F.lit(1)).over(Window.partitionBy(*strata))
+        ranked = ranked.withColumn("__cut__", F.ceil(size * F.lit(fraction)))
+        keep = F.col("__rk__") <= F.col("__cut__")
+    return ranked.filter(keep).drop("__rk__", "__cut__")
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    n_shards: int = 1,
+    seed: int = 0,
+) -> DataFrame:
+    """Concat-and-chunk layout: within each shard, documents are ordered
+    by md5(seed ':' id) and concatenated; the stream is cut every
+    ``budget`` tokens. Returns one row per document:
+
+    - ``shard``      : which independent stream the doc landed in
+    - ``pack_id``    : the (shard-local) pack its first token falls in
+    - ``pack_offset``: position of its first token within that pack
+    - ``n_packs``    : how many packs it spans (>1 = split/straddle)
+
+    Documents longer than ``budget`` simply span several packs, like
+    any straddler. Empty documents (0 tokens) occupy no space: they
+    report the pack the stream cursor is in, offset = cursor, n_packs 1.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    key = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
+    shard = (
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("bigint") % n_shards
+    ).cast("int")
+    df = df.withColumn("__shard__", shard)
+    w = (
+        Window.partitionBy("__shard__")
+        .orderBy(key, id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    end_incl = start + F.greatest(F.col(tokens_col), F.lit(1)) - 1
+    return df.select(
+        id_col,
+        F.col(tokens_col),
+        F.col("__shard__").alias("shard"),
+        F.floor(start / budget).cast("bigint").alias("pack_id"),
+        (start % budget).cast("bigint").alias("pack_offset"),
+        (F.floor(end_incl / budget) - F.floor(start / budget) + 1)
+        .cast("bigint")
+        .alias("n_packs"),
+    )

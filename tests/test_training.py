@@ -459,3 +459,79 @@ class TestCuration:
         out = self._run(spark, rows, clusters)
         assert set(out) == {3}
         assert out[3]["n_members"] == 2
+
+
+class TestSamplingPacking:
+    """training/sampling.py: stratified sampling + sequence packing."""
+
+    def test_stratified_exact_n(self, spark):
+        from opentelemetry_collector_contrib_spark.training.sampling import (
+            stratified_sample,
+        )
+
+        rows = [(i, f"s{i % 3}") for i in range(30)]
+        df = spark.createDataFrame(rows, "doc_id long, stratum string")
+        out = stratified_sample(df, ["stratum"], n_per_stratum=4)
+        counts = {r["stratum"]: r["n"] for r in
+                  out.groupBy("stratum").agg(F.count("*").alias("n")).collect()}
+        assert counts == {"s0": 4, "s1": 4, "s2": 4}
+        # deterministic: same draw twice
+        a = sorted(r["doc_id"] for r in out.collect())
+        b = sorted(r["doc_id"] for r in stratified_sample(
+            df, ["stratum"], n_per_stratum=4).collect())
+        assert a == b
+
+    def test_stratified_fraction_ceil(self, spark):
+        from opentelemetry_collector_contrib_spark.training.sampling import (
+            stratified_sample,
+        )
+
+        rows = [(i, "a" if i < 10 else "b") for i in range(13)]  # 10 + 3
+        df = spark.createDataFrame(rows, "doc_id long, stratum string")
+        out = stratified_sample(df, ["stratum"], fraction=0.25)
+        counts = {r["stratum"]: r["n"] for r in
+                  out.groupBy("stratum").agg(F.count("*").alias("n")).collect()}
+        assert counts == {"a": 3, "b": 1}  # ceil(2.5)=3, ceil(0.75)=1
+        with pytest.raises(ValueError):
+            stratified_sample(df, ["stratum"])
+
+    def test_packing_layout_invariants(self, spark):
+        from opentelemetry_collector_contrib_spark.training.sampling import (
+            pack_sequences,
+        )
+
+        rows = [(i, 10 + (i * 37) % 90) for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        out = pack_sequences(df, budget=128, n_shards=4).collect()
+        assert len(out) == 200
+        by_shard = {}
+        for r in out:
+            by_shard.setdefault(r["shard"], []).append(r)
+        assert set(by_shard) == {0, 1, 2, 3}
+        for shard, docs in by_shard.items():
+            docs = sorted(docs, key=lambda r: (r["pack_id"], r["pack_offset"]))
+            # token stream is gapless: offsets advance by exactly n_tokens
+            cursor = 0
+            for r in docs:
+                assert r["pack_id"] * 128 + r["pack_offset"] == cursor
+                # n_packs matches the straddle arithmetic
+                start, end = cursor, cursor + max(r["n_tokens"], 1) - 1
+                assert r["n_packs"] == end // 128 - start // 128 + 1
+                cursor += r["n_tokens"]
+
+    def test_packing_straddle_and_empty(self, spark):
+        from opentelemetry_collector_contrib_spark.training.sampling import (
+            pack_sequences,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 300), (2, 0), (3, 50)], "doc_id long, n_tokens long"
+        )
+        out = {r["doc_id"]: r for r in pack_sequences(df, budget=100).collect()}
+        # a 300-token doc starting anywhere spans 3 or 4 packs
+        assert out[1]["n_packs"] in (3, 4)
+        assert out[2]["n_packs"] == 1  # empty doc occupies no space
+        total = sum(r["n_tokens"] for r in out.values())
+        assert total == 350
+        with pytest.raises(ValueError):
+            pack_sequences(df, budget=0)
