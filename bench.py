@@ -79,6 +79,10 @@ BENCH_QUERIES = [
     "exceptions_metrics",
     "tail_sampling",
     "curation_select",
+    "delta_to_cumulative_expo",
+    "transform_metric_ctx",
+    "sample_stratified",
+    "pack_sequences",
     "metrics_transform",
     "text_token_stats",
     "text_quality_score",
