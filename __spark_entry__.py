@@ -748,6 +748,32 @@ def _q_cumulative_to_delta(spark, sf_dir):
     )
 
 
+def _q_delta_to_cumulative_guarded(spark, sf_dir):
+    # the reference accumulator's sample guards (delta.go:28-57): every
+    # 7th event shares its predecessor's timestamp (out-of-order dup ->
+    # dropped) and every 11th carries an older start (different
+    # process's series -> dropped unless it IS the series head)
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id")
+    synth = events.select(
+        "user_id",
+        "event_id",
+        "value",
+        (eid - (eid % 7 == 0).cast("int")).alias("ts_syn"),
+        F.when(eid % 11 == 0, -1).otherwise(0).alias("start_syn"),
+    )
+    out = DeltaToCumulative(
+        value_col="value",
+        stream_keys=["user_id"],
+        order_col="ts_syn",
+        start_col="start_syn",
+        tiebreak_col="event_id",
+    )(synth)
+    return out.select(
+        "user_id", "event_id", F.round("cumulative", 6).alias("cumulative")
+    )
+
+
 def _q_sample_stratified(spark, sf_dir):
     # deterministic md5-ranked draw: 5 events per user stratum
     from opentelemetry_collector_contrib_spark.training.sampling import (
@@ -1430,6 +1456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_to_cumulative_expo": _q_expo_cumulative,
         "transform_metric_ctx": _q_transform_metric_ctx,
         "sample_stratified": _q_sample_stratified,
+        "delta_to_cumulative_guarded": _q_delta_to_cumulative_guarded,
         "pack_sequences": _q_pack_sequences,
         "delta_to_rate": _q_delta_to_rate,
         "interval_last": _q_interval_last,
@@ -1625,6 +1652,26 @@ FROM events""",
   SELECT user_id, event_id,
     value - lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS delta
   FROM events) WHERE delta IS NOT NULL""",
+        "delta_to_cumulative_guarded": """WITH synth AS (
+  SELECT user_id, event_id, value,
+         event_id - (CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) AS ts_syn,
+         CASE WHEN event_id % 11 = 0 THEN -1 ELSE 0 END AS start_syn
+  FROM events),
+started AS (
+  SELECT *, first_value(start_syn) OVER (PARTITION BY user_id
+             ORDER BY ts_syn, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS series_start
+  FROM synth),
+ok AS (SELECT * FROM started WHERE start_syn >= series_start),
+dedup AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, ts_syn
+                                 ORDER BY event_id) AS dup_rk
+    FROM ok) WHERE dup_rk = 1)
+SELECT user_id, event_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts_syn
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cumulative
+FROM dedup""",
         "sample_stratified": """SELECT user_id, event_id FROM (
   SELECT user_id, event_id,
          row_number() OVER (PARTITION BY user_id

@@ -31,12 +31,48 @@ from pyspark.sql import functions as F
 
 @dataclass
 class DeltaToCumulative:
+    """Running sum per stream. With ``start_col`` set, applies the
+    reference accumulator's sample guards
+    (deltatocumulativeprocessor/internal/delta/delta.go:28-57):
+
+    - a sample whose start timestamp is OLDER than the series start
+      (the first sample's start) belongs to a different process's
+      series and is dropped;
+    - among remaining samples sharing one timestamp, only the first
+      arrival is accepted (``dp.Timestamp() <= aggr.Timestamp()`` is
+      out-of-order) — arrival order is ``tiebreak_col``;
+    - dropped samples never update state (guards are evaluated against
+      accepted rows only), and gaps merely warn in the reference, so
+      they pass through here.
+    """
+
     value_col: str = "value"
     stream_keys: list[str] = field(default_factory=lambda: ["metric"])
     order_col: str = "ts"
     out_col: str = "cumulative"
+    start_col: str | None = None
+    tiebreak_col: str | None = None
 
     def __call__(self, df: DataFrame) -> DataFrame:
+        if self.start_col is not None:
+            tb = self.tiebreak_col or self.start_col
+            w0 = (
+                Window.partitionBy(*self.stream_keys)
+                .orderBy(self.order_col, tb)
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            series_start = F.first(self.start_col).over(w0)
+            df = (
+                df.withColumn("__ok__", F.col(self.start_col) >= series_start)
+                .filter(F.col("__ok__"))
+                .drop("__ok__")
+            )
+            dup = F.row_number().over(
+                Window.partitionBy(*self.stream_keys, self.order_col).orderBy(tb)
+            )
+            df = df.withColumn("__dup__", dup).filter(F.col("__dup__") == 1).drop(
+                "__dup__"
+            )
         w = (
             Window.partitionBy(*self.stream_keys)
             .orderBy(self.order_col)

@@ -312,3 +312,45 @@ def test_legacy_plain_lagdiff_unchanged(spark):
     )
     out = CumulativeToDelta(stream_keys=["metric"], order_col="ts")(df)
     assert [r["delta"] for r in out.orderBy("ts").collect()] == [-6.0, 5.0]
+
+
+class TestDeltaAccumulatorGuards:
+    """delta.go:28-57 sample guards on DeltaToCumulative."""
+
+    def test_older_start_and_out_of_order_drop(self, spark):
+        from opentelemetry_collector_contrib_spark.processors.metrics_state import (
+            DeltaToCumulative,
+        )
+
+        rows = [
+            # (metric, ts, start, value, arrival)
+            ("m", 1, 10, 1.0, 0),   # series head: start 10
+            ("m", 2, 10, 2.0, 1),   # ok -> cum 3
+            ("m", 2, 10, 7.0, 2),   # duplicate ts, later arrival -> drop
+            ("m", 3, 5, 100.0, 3),  # older start -> drop, no state change
+            ("m", 4, 12, 4.0, 4),   # newer start = gap, accepted -> cum 7
+        ]
+        df = spark.createDataFrame(
+            rows, "metric string, ts int, start int, value double, arr int"
+        )
+        out = DeltaToCumulative(
+            stream_keys=["metric"], order_col="ts",
+            start_col="start", tiebreak_col="arr",
+        )(df)
+        got = [(r["ts"], r["cumulative"]) for r in out.orderBy("ts").collect()]
+        assert got == [(1, 1.0), (2, 3.0), (4, 7.0)]
+
+    def test_head_with_oldest_start_defines_series(self, spark):
+        from opentelemetry_collector_contrib_spark.processors.metrics_state import (
+            DeltaToCumulative,
+        )
+
+        rows = [("m", 1, -5, 1.0, 0), ("m", 2, 0, 2.0, 1)]
+        df = spark.createDataFrame(
+            rows, "metric string, ts int, start int, value double, arr int"
+        )
+        out = DeltaToCumulative(
+            stream_keys=["metric"], order_col="ts",
+            start_col="start", tiebreak_col="arr",
+        )(df)
+        assert out.count() == 2  # start 0 >= series start -5
