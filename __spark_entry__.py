@@ -1812,9 +1812,9 @@ edges AS (
     ON c.conv_id = s.conv_id AND c.turn_idx = s.client_turn)
 SELECT client, server, connection_type,
        count(*) AS request_count,
-       sum(CASE WHEN failed THEN 1 ELSE 0 END) AS failed_count,
-       sum(client_lat_us) AS client_lat_us,
-       sum(server_lat_us) AS server_lat_us
+       sum(CASE WHEN failed THEN 1 ELSE 0 END)::BIGINT AS failed_count,
+       sum(client_lat_us)::BIGINT AS client_lat_us,
+       sum(server_lat_us)::BIGINT AS server_lat_us
 FROM edges GROUP BY client, server, connection_type""",
         "servicegraph_edges": f"""WITH {TRANSCRIPTS_ORACLE_CTE.strip()},
 paired AS (

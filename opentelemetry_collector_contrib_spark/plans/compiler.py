@@ -82,6 +82,17 @@ from ..processors import (
     TransformProcessor,
 )
 from ..processors import GroupByTrace as _GroupByTrace
+from ..processors import transform_metrics as _tm
+from ..processors.expo import DeltaToCumulativeExpo
+from ..processors.metrics_state import CumulativeToDeltaHistogram
+
+
+def _cumulativetodelta_histogram(**kw):
+    return CumulativeToDeltaHistogram(**kw)
+
+
+def _deltatocumulative_expo(**kw):
+    return DeltaToCumulativeExpo(**kw)
 
 OPERATOR_REGISTRY: dict[str, Callable[..., Callable[[DataFrame], DataFrame]]] = {
     # stanza operators (registered-by-name parity: pkg/stanza/operator/registry.go)
@@ -122,7 +133,23 @@ OPERATOR_REGISTRY: dict[str, Callable[..., Callable[[DataFrame], DataFrame]]] = 
     "interval": IntervalProcessor,
     "deltatocumulative": DeltaToCumulative,
     "cumulativetodelta": CumulativeToDelta,
+    "cumulativetodelta_histogram": _cumulativetodelta_histogram,
+    "deltatocumulative_expo": _deltatocumulative_expo,
     "deltatorate": DeltaToRate,
+    # transform processor metric-context editors (function-style)
+    "convert_sum_to_gauge": lambda **kw: (
+        lambda df: _tm.convert_sum_to_gauge(df, **kw)
+    ),
+    "convert_gauge_to_sum": lambda temporality, monotonic, **kw: (
+        lambda df: _tm.convert_gauge_to_sum(df, temporality, monotonic, **kw)
+    ),
+    "extract_count_metric": lambda monotonic=False, **kw: (
+        lambda df: _tm.extract_count_metric(df, monotonic, **kw)
+    ),
+    "extract_sum_metric": lambda monotonic=False, **kw: (
+        lambda df: _tm.extract_sum_metric(df, monotonic, **kw)
+    ),
+    "copy_metric": lambda **kw: (lambda df: _tm.copy_metric(df, **kw)),
     "metricstransform": lambda transforms, **kw: MetricsTransform(
         [
             MetricTransform(

@@ -138,3 +138,34 @@ def test_config_pipeline_exceptions_connector(spark):
         compile_pipeline(PipelineConfig(stages=[
             StageConfig("exceptions", {"signal": "traces"})
         ]))
+
+
+def test_metric_context_and_expo_stages_compile(spark):
+    """Round-3 registry additions: metric-context editors, histogram
+    cumulativetodelta, expo accumulation."""
+    df = spark.createDataFrame(
+        [("g", "gauge", None, None, "%", "d", 1.5, None, None),
+         ("h", "histogram", "delta", None, "ms", "d", None, 4, 9.0)],
+        "metric_name string, metric_type string, temporality string,"
+        " is_monotonic boolean, unit string, description string,"
+        " value double, count long, hsum double",
+    )
+    fn = compile_pipeline(PipelineConfig([
+        StageConfig("convert_gauge_to_sum",
+                    {"temporality": "delta", "monotonic": True}),
+        StageConfig("extract_count_metric", {"monotonic": False}),
+        StageConfig("copy_metric", {"name": "h2", "where": "metric_name = 'h'"}),
+    ]))
+    names = sorted(r["metric_name"] for r in fn(df).collect())
+    assert names == ["g", "h", "h2", "h_count"]
+    got = {r["metric_name"]: r for r in fn(df).collect()}
+    assert got["g"]["metric_type"] == "sum" and got["g"]["temporality"] == "delta"
+    assert got["h_count"]["value"] == 4.0
+
+    expo_df = spark.createDataFrame(
+        [("m", 1, 0, 0, [1], 0)],
+        "metric string, ts int, scale int, offset int, counts array<long>,"
+        " zero_count long",
+    )
+    fn2 = compile_pipeline(PipelineConfig([StageConfig("deltatocumulative_expo", {})]))
+    assert fn2(expo_df).count() == 1
