@@ -639,6 +639,48 @@ def _span_frame(spark, sf_dir):
     )
 
 
+def _q_count_spans_signal(spark, sf_dir):
+    # the count connector's span + span-event signals (config.go:19-29
+    # per-signal default metric names): spans counted per service with
+    # the missing-service default bucket, events counted per name after
+    # one explode
+    from opentelemetry_collector_contrib_spark.connectors.count import (
+        SIGNAL_DEFAULT_METRICS,
+        CountConnector,
+        MetricDef,
+    )
+
+    spans = _span_frame(spark, sf_dir)
+    c_spans = CountConnector(
+        [
+            MetricDef(
+                name=SIGNAL_DEFAULT_METRICS["spans"],
+                attributes=[("service_name", "unknown")],
+            )
+        ]
+    )(spans)
+    events = spans.select(F.explode("events").alias("e")).select(
+        F.col("e.name").alias("event_name")
+    )
+    c_events = CountConnector(
+        [
+            MetricDef(
+                name=SIGNAL_DEFAULT_METRICS["spanevents"],
+                attributes=[("event_name", None)],
+            )
+        ]
+    )(events)
+    out = c_spans.unionByName(c_events)
+    return out.select(
+        "metric_name",
+        F.coalesce(
+            F.element_at("attrs", "service_name"),
+            F.element_at("attrs", "event_name"),
+        ).alias("dim"),
+        "count",
+    )
+
+
 def _q_servicegraph_spanpair(spark, sf_dir):
     # reference span-pair store semantics as a full-outer equi-join:
     # even turns are client spans, odd turns server spans whose parent
@@ -1461,6 +1503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_to_rate": _q_delta_to_rate,
         "interval_last": _q_interval_last,
         "servicegraph_spanpair": _q_servicegraph_spanpair,
+        "count_spans_signal": _q_count_spans_signal,
         "servicegraph_edges": _q_servicegraph,
         "servicegraph_hist": _q_servicegraph_hist,
         "exceptions_metrics": _q_exceptions_metrics,
@@ -1787,6 +1830,21 @@ SELECT conv_id, turn_idx,
   try_strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S'), '%Y-%m-%dT%H:%M:%S') AS event_ts,
   CASE WHEN turn_idx % 2 = 0 THEN false ELSE turn_idx % 3 = 0 END AS partial
 FROM transcripts""",
+        "count_spans_signal": f"""WITH {TRANSCRIPTS_ORACLE_CTE.strip()},
+spans AS (
+  SELECT CASE WHEN tool <> 'none' THEN 'svc-' || tool END AS service_name,
+         turn_idx
+  FROM transcripts)
+SELECT 'trace.span.count' AS metric_name,
+       coalesce(service_name, 'unknown') AS dim,
+       count(*)::BIGINT AS "count"
+FROM spans GROUP BY 2
+UNION ALL
+SELECT 'trace.span.event.count', 'exception', count(*)::BIGINT
+FROM spans WHERE turn_idx % 7 = 3
+UNION ALL
+SELECT 'trace.span.event.count', 'checkpoint', count(*)::BIGINT
+FROM spans WHERE turn_idx % 13 = 5""",
         "servicegraph_spanpair": f"""WITH {TRANSCRIPTS_ORACLE_CTE.strip()},
 clients AS (
   SELECT conv_id, turn_idx,

@@ -27,6 +27,17 @@ from pyspark.sql import functions as F
 
 DEFAULT_METRIC = "log.record.count"
 
+# per-signal default metric names (config.go:19-29): the connector is
+# frame-agnostic here — a span, span-event, metric, datapoint or log
+# frame all count the same way; the signal only picks the default name
+SIGNAL_DEFAULT_METRICS = {
+    "spans": "trace.span.count",
+    "spanevents": "trace.span.event.count",
+    "metrics": "metric.count",
+    "datapoints": "metric.datapoint.count",
+    "logs": DEFAULT_METRIC,
+}
+
 
 @dataclass
 class MetricDef:
