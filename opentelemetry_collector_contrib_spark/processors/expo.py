@@ -260,6 +260,13 @@ class DeltaToCumulativeExpo:
     bucket range), so this is materializing the answer, not blowup —
     one running sum per (stream, index), one grouped reassembly. Zero
     counts accumulate alongside. No data-dependent iteration anywhere.
+
+    Plan audit (sf0.01): 5 exchanges (min-scale window, per-(ts, idx)
+    combine, idx-first agg, running-sum window, reassembly agg); the
+    grid joins broadcast their small sides under AQE. The datapoint
+    frame is scanned once per branch (points / exploded counts) — when
+    the input is an expensive derivation rather than a parquet scan,
+    persist() it first (same note as metrics_transform chaining).
     """
 
     stream_keys: list[str] = field(default_factory=lambda: ["metric"])
@@ -370,7 +377,7 @@ class DeltaToCumulativeExpo:
         # rebuild (offset, counts) over the dense [min_idx, max_idx]
         # range. ONE lambda, no when() around the HOF: empty cells
         # degrade via n_out = 0 and a slice, never via a conditional
-        # (see collapse_expr for the PySpark 4.1 lambda hazards this
+        # (see collapse for the PySpark 4.1 lambda hazards this
         # formulation avoids).
         cells = F.col("__cells__")
         lo = F.coalesce(F.element_at(cells, 1).getField("idx"), F.lit(0))
