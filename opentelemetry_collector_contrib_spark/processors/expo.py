@@ -14,7 +14,9 @@ Reference: processor/deltatocumulativeprocessor/internal/data/expo —
   floor(log2(v) * 2^scale), with the power-of-two special case.
 
 Buckets are columnar as ``(offset int, counts array<long>)`` — the
-pdata shape. Everything here is pure Column expressions.
+pdata shape. ``collapse``/``downscale`` are DataFrame-level by design
+(see collapse's docstring for the PySpark lambda hazard that forces
+staged columns); the rest are Column expressions.
 
 The KEY scale identity that makes accumulation columnar: collapsing k
 scale steps maps absolute index i to floor(i / 2^k) (pairwise sums
@@ -22,9 +24,10 @@ applied k times == grouping by the k-bit-shifted index). So aligning a
 mixed-scale stream to its minimum scale needs NO iterative merging —
 :class:`DeltaToCumulativeExpo` explodes buckets to (stream, aligned
 absolute index, count) rows, runs ONE running-sum window per
-(stream, index), and reassembles arrays with one grouped sort — two
-exchanges total regardless of scale spread, never a per-pair merge
-loop. That is the 100 TB restatement of the reference's per-stream
+(stream, index), and reassembles arrays with one grouped sort — a
+fixed five-exchange pipeline regardless of scale spread (audited in
+the class docstring), never a data-dependent per-pair merge loop.
+That is the 100 TB restatement of the reference's per-stream
 in-memory Merge loop.
 """
 
