@@ -929,6 +929,41 @@ def _q_expo_cumulative(spark, sf_dir):
     )
 
 
+def _q_expo_widen_zero(spark, sf_dir):
+    # zero-threshold widening at scale 0 to width 2.0: buckets with
+    # upper bound <= 2 fold into the zero count, the array slices to
+    # start after index 0, the threshold rounds up to the folded
+    # bucket's upper bound (zero.go:14-42). Positive-only datapoints.
+    from opentelemetry_collector_contrib_spark.processors.expo import (
+        widen_zero_exprs,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id")
+    dp = ev.select(
+        "event_id",
+        ((eid % 9) - 4).cast("int").alias("pos_offset"),
+        F.slice(
+            F.array(*[((eid + i * 3) % 6 + 1).cast("long") for i in range(4)]),
+            1,
+            (eid % 5).cast("int"),
+        ).alias("pos_counts"),
+        (eid % 3).cast("long").alias("zero_count"),
+    )
+    ex = widen_zero_exprs(
+        0, 2.0, F.col("zero_count"), F.col("pos_offset"), F.col("pos_counts")
+    )
+    return dp.select(
+        "event_id",
+        ex["zero_count"].alias("zero_cnt"),
+        ex["zero_threshold"].alias("zero_threshold"),
+        ex["pos_offset"].alias("off_out"),
+        F.array_join(ex["pos_counts"].cast("array<string>"), "|").alias(
+            "counts_str"
+        ),
+    )
+
+
 def _q_cumulative_to_delta_mono(spark, sf_dir):
     # monotonic-sum semantics (processor_test.go restart_detected): a
     # value below its predecessor is a counter restart — dropped but
@@ -1495,6 +1530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_to_cumulative": _q_delta_to_cumulative,
         "cumulative_to_delta": _q_cumulative_to_delta,
         "cumulative_to_delta_mono": _q_cumulative_to_delta_mono,
+        "expo_widen_zero": _q_expo_widen_zero,
         "delta_to_cumulative_expo": _q_expo_cumulative,
         "transform_metric_ctx": _q_transform_metric_ctx,
         "sample_stratified": _q_sample_stratified,
@@ -1809,6 +1845,24 @@ SELECT p.user_id, p.event_id, p.min_scale AS scale_out, p.zero_cum::BIGINT AS ze
        coalesce(a.lo, 0)::INT AS offset_out,
        coalesce(a.counts_str, '') AS counts_str
 FROM points p LEFT JOIN arr a ON a.user_id = p.user_id AND a.event_id = p.event_id""",
+        "expo_widen_zero": """WITH dp AS (
+  SELECT event_id,
+         ((event_id % 9) - 4)::INT AS off,
+         list_transform(range(1, (event_id % 5)::INT + 1),
+                        i -> ((event_id + (i-1)*3) % 6 + 1)::BIGINT) AS counts,
+         (event_id % 3)::BIGINT AS zero_count
+  FROM events),
+calc AS (
+  SELECT *, len(counts) AS n,
+         least(greatest(1 - off, 0), len(counts)) AS upto,
+         least(greatest(1, off), off + len(counts)) AS lo
+  FROM dp)
+SELECT event_id,
+       (zero_count + CASE WHEN upto > 0 THEN list_reduce(list_slice(counts, 1, upto), (a, b) -> a + b) ELSE 0 END)::BIGINT AS zero_cnt,
+       CAST(2.0 AS DOUBLE) AS zero_threshold,
+       lo::INT AS off_out,
+       coalesce(array_to_string(list_slice(counts, lo - off + 1, n), '|'), '') AS counts_str
+FROM calc""",
         "cumulative_to_delta_mono": """SELECT user_id, event_id, round(value - prev, 6) AS delta FROM (
   SELECT user_id, event_id, value,
     lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
