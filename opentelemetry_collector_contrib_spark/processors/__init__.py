@@ -20,10 +20,13 @@ from .tail_sampling import GroupByTrace, TailPolicy, TailSampling  # noqa: F401
 from .transform import TransformProcessor  # noqa: F401
 from .metrics_state import (  # noqa: F401
     CumulativeToDelta,
+    CumulativeToDeltaHistogram,
     DeltaToCumulative,
     DeltaToRate,
     IntervalProcessor,
 )
+from .expo import DeltaToCumulativeExpo, collapse, downscale  # noqa: F401
+from . import transform_metrics  # noqa: F401
 from .metrics_transform import (  # noqa: F401
     GenerationRule,
     MetricOp,

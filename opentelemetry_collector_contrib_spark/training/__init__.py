@@ -32,6 +32,9 @@ from .similarity import (
 )
 from .textstats import fingerprint, lang_id, quality_score, token_stats
 
+from .curation import curate  # noqa: F401
+from .sampling import pack_sequences, stratified_sample  # noqa: F401
+
 __all__ = [
     "binary_table",
     "brute_force_topk",
@@ -56,4 +59,7 @@ __all__ = [
     "simhash",
     "token_stats",
     "tokens",
+    "curate",
+    "pack_sequences",
+    "stratified_sample",
 ]
