@@ -816,6 +816,21 @@ def _q_delta_to_cumulative_guarded(spark, sf_dir):
     )
 
 
+def _q_quantize_int8(spark, sf_dir):
+    # symmetric int8 embedding quantization (scale = max|x|/127,
+    # round-half-up, clamped) — zero-shuffle projection
+    from opentelemetry_collector_contrib_spark.training.quantize import (
+        quantize_int8,
+    )
+
+    out = quantize_int8(_emb(spark, sf_dir))
+    return out.select(
+        "vec_id",
+        "scale_q9",
+        F.array_join(F.col("qvec").cast("array<string>"), "|").alias("qvec_str"),
+    )
+
+
 def _q_sample_stratified(spark, sf_dir):
     # deterministic md5-ranked draw: 5 events per user stratum
     from opentelemetry_collector_contrib_spark.training.sampling import (
@@ -1534,6 +1549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_to_cumulative_expo": _q_expo_cumulative,
         "transform_metric_ctx": _q_transform_metric_ctx,
         "sample_stratified": _q_sample_stratified,
+        "quantize_int8": _q_quantize_int8,
         "delta_to_cumulative_guarded": _q_delta_to_cumulative_guarded,
         "pack_sequences": _q_pack_sequences,
         "delta_to_rate": _q_delta_to_rate,
@@ -1751,6 +1767,18 @@ SELECT user_id, event_id,
        round(sum(value) OVER (PARTITION BY user_id ORDER BY ts_syn
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cumulative
 FROM dedup""",
+        "quantize_int8": """WITH q AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS scale,
+         embedding::DOUBLE[] AS v
+  FROM embeddings)
+SELECT vec_id,
+       floor(scale * 1e9)::BIGINT AS scale_q9,
+       array_to_string(
+         list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+           ELSE least(greatest(floor(x / scale + 0.5), -127), 127)::INT END),
+         '|') AS qvec_str
+FROM q""",
         "sample_stratified": """SELECT user_id, event_id FROM (
   SELECT user_id, event_id,
          row_number() OVER (PARTITION BY user_id

@@ -98,3 +98,46 @@ def test_mixed_streams_split_correctly(spark):
         ("g", "gauge", "cumulative", False, t(10), 7.0, {}),
     ]
     assert run(spark, rows) == [("cum", 2.0, True), ("g", 7.0, False)]
+
+
+def test_histograms_are_aggregated_keep_newest(spark):
+    """testdata/histograms_are_aggregated: cumulative histograms hold
+    the NEWEST datapoint per interval; the out-of-order point (ts 20
+    after ts 50) is ignored. Bucket arrays ride along row-level."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        # (metric, ts_ms, buckets) — the reference's 50/20/80 nanos
+        ("cumulative.histogram.test", 50, [4, 7, 9, 6, 25]),
+        ("cumulative.histogram.test", 20, [2, 3, 7, 4, 20]),
+        ("cumulative.histogram.test", 80, [9, 12, 17, 8, 34]),
+    ]
+    df = spark.createDataFrame(
+        [(m, t(ms), b) for m, ms, b in rows],
+        "metric string, ts timestamp, buckets array<long>",
+    )
+    proc = IntervalProcessor(interval="1 minute", stream_keys=["metric"],
+                             value_col="buckets")
+    out = proc(df).collect()
+    assert len(out) == 1
+    assert list(out[0]["buckets"]) == [9, 12, 17, 8, 34]
+
+
+def test_exp_histograms_are_aggregated_keep_newest(spark):
+    """testdata/exp_histograms_are_aggregated: same keep-newest rule
+    for exponential histograms (scale/offset/counts columns)."""
+    rows = [
+        ("expo.test", 50, 2, 1, [4, 7, 9]),
+        ("expo.test", 20, 2, 1, [2, 3, 7]),
+        ("expo.test", 80, 2, 0, [9, 12, 17, 8]),
+    ]
+    df = spark.createDataFrame(
+        [(m, t(ms), s, o, c) for m, ms, s, o, c in rows],
+        "metric string, ts timestamp, scale int, offset int, counts array<long>",
+    )
+    proc = IntervalProcessor(interval="1 minute", stream_keys=["metric"],
+                             value_col="counts")
+    out = proc(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["scale"], r["offset"], list(r["counts"])) == (2, 0, [9, 12, 17, 8])

@@ -535,3 +535,41 @@ class TestSamplingPacking:
         assert total == 350
         with pytest.raises(ValueError):
             pack_sequences(df, budget=0)
+
+
+class TestQuantize:
+    def test_int8_roundtrip_error_bounded(self, spark):
+        from opentelemetry_collector_contrib_spark.training.quantize import (
+            quantize_int8,
+        )
+
+        rows = [
+            (0, [1.0, -0.5, 0.25, 0.0]),
+            (1, [127.0, -127.0, 63.5, 0.1]),
+            (2, [0.0, 0.0, 0.0, 0.0]),      # all-zero: scale 0, no div/0
+            (3, [1e-9, -1e-9, 5e-10, 0.0]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+        # max-magnitude element always hits ±127
+        assert max(map(abs, out[0]["qvec"])) == 127
+        assert out[1]["qvec"][0] == 127 and out[1]["qvec"][1] == -127
+        assert out[2]["qvec"] == [0, 0, 0, 0] and out[2]["scale_q9"] == 0
+        # dequantized error <= scale/2 per element (true scale; the
+        # reported scale_q9 is floor-truncated at 1e-9)
+        for vid, vec in rows:
+            scale = max(abs(x) for x in vec) / 127.0
+            for x, qx in zip(vec, out[vid]["qvec"]):
+                assert abs(x - qx * scale) <= scale / 2 + 1e-12
+
+    def test_clamp_never_exceeds_int8(self, spark):
+        from opentelemetry_collector_contrib_spark.training.quantize import (
+            quantize_int8,
+        )
+
+        df = spark.createDataFrame(
+            [(0, [(i - 50) * 1.7 for i in range(100)])],
+            "vec_id long, embedding array<double>",
+        )
+        q = quantize_int8(df).first()["qvec"]
+        assert all(-127 <= x <= 127 for x in q)
