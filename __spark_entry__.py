@@ -816,6 +816,20 @@ def _q_delta_to_cumulative_guarded(spark, sf_dir):
     )
 
 
+def _q_decontaminate(spark, sf_dir):
+    # train/eval decontamination: every 50th doc plays the eval set;
+    # training docs sharing any 3-shingle with it are flagged with
+    # their shared-shingle count (broadcast eval side, one exchange)
+    from opentelemetry_collector_contrib_spark.training.dedup import (
+        contamination_check,
+    )
+
+    docs = _docs(spark, sf_dir)
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    tr = docs.filter(F.col("doc_id") % 50 != 0)
+    return contamination_check(tr, ev)
+
+
 def _q_quantize_int8(spark, sf_dir):
     # symmetric int8 embedding quantization (scale = max|x|/127,
     # round-half-up, clamped) — zero-shuffle projection
@@ -1550,6 +1564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_metric_ctx": _q_transform_metric_ctx,
         "sample_stratified": _q_sample_stratified,
         "quantize_int8": _q_quantize_int8,
+        "decontaminate": _q_decontaminate,
         "delta_to_cumulative_guarded": _q_delta_to_cumulative_guarded,
         "pack_sequences": _q_pack_sequences,
         "delta_to_rate": _q_delta_to_rate,
@@ -1767,6 +1782,14 @@ SELECT user_id, event_id,
        round(sum(value) OVER (PARTITION BY user_id ORDER BY ts_syn
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cumulative
 FROM dedup""",
+        "decontaminate": f"""WITH ev AS (
+  SELECT DISTINCT unnest(list_distinct({_SH3})) AS s
+  FROM documents WHERE doc_id % 50 = 0),
+tr AS (
+  SELECT doc_id, unnest(list_distinct({_SH3})) AS s
+  FROM documents WHERE doc_id % 50 <> 0)
+SELECT doc_id, count(*)::BIGINT AS n_shared
+FROM tr JOIN ev USING (s) GROUP BY doc_id""",
         "quantize_int8": """WITH q AS (
   SELECT vec_id,
          list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS scale,

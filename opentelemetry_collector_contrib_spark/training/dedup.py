@@ -320,3 +320,43 @@ def connected_components(
     return docs.select(ids).join(
         labels.withColumnRenamed("node", id_col), id_col, "left"
     ).select(ids, F.coalesce("cluster_id", ids).alias("cluster_id"))
+
+
+def contamination_check(
+    train: DataFrame,
+    eval_df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train/eval decontamination: ``(id, n_shared)`` for every training
+    document sharing at least one k-word shingle with ANY eval document
+    (the benchmark-leakage filter every pretraining pipeline runs before
+    training; drop or down-weight the flagged docs).
+
+    Scale posture: the eval set's distinct shingles are the SMALL side
+    and broadcast — the training corpus is scanned once, exploded to
+    (id, shingle), and probes the broadcast set with zero shuffle for
+    the join; the only exchange is the per-doc count aggregation (and
+    its map-side combine makes the shuffle rows-per-contaminated-doc,
+    not rows-per-shingle-hit).
+    """
+    ev = (
+        eval_df.select(
+            F.explode(F.array_distinct(shingles(tokens(F.col(text_col)), k))).alias(
+                "__s__"
+            )
+        )
+        .distinct()
+    )
+    tr = train.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(tokens(F.col(text_col)), k))).alias(
+            "__s__"
+        ),
+    )
+    return (
+        tr.join(F.broadcast(ev), "__s__")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

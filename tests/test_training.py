@@ -573,3 +573,25 @@ class TestQuantize:
         )
         q = quantize_int8(df).first()["qvec"]
         assert all(-127 <= x <= 127 for x in q)
+
+
+def test_contamination_check(spark):
+    """contamination_check flags training docs sharing k-shingles with
+    the eval set, counts shared shingles, leaves clean docs out."""
+    from opentelemetry_collector_contrib_spark.training.dedup import (
+        contamination_check,
+    )
+
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps high")], "doc_id long, text string"
+    )
+    tr = spark.createDataFrame(
+        [
+            (1, "the quick brown fox sleeps"),     # shares 2 shingles
+            (2, "completely different content here entirely"),
+            (3, "quick brown fox jumps high today"),  # shares 3
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n_shared"] for r in contamination_check(tr, ev).collect()}
+    assert got == {1: 2, 3: 3}
