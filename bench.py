@@ -83,6 +83,8 @@ BENCH_QUERIES = [
     "transform_metric_ctx",
     "sample_stratified",
     "pack_sequences",
+    "quantize_int8",
+    "decontaminate",
     "metrics_transform",
     "text_token_stats",
     "text_quality_score",
