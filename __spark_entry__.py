@@ -870,6 +870,20 @@ def _q_pack_sequences(spark, sf_dir):
     return pack_sequences(sized, budget=256, n_shards=4)
 
 
+def _q_pack_nosplit(spark, sf_dir):
+    # next-fit no-split packing (SFT layout): sequential per shard via
+    # one applyInPandas, parallel across the 4 shards
+    from opentelemetry_collector_contrib_spark.training.sampling import (
+        pack_sequences_nosplit,
+    )
+
+    docs = _docs(spark, sf_dir)
+    sized = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    return pack_sequences_nosplit(sized, budget=256, n_shards=4)
+
+
 def _q_transform_metric_ctx(spark, sf_dir):
     # metric-context OTTL editors composed: gauge->sum retype, then
     # count + sum extraction from histogram metrics (appended, HasSum
@@ -1567,6 +1581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "delta_to_cumulative_guarded": _q_delta_to_cumulative_guarded,
         "pack_sequences": _q_pack_sequences,
+        "pack_nosplit": _q_pack_nosplit,
         "delta_to_rate": _q_delta_to_rate,
         "interval_last": _q_interval_last,
         "servicegraph_spanpair": _q_servicegraph_spanpair,
@@ -1807,6 +1822,24 @@ FROM q""",
          row_number() OVER (PARTITION BY user_id
                             ORDER BY md5('0:' || event_id::VARCHAR), event_id) AS rk
   FROM events) WHERE rk <= 5""",
+        "pack_nosplit": """WITH RECURSIVE t0 AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), t -> t != ''))::BIGINT AS n_tokens,
+         md5('0:' || doc_id::VARCHAR) AS k
+  FROM documents),
+t AS (SELECT *, (((ascii(substring(k,1,1)) - CASE WHEN ascii(substring(k,1,1)) >= 97 THEN 87 ELSE 48 END)::BIGINT * 268435456+(ascii(substring(k,2,1)) - CASE WHEN ascii(substring(k,2,1)) >= 97 THEN 87 ELSE 48 END)::BIGINT * 16777216+(ascii(substring(k,3,1)) - CASE WHEN ascii(substring(k,3,1)) >= 97 THEN 87 ELSE 48 END)::BIGINT * 1048576+(ascii(substring(k,4,1)) - CASE WHEN ascii(substring(k,4,1)) >= 97 THEN 87 ELSE 48 END)::BIGINT * 65536+(ascii(substring(k,5,1)) - CASE WHEN ascii(substring(k,5,1)) >= 97 THEN 87 ELSE 48 END)::BIGINT * 4096+(ascii(substring(k,6,1)) - CASE WHEN ascii(substring(k,6,1)) >= 97 THEN 87 ELSE 48 END)::BIGINT * 256+(ascii(substring(k,7,1)) - CASE WHEN ascii(substring(k,7,1)) >= 97 THEN 87 ELSE 48 END)::BIGINT * 16+(ascii(substring(k,8,1)) - CASE WHEN ascii(substring(k,8,1)) >= 97 THEN 87 ELSE 48 END)::BIGINT * 1) % 4)::INT AS shard,
+             row_number() OVER (PARTITION BY (((ascii(substring(k,1,1)) - CASE WHEN ascii(substring(k,1,1)) >= 97 THEN 87 ELSE 48 END)::BIGINT * 268435456+(ascii(substring(k,2,1)) - CASE WHEN ascii(substring(k,2,1)) >= 97 THEN 87 ELSE 48 END)::BIGINT * 16777216+(ascii(substring(k,3,1)) - CASE WHEN ascii(substring(k,3,1)) >= 97 THEN 87 ELSE 48 END)::BIGINT * 1048576+(ascii(substring(k,4,1)) - CASE WHEN ascii(substring(k,4,1)) >= 97 THEN 87 ELSE 48 END)::BIGINT * 65536+(ascii(substring(k,5,1)) - CASE WHEN ascii(substring(k,5,1)) >= 97 THEN 87 ELSE 48 END)::BIGINT * 4096+(ascii(substring(k,6,1)) - CASE WHEN ascii(substring(k,6,1)) >= 97 THEN 87 ELSE 48 END)::BIGINT * 256+(ascii(substring(k,7,1)) - CASE WHEN ascii(substring(k,7,1)) >= 97 THEN 87 ELSE 48 END)::BIGINT * 16+(ascii(substring(k,8,1)) - CASE WHEN ascii(substring(k,8,1)) >= 97 THEN 87 ELSE 48 END)::BIGINT * 1) % 4) ORDER BY k, doc_id) AS rn
+      FROM t0),
+walk(shard, rn, doc_id, n_tokens, pack_id, used) AS (
+  SELECT shard, rn, doc_id, n_tokens, 0::BIGINT, n_tokens FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.shard, t.rn, t.doc_id, t.n_tokens,
+         CASE WHEN w.used > 0 AND w.used + t.n_tokens > 256
+              THEN w.pack_id + 1 ELSE w.pack_id END,
+         CASE WHEN w.used > 0 AND w.used + t.n_tokens > 256
+              THEN t.n_tokens ELSE w.used + t.n_tokens END
+  FROM walk w JOIN t ON t.shard = w.shard AND t.rn = w.rn + 1)
+SELECT doc_id, n_tokens, shard, pack_id FROM walk""",
         "pack_sequences": """WITH t AS (
   SELECT doc_id,
          len(list_filter(string_split(text, ' '), t -> t != ''))::BIGINT AS n_tokens,

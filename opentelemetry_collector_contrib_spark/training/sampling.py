@@ -96,3 +96,52 @@ def pack_sequences(
         .cast("bigint")
         .alias("n_packs"),
     )
+
+
+def pack_sequences_nosplit(
+    df: DataFrame,
+    budget: int,
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    n_shards: int = 1,
+    seed: int = 0,
+) -> DataFrame:
+    """No-split (next-fit) packing for pipelines where documents cannot
+    straddle sequences (SFT): within each shard's deterministic
+    md5-order, a document opens a new pack when it would overflow the
+    current one; a document larger than ``budget`` sits alone in its
+    own (overflowing) pack, to be truncated downstream. Returns
+    ``(id, tokens, shard, pack_id)``.
+
+    Next-fit is inherently sequential PER SHARD, so the shard is the
+    parallelism unit: one Arrow-batched ``applyInPandas`` per shard
+    (the same posture as the RFC6587 octet framer — sequential within
+    a stream, parallel across streams); scale by adding shards. The
+    result is bit-deterministic at any cluster size.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    key = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
+    shard = (
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("bigint") % n_shards
+    ).cast("int")
+    staged = df.select(
+        F.col(id_col), F.col(tokens_col), shard.alias("shard"), key.alias("__key__")
+    )
+
+    def pack(pdf):
+        pdf = pdf.sort_values(["__key__", id_col]).reset_index(drop=True)
+        pack_ids, cur, used = [], 0, 0
+        for t in pdf[tokens_col]:
+            t = int(t)
+            if used > 0 and used + t > budget:
+                cur += 1
+                used = 0
+            pack_ids.append(cur)
+            used += t
+        pdf = pdf.drop(columns="__key__")
+        pdf["pack_id"] = pack_ids
+        return pdf
+
+    schema = f"{id_col} long, {tokens_col} long, shard int, pack_id long"
+    return staged.groupBy("shard").applyInPandas(pack, schema)

@@ -595,3 +595,31 @@ def test_contamination_check(spark):
     )
     got = {r["doc_id"]: r["n_shared"] for r in contamination_check(tr, ev).collect()}
     assert got == {1: 2, 3: 3}
+
+
+def test_pack_nosplit_invariants(spark):
+    """Next-fit no-split packing: no pack exceeds budget (except
+    single oversized docs), docs never straddle, order deterministic."""
+    from opentelemetry_collector_contrib_spark.training.sampling import (
+        pack_sequences_nosplit,
+    )
+
+    rows = [(i, 10 + (i * 41) % 200) for i in range(120)] + [(999, 500)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pack_sequences_nosplit(df, budget=256, n_shards=2).collect()
+    assert len(out) == 121
+    by_pack = {}
+    for r in out:
+        by_pack.setdefault((r["shard"], r["pack_id"]), []).append(r["n_tokens"])
+    for (shard, pid), toks in by_pack.items():
+        total = sum(toks)
+        # a pack only exceeds the budget when it holds ONE oversized doc
+        assert total <= 256 or (len(toks) == 1 and toks[0] > 256), (shard, pid, toks)
+    # oversized doc sits alone
+    big = [r for r in out if r["doc_id"] == 999][0]
+    assert by_pack[(big["shard"], big["pack_id"])] == [500]
+    # deterministic across runs
+    a = sorted((r["doc_id"], r["shard"], r["pack_id"]) for r in out)
+    b = sorted((r["doc_id"], r["shard"], r["pack_id"])
+               for r in pack_sequences_nosplit(df, budget=256, n_shards=2).collect())
+    assert a == b
