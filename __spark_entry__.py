@@ -870,6 +870,17 @@ def _q_pack_sequences(spark, sf_dir):
     return pack_sequences(sized, budget=256, n_shards=4)
 
 
+def _q_bpe_token_count(spark, sf_dir):
+    # whitespace + BPE-ish pretokenizer counts — the context-window
+    # budgeter (training/textstats.py BPE_PATTERN, engine-portable
+    # regex subset)
+    from opentelemetry_collector_contrib_spark.training.textstats import (
+        bpe_token_count,
+    )
+
+    return bpe_token_count(_docs(spark, sf_dir))
+
+
 def _q_pack_nosplit(spark, sf_dir):
     # next-fit no-split packing (SFT layout): sequential per shard via
     # one applyInPandas, parallel across the 4 shards
@@ -1582,6 +1593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_to_cumulative_guarded": _q_delta_to_cumulative_guarded,
         "pack_sequences": _q_pack_sequences,
         "pack_nosplit": _q_pack_nosplit,
+        "bpe_token_count": _q_bpe_token_count,
         "delta_to_rate": _q_delta_to_rate,
         "interval_last": _q_interval_last,
         "servicegraph_spanpair": _q_servicegraph_spanpair,
@@ -1822,6 +1834,10 @@ FROM q""",
          row_number() OVER (PARTITION BY user_id
                             ORDER BY md5('0:' || event_id::VARCHAR), event_id) AS rk
   FROM events) WHERE rk <= 5""",
+        "bpe_token_count": f"""SELECT doc_id,
+       len({_TOKS}) AS n_ws,
+       len(regexp_extract_all(text,'''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 '']+''', 0)) AS n_bpe
+FROM documents""",
         "pack_nosplit": """WITH RECURSIVE t0 AS (
   SELECT doc_id,
          len(list_filter(string_split(text, ' '), t -> t != ''))::BIGINT AS n_tokens,

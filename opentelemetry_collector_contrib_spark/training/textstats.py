@@ -79,3 +79,25 @@ def fingerprint(
     sh = shingles(tokens(F.col(text_col)), k)
     fp = F.array_min(F.transform(sh, F.md5))
     return df.select(F.col(id_col), fp.alias("fp"))
+
+
+# GPT-2-style pretokenizer classes, restricted to constructs whose
+# semantics are identical in Java regex (Spark) and RE2 (DuckDB):
+# contractions, letter runs, digit runs, punctuation runs — each with
+# an optional leading space (the BPE-ish budget estimate a pipeline
+# uses before real tokenization).
+BPE_PATTERN = "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ']+"
+
+
+def bpe_token_count(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_ws, n_bpe): whitespace token count next to the BPE-ish
+    pretokenizer match count — the cheap context-window budgeter (real
+    tokenizers come later in the pipeline; this estimates within a few
+    percent). Zero-shuffle projection."""
+    ws = F.size(tokens(F.col(text_col)))
+    bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), 0))
+    return df.select(
+        F.col(id_col), ws.alias("n_ws"), bpe.alias("n_bpe")
+    )

@@ -623,3 +623,19 @@ def test_pack_nosplit_invariants(spark):
     b = sorted((r["doc_id"], r["shard"], r["pack_id"])
                for r in pack_sequences_nosplit(df, budget=256, n_shards=2).collect())
     assert a == b
+
+
+def test_bpe_token_count(spark):
+    from opentelemetry_collector_contrib_spark.training.textstats import (
+        bpe_token_count,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "it's error=404 ok"), (1, ""), (2, "a  b")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_ws"], r["n_bpe"]) for r in bpe_token_count(df).collect()}
+    # "it's error=404 ok": [it]['s][ error][=][404][ ok] = 6 BPE, 3 ws
+    assert got[0] == (3, 6)
+    assert got[1] == (0, 0)
+    assert got[2][0] == 2
