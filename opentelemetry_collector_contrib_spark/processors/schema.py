@@ -88,6 +88,68 @@ def _rename_map(attrs: Column, mapping: dict[str, str]) -> Column:
     )
 
 
+def _rename_map_staged(
+    df: DataFrame, target_col: str, mapping: dict[str, str], cond: Column
+) -> DataFrame:
+    """DataFrame-level twin of :func:`_rename_map` used by the
+    processor: the renamed-entry array and the kept-entry array are
+    MATERIALIZED as staged columns so every lambda's input is a plain
+    attribute reference — the sibling-chained filter-over-transform
+    shape (and a when() wrapping it) can misevaluate nondeterministically
+    on classic PySpark 4.1, whose lambdas all share variable names
+    x/y/z (see processors/expo.py collapse)."""
+    if not mapping:
+        return df
+    table = F.create_map(*[F.lit(x) for kv in mapping.items() for x in kv])
+    entries = F.map_entries(F.col(target_col))
+    df = df.withColumn(
+        "__sch_ren__",
+        F.transform(
+            entries,
+            lambda e: F.struct(
+                F.coalesce(
+                    F.element_at(table, e.getField("key")), e.getField("key")
+                ).alias("key"),
+                e.getField("value").alias("value"),
+                F.element_at(table, e.getField("key")).isNotNull().alias("ren"),
+            ),
+        ),
+    )
+    ren = F.col("__sch_ren__")
+    df = df.withColumn(
+        "__sch_kept__",
+        F.filter(
+            ren,
+            lambda e, idx: F.when(
+                e.getField("ren"),
+                # last renamed entry with this key wins
+                ~F.exists(
+                    F.slice(ren, idx + 2, F.greatest(F.size(ren), F.lit(1))),
+                    lambda o: o.getField("ren")
+                    & (o.getField("key") == e.getField("key")),
+                ),
+            ).otherwise(
+                # non-renamed entry dropped when any rename claims its key
+                ~F.exists(
+                    ren,
+                    lambda o: o.getField("ren")
+                    & (o.getField("key") == e.getField("key")),
+                )
+            ),
+        ),
+    )
+    kept = F.col("__sch_kept__")
+    # two transforms over the staged attribute (also keeps it referenced
+    # twice so CollapseProject won't re-inline the filter chain)
+    new_map = F.map_from_arrays(
+        F.transform(kept, lambda e: e.getField("key")),
+        F.transform(kept, lambda e: e.getField("value")),
+    )
+    return df.withColumn(
+        target_col, F.when(cond, new_map).otherwise(F.col(target_col))
+    ).drop("__sch_ren__", "__sch_kept__")
+
+
 def _rename_name(name: Column, mapping: dict[str, str]) -> Column:
     if not mapping:
         return name
@@ -168,12 +230,7 @@ class SchemaProcessor:
                     cond = gate
                     if applies and self.name_col:
                         cond = cond & F.col(self.name_col).isin(list(applies))
-                    out = out.withColumn(
-                        target_col,
-                        F.when(
-                            cond, _rename_map(F.col(target_col), mapping)
-                        ).otherwise(F.col(target_col)),
-                    )
+                    out = _rename_map_staged(out, target_col, mapping, cond)
                 rm = ch.get("rename_metrics")
                 if rm and self.signal == "metric" and self.name_col:
                     mapping = rm if up else _invert(rm)

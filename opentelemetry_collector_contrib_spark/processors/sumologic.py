@@ -372,6 +372,53 @@ class SumoLogicProcessor:
             ),
         ).otherwise(attrs)
 
+    def _translate_staged(
+        self, df: DataFrame, translations: dict[str, str] | None = None
+    ) -> DataFrame:
+        """DataFrame-level twin of :meth:`_translated`: the renamed-entry
+        array is MATERIALIZED as a staged column so the first-wins filter's
+        lambdas take a plain attribute input — sibling-chained
+        filter-over-transform can misevaluate nondeterministically on
+        classic PySpark 4.1 (all lambda variables share names x/y/z; see
+        processors/expo.py collapse for the full account)."""
+        table = F.create_map(
+            *[
+                F.lit(x)
+                for kv in (translations or ATTRIBUTE_TRANSLATIONS).items()
+                for x in kv
+            ]
+        )
+        attrs = F.col(self.attrs_col)
+        df = df.withColumn(
+            "__sl_ren__",
+            F.transform(
+                F.map_entries(attrs),
+                lambda e: F.struct(
+                    F.when(
+                        F.element_at(table, e.getField("key")).isNotNull()
+                        & ~F.map_contains_key(
+                            attrs, F.element_at(table, e.getField("key"))
+                        ),
+                        F.element_at(table, e.getField("key")),
+                    )
+                    .otherwise(e.getField("key"))
+                    .alias("key"),
+                    e.getField("value").alias("value"),
+                ),
+            ),
+        )
+        ren = F.col("__sl_ren__")
+        firsts = F.filter(
+            ren,
+            lambda e, idx: ~F.exists(
+                F.slice(ren, F.lit(1), idx),
+                lambda prev: prev.getField("key") == e.getField("key"),
+            ),
+        )
+        return df.withColumn(self.attrs_col, F.map_from_entries(firsts)).drop(
+            "__sl_ren__"
+        )
+
     def _translated(self, attrs: Column, translations: dict[str, str] | None = None) -> Column:
         table = F.create_map(
             *[
@@ -461,7 +508,7 @@ class SumoLogicProcessor:
         # translation remains the UDF-free fast path.
         do_translate_in_udf = self.translate_attributes and udf_path
         if self.translate_attributes and not udf_path:
-            out = out.withColumn(self.attrs_col, self._translated(F.col(self.attrs_col)))
+            out = self._translate_staged(out)
 
         if udf_path:
             @pandas_udf("map<string,string>")
@@ -504,10 +551,5 @@ class SumoLogicProcessor:
                     ),
                 )
         if self.translate_docker_metrics and self.attrs_col in out.columns:
-            out = out.withColumn(
-                self.attrs_col,
-                self._translated(
-                    F.col(self.attrs_col), DOCKER_RESOURCE_ATTRIBUTE_TRANSLATIONS
-                ),
-            )
+            out = self._translate_staged(out, DOCKER_RESOURCE_ATTRIBUTE_TRANSLATIONS)
         return out
