@@ -55,11 +55,20 @@ class ResourceDetection:
     def __call__(self, df: DataFrame) -> DataFrame:
         detected: dict[str, str] = {}
         for name in self.detectors:
-            if name not in DETECTORS:
+            if callable(name):
+                found = name()  # injectable detector (test/mocking path)
+            elif name in DETECTORS:
+                found = DETECTORS[name]()
+            else:
                 raise ValueError(
                     f"unknown detector {name!r} (supported: {sorted(DETECTORS)})"
                 )
-            detected.update(DETECTORS[name]())
+            # FIRST detector wins per key: internal/resourcedetection.go
+            # merges each detector's resource with override=false
+            # (resourcedetection_test.go TestDetect "Detect three
+            # resources": a stays "1" despite later detectors)
+            for k, v in found.items():
+                detected.setdefault(k, v)
         if self.attributes is not None:
             allow = set(self.attributes)
             detected = {k: v for k, v in detected.items() if k in allow}
