@@ -506,18 +506,32 @@ class MetricsGeneration:
                 .groupBy(_labels_key(F.col(lab)).alias("__lk__"))
                 .agg(F.min(val).alias("__v2__"))
             )
+            # processor.go:64 — a calculate rule whose second operand is
+            # NOT strictly positive is skipped entirely (zero AND
+            # negative operands; divide-by-zero never reaches the math)
             ops = {
                 "add": lambda a, b: a + b,
                 "subtract": lambda a, b: a - b,
                 "multiply": lambda a, b: a * b,
-                "divide": lambda a, b: F.when(b != 0, a / b),
-                "percent": lambda a, b: F.when(b != 0, a / b * 100.0),
+                "divide": lambda a, b: a / b,
+                "percent": lambda a, b: a / b * 100.0,
             }
+            if r.operation not in ops:
+                # runtime posture: an unknown operation generates nothing
+                # (calculateValue's default; the test table's invalid-op
+                # case expects the input to pass through unchanged)
+                continue
             paired = m1.withColumn("__lk__", _labels_key(F.col(lab))).join(
                 m2, "__lk__"
             )
             gen = (
-                paired.withColumn(val, ops[r.operation](F.col(val), F.col("__v2__")))
+                paired.withColumn(
+                    val,
+                    F.when(
+                        F.col("__v2__") > 0,
+                        ops[r.operation](F.col(val), F.col("__v2__")),
+                    ),
+                )
                 .filter(F.col(val).isNotNull())
                 .withColumn(name, F.lit(r.name))
                 .drop("__lk__", "__v2__")
