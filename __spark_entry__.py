@@ -983,6 +983,32 @@ def _q_expo_cumulative(spark, sf_dir):
     )
 
 
+def _q_delta_to_rate_ref(spark, sf_dir):
+    # reference-faithful deltatorate (processor.go:96-103): rate =
+    # value / (ts - start_ts) per datapoint, only configured DELTA
+    # metrics convert, zero windows yield 0
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id")
+    synth = events.select(
+        F.concat(F.lit("m"), (F.col("user_id") % 3).cast("string")).alias("metric"),
+        "event_id",
+        F.round("value", 6).alias("value"),
+        F.col("ts"),
+        (F.col("ts") - F.make_interval(secs=(eid % 5).cast("int"))).alias("start"),
+        F.when(eid % 2 == 0, "delta").otherwise("cumulative").alias("temporality"),
+    )
+    out = DeltaToRate(
+        stream_keys=["metric"],
+        order_col="ts",
+        start_col="start",
+        metrics=["m0", "m1"],
+        temporality_col="temporality",
+    )(synth)
+    return out.select(
+        "metric", "event_id", F.round("rate", 6).alias("rate")
+    )
+
+
 def _q_expo_widen_zero(spark, sf_dir):
     # zero-threshold widening at scale 0 to width 2.0: buckets with
     # upper bound <= 2 fold into the zero count, the array slices to
@@ -1585,6 +1611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cumulative_to_delta": _q_cumulative_to_delta,
         "cumulative_to_delta_mono": _q_cumulative_to_delta_mono,
         "expo_widen_zero": _q_expo_widen_zero,
+        "delta_to_rate_ref": _q_delta_to_rate_ref,
         "delta_to_cumulative_expo": _q_expo_cumulative,
         "transform_metric_ctx": _q_transform_metric_ctx,
         "sample_stratified": _q_sample_stratified,
@@ -1945,6 +1972,17 @@ SELECT p.user_id, p.event_id, p.min_scale AS scale_out, p.zero_cum::BIGINT AS ze
        coalesce(a.lo, 0)::INT AS offset_out,
        coalesce(a.counts_str, '') AS counts_str
 FROM points p LEFT JOIN arr a ON a.user_id = p.user_id AND a.event_id = p.event_id""",
+        "delta_to_rate_ref": """WITH synth AS (
+  SELECT 'm' || CAST(user_id % 3 AS VARCHAR) AS metric, event_id,
+         round(value, 6) AS value,
+         (event_id % 5) AS dur,
+         CASE WHEN event_id % 2 = 0 THEN 'delta' ELSE 'cumulative' END AS temporality
+  FROM events)
+SELECT metric, event_id,
+       round(CASE WHEN metric IN ('m0', 'm1') AND temporality = 'delta'
+                  THEN CASE WHEN dur > 0 THEN value / dur ELSE 0 END
+                  ELSE value END, 6) AS rate
+FROM synth""",
         "expo_widen_zero": """WITH dp AS (
   SELECT event_id,
          ((event_id % 9) - 4)::INT AS off,

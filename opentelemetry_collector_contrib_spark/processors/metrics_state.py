@@ -238,20 +238,55 @@ class CumulativeToDeltaHistogram:
 
 @dataclass
 class DeltaToRate:
+    """Delta datapoints -> per-second rates.
+
+    Two modes:
+
+    - default (windowless batch variant): rate = value / seconds since
+      the PREVIOUS point of the stream (first point dropped) — the
+      natural form when datapoints carry no start timestamp.
+    - ``start_col`` set (reference-faithful,
+      deltatorateprocessor/processor.go:96-103): rate = value /
+      (timestamp - start_timestamp) of the SAME datapoint; a
+      non-positive window yields rate 0, not a drop. ``metrics``
+      scopes conversion to the named metrics (nil = convert NOTHING —
+      the processor only touches configured metrics), and only DELTA
+      temporality rows convert (``temporality_col``); everything else
+      passes through unchanged with the original value.
+    """
+
     value_col: str = "value"
     stream_keys: list[str] = field(default_factory=lambda: ["metric"])
     order_col: str = "ts"  # timestamp column
     out_col: str = "rate"
+    start_col: str | None = None
+    metrics: list[str] | None = None
+    metric_col: str = "metric"
+    temporality_col: str | None = None
 
     def __call__(self, df: DataFrame) -> DataFrame:
-        w = Window.partitionBy(*self.stream_keys).orderBy(self.order_col)
-        prev_ts = F.lag(self.order_col).over(w)
         # unix_micros keeps sub-second precision (unix_timestamp
         # truncates to seconds); NTZ columns cast through TIMESTAMP in
         # the session zone (pinned UTC)
         def epoch(c: Column) -> Column:
             return F.unix_micros(c.cast("timestamp")) / 1e6
 
+        if self.start_col is not None:
+            scope = F.lit(True)
+            if self.metrics is not None:
+                scope = F.col(self.metric_col).isin(self.metrics)
+            else:
+                scope = F.lit(False)  # processor.go: no configured metrics
+            if self.temporality_col is not None:
+                scope = scope & (F.col(self.temporality_col) == "delta")
+            dur = epoch(F.col(self.order_col)) - epoch(F.col(self.start_col))
+            rate = F.when(dur > 0, F.col(self.value_col) / dur).otherwise(0.0)
+            return df.withColumn(
+                self.out_col,
+                F.when(scope, rate).otherwise(F.col(self.value_col)),
+            )
+        w = Window.partitionBy(*self.stream_keys).orderBy(self.order_col)
+        prev_ts = F.lag(self.order_col).over(w)
         elapsed = epoch(F.col(self.order_col)) - epoch(prev_ts)
         rate = F.when(elapsed > 0, F.col(self.value_col) / elapsed)
         return (
