@@ -210,3 +210,75 @@ class FailoverSink:
                 self._fail_counts[i] += 1
                 last_err = e
         raise RuntimeError("all failover levels failed") from last_err
+
+
+class HashRing:
+    """EXACT Karger consistent-hash ring from the loadbalancing exporter
+    (exporter/loadbalancingexporter/consistent_hashing.go): each
+    endpoint contributes ``weight`` virtual positions crc32(endpoint ++
+    byte(i)) % 36000 (first endpoint wins a contested position); an
+    identifier routes to the first ring position >= crc32(id) % 36000,
+    wrapping to the smallest. ``zlib.crc32`` and Spark's ``F.crc32``
+    are both CRC-32/IEEE, so the driver-side ring and the columnar
+    assignment agree bit-for-bit with the Go implementation (golden
+    vectors in tests/test_golden_hashring.py are transcribed from
+    consistent_hashing_test.go)."""
+
+    MAX_POSITIONS = 36000
+    DEFAULT_WEIGHT = 100
+
+    def __init__(self, endpoints: list[str], weight: int = DEFAULT_WEIGHT):
+        import zlib
+
+        items: list[tuple[int, str]] = []
+        seen: set[int] = set()
+        for ep in endpoints:
+            data = ep.encode()
+            for i in range(weight):
+                pos = zlib.crc32(data + bytes([i & 0xFF])) % self.MAX_POSITIONS
+                if pos in seen:
+                    continue
+                seen.add(pos)
+                items.append((pos, ep))
+        items.sort(key=lambda t: t[0])
+        if not items:
+            raise ValueError("hash ring needs at least one endpoint")
+        self.items = items
+
+    def endpoint_for(self, identifier: bytes) -> str:
+        """Driver-side twin of endpointFor (routing decisions for
+        driver-held ids; the columnar path is :meth:`assign`)."""
+        import zlib
+
+        pos = zlib.crc32(identifier) % self.MAX_POSITIONS
+        for p, ep in self.items:
+            if p >= pos:
+                return ep
+        return self.items[0][1]
+
+    def assign(
+        self, df: DataFrame, id_col: str, id_is_hex: bool = False,
+        out_col: str = "endpoint",
+    ) -> DataFrame:
+        """Stamp each row with its ring endpoint: crc32 of the id BYTES
+        (``id_is_hex`` decodes a hex id like a trace id; otherwise the
+        utf-8 bytes of the string id). The ring ships as a plan literal;
+        the row position is staged as a column so the lookup lambda's
+        outer references stay plain attributes (see processors/expo.py
+        collapse for the lambda-sharing hazard)."""
+        payload = (
+            F.unhex(F.col(id_col)) if id_is_hex else F.encode(F.col(id_col), "utf-8")
+        )
+        df = df.withColumn("__lb_pos__", F.crc32(payload) % self.MAX_POSITIONS)
+        ring = F.array(
+            *[
+                F.struct(F.lit(p).alias("pos"), F.lit(ep).alias("ep"))
+                for p, ep in self.items
+            ]
+        )
+        pos = F.col("__lb_pos__")
+        hit = F.element_at(F.filter(ring, lambda x: x.getField("pos") >= pos), 1)
+        return df.withColumn(
+            out_col,
+            F.coalesce(hit.getField("ep"), F.lit(self.items[0][1])),
+        ).drop("__lb_pos__")
