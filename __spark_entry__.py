@@ -172,6 +172,86 @@ _SH3 = (
 )
 _STOP = "['the','a','an','and','of','to','in','is','it']"
 
+# Gopher repetition-stats lockstep (training/textstats.py
+# repetition_stats): whitespace-CLASS tokens, \n lines, 2-/5-gram
+# duplicate mass via per-doc GROUP BYs (the Spark side computes the
+# same counts with a single sorted-array scan per row). Struct max =
+# (cnt, gram) lexicographic — identical tie-break to the Spark scan's
+# >= update rule over the ascending-sorted gram array.
+_WTOKS = "list_filter(string_split_regex(text, '[ \\t\\r\\n]+'), t -> t != '')"
+_REPSTATS_SQL = f"""WITH base AS (
+  SELECT doc_id, text, {_WTOKS} AS toks,
+         list_filter(string_split(text, chr(10)), l -> l != '') AS lines
+  FROM documents
+), sh AS (
+  SELECT doc_id, text, toks, lines,
+    CASE WHEN len(toks) >= 2 THEN list_transform(range(0, len(toks)-1),
+         i -> toks[i+1] || ' ' || toks[i+2]) ELSE [] END AS g2,
+    CASE WHEN len(toks) >= 5 THEN list_transform(range(0, len(toks)-4),
+         i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' '
+              || toks[i+4] || ' ' || toks[i+5]) ELSE [] END AS g5
+  FROM base
+), g2c AS (
+  SELECT doc_id, gram, count(*)::BIGINT AS cnt
+  FROM (SELECT doc_id, unnest(g2) AS gram FROM sh) GROUP BY 1, 2
+), top2 AS (
+  SELECT doc_id, max(struct_pack(cnt := cnt, gram := gram)) AS m
+  FROM g2c GROUP BY 1
+), g5c AS (
+  SELECT doc_id, gram, count(*)::BIGINT AS cnt
+  FROM (SELECT doc_id, unnest(g5) AS gram FROM sh) GROUP BY 1, 2
+), dup5 AS (
+  SELECT doc_id, sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)::BIGINT AS dup
+  FROM g5c GROUP BY 1
+), scalars AS (
+  SELECT s.doc_id,
+    len(s.toks)::INT AS n_words,
+    len(s.lines)::INT AS n_lines,
+    CASE WHEN len(s.toks) = 0 THEN 0::BIGINT ELSE
+      list_reduce(list_transform(s.toks, t -> len(t)::BIGINT), (a,b) -> a+b)
+    END AS tok_chars,
+    CASE WHEN len(s.lines) = 0 THEN 0::BIGINT ELSE
+      list_reduce(list_transform(s.lines, l -> len(l)::BIGINT), (a,b) -> a+b)
+    END AS line_chars,
+    CASE WHEN len(s.lines) = 0 THEN 0::BIGINT ELSE
+      list_reduce(list_transform(list_distinct(s.lines), l -> len(l)::BIGINT),
+                  (a,b) -> a+b)
+    END AS dline_chars,
+    len(list_distinct(s.lines))::INT AS n_dlines,
+    coalesce(t.m.cnt, 0) * (len(coalesce(t.m.gram, ' ')) - 1) AS top_mass,
+    coalesce(d.dup, 0) AS dup5_occ,
+    len(s.g5)::INT AS n_g5,
+    (len(s.text) - len(replace(s.text, '#', '')))
+      + (len(s.text) - len(replace(s.text, '...', '')))::DOUBLE / 3
+      + (len(s.text) - len(replace(s.text, '…', ''))) AS symbols,
+    len(list_filter(s.lines, l -> starts_with(l, '-') OR starts_with(l, '*')
+                                   OR starts_with(l, '•')))::INT AS bullet_lines,
+    len(list_filter(s.lines, l -> ends_with(l, '...')
+                                   OR ends_with(l, '…')))::INT AS ellipsis_lines,
+    len(list_filter(s.toks, t -> regexp_matches(t, '[A-Za-z]')))::INT AS alpha_words
+  FROM sh s LEFT JOIN top2 t USING (doc_id) LEFT JOIN dup5 d USING (doc_id)
+)
+SELECT doc_id, n_words, n_lines,
+  CASE WHEN n_lines > 0 THEN floor((n_lines - n_dlines)::DOUBLE / n_lines
+       * 10000 + 0.5)::BIGINT ELSE 0 END AS dup_line_frac_q4,
+  CASE WHEN line_chars > 0 THEN floor((line_chars - dline_chars)::DOUBLE
+       / line_chars * 10000 + 0.5)::BIGINT ELSE 0 END AS dup_line_char_frac_q4,
+  CASE WHEN tok_chars > 0 THEN floor(top_mass::DOUBLE / tok_chars
+       * 10000 + 0.5)::BIGINT ELSE 0 END AS top2gram_frac_q4,
+  CASE WHEN n_g5 > 0 THEN floor(dup5_occ::DOUBLE / n_g5
+       * 10000 + 0.5)::BIGINT ELSE 0 END AS dup5gram_frac_q4,
+  CASE WHEN n_words > 0 THEN floor(symbols / n_words
+       * 10000 + 0.5)::BIGINT ELSE 0 END AS symbol_word_ratio_q4,
+  CASE WHEN n_lines > 0 THEN floor(bullet_lines::DOUBLE / n_lines
+       * 10000 + 0.5)::BIGINT ELSE 0 END AS bullet_line_frac_q4,
+  CASE WHEN n_lines > 0 THEN floor(ellipsis_lines::DOUBLE / n_lines
+       * 10000 + 0.5)::BIGINT ELSE 0 END AS ellipsis_line_frac_q4,
+  CASE WHEN n_words > 0 THEN floor(alpha_words::DOUBLE / n_words
+       * 10000 + 0.5)::BIGINT ELSE 0 END AS alpha_word_frac_q4,
+  CASE WHEN n_words > 0 THEN floor(tok_chars::DOUBLE / n_words
+       * 10000 + 0.5)::BIGINT ELSE 0 END AS mean_word_len_q4
+FROM scalars"""
+
 _MINHASH_N, _BANDS, _ROWS = 8, 4, 2
 _MINHASH_P = 1_000_000_007
 # 60-bit int from the first 15 hex chars of md5(shingle), mod p —
@@ -1578,6 +1658,24 @@ def _q_fingerprint(spark, sf_dir):
     return fingerprint(_docs(spark, sf_dir))
 
 
+def _q_repetition_stats(spark, sf_dir):
+    from opentelemetry_collector_contrib_spark.training.textstats import (
+        repetition_stats,
+    )
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+def _q_gopher_gate(spark, sf_dir):
+    # min_words=20 keeps the gate non-vacuous on the short sf fixture
+    # docs (the paper's 50-word floor would reject most of them)
+    from opentelemetry_collector_contrib_spark.training.textstats import (
+        gopher_quality_filter,
+    )
+
+    return gopher_quality_filter(_docs(spark, sf_dir), min_words=20)
+
+
 def _q_multimodal(spark, sf_dir):
     return extract_features(binary_table(_docs(spark, sf_dir)))
 
@@ -1664,6 +1762,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_score": _q_quality,
         "text_lang_id": _q_lang_id,
         "doc_fingerprint": _q_fingerprint,
+        "text_repetition_stats": _q_repetition_stats,
+        "quality_gate_gopher": _q_gopher_gate,
         "multimodal_features": _q_multimodal,
     }
 
@@ -2400,6 +2500,15 @@ FROM documents""",
         "doc_fingerprint": f"""SELECT doc_id,
   list_min(list_transform({_SH3}, s -> md5(s))) AS fp
 FROM documents""",
+        "text_repetition_stats": _REPSTATS_SQL,
+        "quality_gate_gopher": f"""SELECT * FROM ({_REPSTATS_SQL})
+WHERE n_words >= 20 AND n_words <= 100000
+  AND mean_word_len_q4 BETWEEN 30000 AND 100000
+  AND symbol_word_ratio_q4 <= 1000
+  AND bullet_line_frac_q4 <= 9000 AND ellipsis_line_frac_q4 <= 3000
+  AND alpha_word_frac_q4 >= 8000
+  AND dup_line_frac_q4 <= 3000 AND dup_line_char_frac_q4 <= 2000
+  AND top2gram_frac_q4 <= 2000 AND dup5gram_frac_q4 <= 1500""",
         # text payloads take the deterministic RAW fallback of the real
         # codec path (training/multimodal.py:_raw_features — PNG/BMP/WAV
         # decode real media; the round-trip pytest covers those), so the

@@ -89,6 +89,8 @@ BENCH_QUERIES = [
     "text_token_stats",
     "text_quality_score",
     "doc_fingerprint",
+    "text_repetition_stats",
+    "quality_gate_gopher",
 ]
 
 

@@ -30,7 +30,14 @@ from .similarity import (
     lsh_topk,
     make_planes,
 )
-from .textstats import fingerprint, lang_id, quality_score, token_stats
+from .textstats import (
+    fingerprint,
+    gopher_quality_filter,
+    lang_id,
+    quality_score,
+    repetition_stats,
+    token_stats,
+)
 
 from .curation import curate  # noqa: F401
 from .sampling import pack_sequences, stratified_sample  # noqa: F401
@@ -55,6 +62,8 @@ __all__ = [
     "minhash_signatures",
     "ngram_jaccard_pairs",
     "quality_score",
+    "repetition_stats",
+    "gopher_quality_filter",
     "shingles",
     "simhash",
     "token_stats",

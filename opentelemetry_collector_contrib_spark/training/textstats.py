@@ -101,3 +101,195 @@ def bpe_token_count(
     return df.select(
         F.col(id_col), ws.alias("n_ws"), bpe.alias("n_bpe")
     )
+
+
+def _q4(x):
+    """Scaled-int ratio in 0..10000: floor(x*1e4 + 0.5) is
+    bit-deterministic across engines (round(x, 4) boundary behavior is
+    not)."""
+    return F.floor(x * 10000 + F.lit(0.5)).cast("bigint")
+
+
+def _gram_scan(sorted_col: str):
+    """One-pass scan over a SORTED string array (staged column name):
+    returns (best_run, best_gram, dup_occurrences) — the mode's count,
+    the mode itself (lexicographically greatest among ties, because the
+    array is ascending and the update rule is >=), and the number of
+    elements whose value occurs more than once. ONE two-arg lambda, no
+    nesting, all outer refs are plain column attributes (the PySpark
+    HOF x/y/z hazard — see processors/expo.py collapse())."""
+    zero = F.lit(0).cast("bigint")
+    init = F.struct(
+        F.lit("\u0000").alias("prev"),
+        zero.alias("run"),
+        zero.alias("best"),
+        F.lit("").alias("bestg"),
+        zero.alias("dup"),
+    )
+
+    def step(acc, x):
+        same = x == acc.getField("prev")
+        run = F.when(same, acc.getField("run") + 1).otherwise(
+            F.lit(1).cast("bigint")
+        )
+        upd = run >= acc.getField("best")
+        # a run reaching 2 retro-counts BOTH occurrences as duplicates;
+        # each further repeat adds one
+        dup = acc.getField("dup") + F.when(
+            same & (acc.getField("run") == 1), F.lit(2).cast("bigint")
+        ).when(same, F.lit(1).cast("bigint")).otherwise(zero)
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(upd, run).otherwise(acc.getField("best")).alias("best"),
+            F.when(upd, x).otherwise(acc.getField("bestg")).alias("bestg"),
+            dup.alias("dup"),
+        )
+
+    return F.aggregate(F.col(sorted_col), init, step)
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    top_n: int = 2, dup_n: int = 5,
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, appendix A1.1;
+    the repetition family of quality filters every pretraining pipeline
+    applies before dedup). Per document:
+
+    - ``n_lines`` and ``dup_line_frac_q4`` / ``dup_line_char_frac_q4``:
+      non-empty ``\\n`` lines; the fraction of lines (and of line
+      characters) lost when lines are deduplicated.
+    - ``top{top_n}gram_frac_q4``: character mass of the most frequent
+      word ``top_n``-gram over total token characters — numerator
+      counts the gram's non-space characters times its frequency (ties
+      broken toward the lexicographically greatest gram, identically in
+      Spark and the DuckDB oracle).
+    - ``dup{dup_n}gram_frac_q4``: fraction of word ``dup_n``-gram
+      OCCURRENCES whose gram appears more than once (the occurrence
+      form of Gopher's duplicate-n-gram character fraction — exact
+      char coverage needs overlap resolution; the occurrence ratio is
+      the standard monotone proxy).
+    - ``symbol_word_ratio_q4``: (# '#' + # '...' + # '…') per word.
+    - ``bullet_line_frac_q4`` / ``ellipsis_line_frac_q4``: lines
+      starting with a bullet ('-', '*', '•') / ending with an ellipsis.
+    - ``alpha_word_frac_q4``: fraction of words containing at least one
+      ASCII letter.
+    - ``mean_word_len_q4``, ``n_words``.
+
+    Zero-shuffle projection; every intermediate the scan lambda shares
+    with siblings is staged as a column first (HOF house rule). Scale
+    posture: per-row arrays are document-sized, the single-pass scans
+    are O(tokens log tokens) for the sort — no shuffle, survives 100 TB
+    as a pure map stage.
+    """
+    t = F.col("__text")
+    # whitespace-CLASS tokens (not the single-space split the dedup ops
+    # use): line-wrapped prose must not glue words across newlines.
+    # DuckDB lockstep: list_filter(string_split_regex(text,
+    # '[ \t\r\n]+'), t -> t != '')
+    staged = (
+        df.withColumn("__text", F.col(text_col))
+        .withColumn(
+            "__toks",
+            F.filter(F.split(t, "[ \t\r\n]+"), lambda x: x != ""),
+        )
+        .withColumn(
+            "__lines", F.filter(F.split(t, "\n"), lambda x: x != "")
+        )
+        .withColumn("__g_top", F.array_sort(shingles(F.col("__toks"), top_n)))
+        .withColumn("__g_dup", F.array_sort(shingles(F.col("__toks"), dup_n)))
+        .withColumn("__scan_top", _gram_scan("__g_top"))
+        .withColumn("__scan_dup", _gram_scan("__g_dup"))
+    )
+    toks = F.col("__toks")
+    lines = F.col("__lines")
+    n_words = F.size(toks)
+    n_lines = F.size(lines)
+    tok_chars = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda a, x: a + F.length(x)
+    )
+    line_chars = F.aggregate(
+        lines, F.lit(0).cast("bigint"), lambda a, x: a + F.length(x)
+    )
+    dline_chars = F.aggregate(
+        F.array_distinct(lines), F.lit(0).cast("bigint"),
+        lambda a, x: a + F.length(x),
+    )
+    scan_top, scan_dup = F.col("__scan_top"), F.col("__scan_dup")
+    # non-space characters of the top gram = len - (top_n - 1) joiners
+    top_mass = scan_top.getField("best") * (
+        F.length(scan_top.getField("bestg")) - (top_n - 1)
+    )
+    n_dup_grams = F.size(F.col("__g_dup"))
+    hashes = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    dots = (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+    uni_ell = F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit("")))
+    bullet_lines = F.size(
+        F.filter(
+            lines,
+            lambda x: x.startswith("-") | x.startswith("*") | x.startswith("•"),
+        )
+    )
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda x: x.endswith("...") | x.endswith("…"))
+    )
+    alpha_words = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+
+    def ratio(num, den):
+        return F.when(den > 0, _q4(num / den)).otherwise(F.lit(0).cast("bigint"))
+
+    return staged.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_lines.alias("n_lines"),
+        ratio(n_lines - F.size(F.array_distinct(lines)), n_lines).alias(
+            "dup_line_frac_q4"
+        ),
+        ratio(line_chars - dline_chars, line_chars).alias(
+            "dup_line_char_frac_q4"
+        ),
+        ratio(top_mass, tok_chars).alias(f"top{top_n}gram_frac_q4"),
+        ratio(scan_dup.getField("dup"), n_dup_grams).alias(
+            f"dup{dup_n}gram_frac_q4"
+        ),
+        ratio(hashes + dots + uni_ell, n_words).alias("symbol_word_ratio_q4"),
+        ratio(bullet_lines, n_lines).alias("bullet_line_frac_q4"),
+        ratio(ellipsis_lines, n_lines).alias("ellipsis_line_frac_q4"),
+        ratio(alpha_words, n_words).alias("alpha_word_frac_q4"),
+        ratio(tok_chars, n_words).alias("mean_word_len_q4"),
+    )
+
+
+def gopher_quality_filter(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    min_words: int = 50, max_words: int = 100_000,
+    min_mean_word_len: float = 3.0, max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9, max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    max_dup_line_frac: float = 0.3, max_dup_line_char_frac: float = 0.2,
+    max_top2gram_frac: float = 0.2, max_dup5gram_frac: float = 0.15,
+) -> DataFrame:
+    """Gopher rules filter (Rae et al. 2021 appendix A1.1 thresholds by
+    default): keeps documents passing ALL repetition/quality gates and
+    returns (id, n_words + the q4 signals) for the survivors. One
+    zero-shuffle projection + filter over :func:`repetition_stats` —
+    at 100 TB this is a map-only pass whose selectivity feeds the
+    downstream (shuffling) dedup stages."""
+    s = repetition_stats(df, text_col=text_col, id_col=id_col)
+    q = lambda x: int(x * 10000 + 0.5)  # noqa: E731 — mirror _q4 on literals
+    return s.filter(
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len_q4") >= q(min_mean_word_len))
+        & (F.col("mean_word_len_q4") <= q(max_mean_word_len))
+        & (F.col("symbol_word_ratio_q4") <= q(max_symbol_word_ratio))
+        & (F.col("bullet_line_frac_q4") <= q(max_bullet_line_frac))
+        & (F.col("ellipsis_line_frac_q4") <= q(max_ellipsis_line_frac))
+        & (F.col("alpha_word_frac_q4") >= q(min_alpha_word_frac))
+        & (F.col("dup_line_frac_q4") <= q(max_dup_line_frac))
+        & (F.col("dup_line_char_frac_q4") <= q(max_dup_line_char_frac))
+        & (F.col("top2gram_frac_q4") <= q(max_top2gram_frac))
+        & (F.col("dup5gram_frac_q4") <= q(max_dup5gram_frac))
+    )

@@ -639,3 +639,102 @@ def test_bpe_token_count(spark):
     assert got[0] == (3, 6)
     assert got[1] == (0, 0)
     assert got[2][0] == 2
+
+
+class TestRepetitionStats:
+    """Gopher repetition signals (training/textstats.py
+    repetition_stats) — hand-computed expectations on crafted docs,
+    including the multi-line paths the flat driver fixture can't
+    exercise."""
+
+    @pytest.fixture(scope="class")
+    def stats(self, spark):
+        from opentelemetry_collector_contrib_spark.training.textstats import (
+            repetition_stats,
+        )
+
+        rows = [
+            (1, "the cat sat on the mat the cat sat on the mat"),
+            (2, "alpha\nbeta\nalpha\ngamma\n- bullet point\nthe end..."),
+            (3, "x y z " * 30),
+            (4, ""),
+            (5, "#### ### hello … world..."),
+            (6, "uno\nuno\nuno\nuno"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {r["doc_id"]: r.asDict() for r in repetition_stats(df).collect()}
+
+    def test_top2gram_tiebreak_and_mass(self, stats):
+        # doc 1: every 2-gram occurs twice; tie broken to the
+        # lexicographically greatest ("the mat", 6 chars): 2*6/34
+        s = stats[1]
+        assert s["n_words"] == 12
+        assert s["top2gram_frac_q4"] == int(2 * 6 / 34 * 10000 + 0.5)
+
+    def test_dup5gram_occurrences(self, stats):
+        # doc 1: 8 5-grams, two classes duplicated (2+2 occurrences)
+        assert stats[1]["dup5gram_frac_q4"] == 5000
+        # doc 3: "x y z" * 30 — every 5-gram duplicated
+        assert stats[3]["dup5gram_frac_q4"] == 10000
+
+    def test_line_stats(self, stats):
+        s = stats[2]
+        assert s["n_lines"] == 6
+        # 6 lines, 5 distinct -> 1/6
+        assert s["dup_line_frac_q4"] == int(1 / 6 * 10000 + 0.5)
+        # chars: alpha(5)+beta(4)+alpha(5)+gamma(5)+bullet(14)+end(10)=43
+        # distinct chars = 38 -> dup char frac 5/43
+        assert s["dup_line_char_frac_q4"] == int(5 / 43 * 10000 + 0.5)
+        assert s["bullet_line_frac_q4"] == int(1 / 6 * 10000 + 0.5)
+        assert s["ellipsis_line_frac_q4"] == int(1 / 6 * 10000 + 0.5)
+        # doc 6: all four lines identical -> 3/4 dup
+        assert stats[6]["dup_line_frac_q4"] == 7500
+        assert stats[6]["dup_line_char_frac_q4"] == 7500
+
+    def test_symbols_and_alpha(self, stats):
+        s = stats[5]
+        # 7 '#', one '...', one '…' over 5 words = 9/5
+        assert s["symbol_word_ratio_q4"] == 18000
+        assert s["alpha_word_frac_q4"] == 4000
+
+    def test_empty_doc_all_zero(self, stats):
+        s = stats[4]
+        assert s["n_words"] == 0 and s["n_lines"] == 0
+        assert all(
+            v == 0 for k, v in s.items() if k.endswith("_q4")
+        )
+
+    def test_whitespace_class_tokens(self, spark):
+        # newline-wrapped prose must not glue words (single-space split
+        # would see 2 words here)
+        from opentelemetry_collector_contrib_spark.training.textstats import (
+            repetition_stats,
+        )
+
+        df = spark.createDataFrame(
+            [(0, "one two\nthree\tfour\r\nfive six")],
+            "doc_id long, text string",
+        )
+        assert repetition_stats(df).collect()[0]["n_words"] == 6
+
+
+def test_gopher_quality_filter(spark):
+    from opentelemetry_collector_contrib_spark.training.textstats import (
+        gopher_quality_filter,
+    )
+
+    good = (
+        "the quick brown fox jumps over a lazy dog while seven other "
+        "animals watch from behind tall green trees near an old stone "
+        "bridge that spans this wide river today"
+    )
+    rows = [
+        (0, good),                                  # passes
+        (1, "short text"),                          # < min_words
+        (2, ("spam " * 35).strip()),                # top2gram ~ 1.0
+        (3, good.replace("quick", "######")),       # symbol ratio
+        (4, good + " " + good),                     # dup 5-grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = [r["doc_id"] for r in gopher_quality_filter(df, min_words=20).collect()]
+    assert kept == [0]
