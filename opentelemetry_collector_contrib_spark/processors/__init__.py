@@ -1,5 +1,11 @@
 from .attributes import AttributesProcessor, Action  # noqa: F401
-from .enrich import CidrEnrich, LookupEnrich, ipv4_to_long  # noqa: F401
+from .enrich import (  # noqa: F401
+    CidrEnrich,
+    GeoIpEnrich,
+    LookupEnrich,
+    ipv4_to_long,
+    probe_ip_attr,
+)
 from .filter import FilterProcessor, LogMatchProperties  # noqa: F401
 from .groupbyattrs import GroupByAttrs  # noqa: F401
 from .k8sattributes import (  # noqa: F401

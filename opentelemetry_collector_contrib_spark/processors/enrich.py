@@ -145,3 +145,45 @@ class CidrEnrich:
                 F.col("__rn") == 1
             )
         return out.select(*[fact[c] for c in df.columns], *added)
+
+
+def probe_ip_attr(attrs_col: Column, keys: list[str]) -> Column:
+    """The geoip processor's IP resolution over a resource-attribute map
+    (geoip_processor.go:40-65 parseIP/ipFromResourceAttributes): probe
+    the configured keys IN ORDER and take the first value that parses as
+    a valid, SPECIFIED IPv4 — malformed values and the unspecified
+    address (0.0.0.0) are skipped, continuing to the next key; null when
+    nothing resolves (the processor then leaves the record untouched)."""
+    cands = []
+    for k in keys:
+        v = F.element_at(attrs_col, k)
+        n = ipv4_to_long(v)
+        cands.append(F.when(n.isNotNull() & (n != 0), v))
+    return F.coalesce(*cands) if cands else F.lit(None).cast("string")
+
+
+@dataclass
+class GeoIpEnrich:
+    """processor/geoipprocessor twin: resolve the record's IP from an
+    ordered list of resource-attribute keys (default
+    ``['source.address']``, factory.go:23-25), then look it up against
+    the provider's CIDR ranges via :class:`CidrEnrich` — records with no
+    resolvable IP or no covering range pass through with null geo
+    attributes (processResource returns nil on errIPNotFound). Broadcast
+    range join: the fact side never shuffles."""
+
+    dim: DataFrame
+    attributes: list[str] = field(default_factory=lambda: ["source.address"])
+    attrs_col: str = "attributes"
+    cidr_col: str = "cidr"
+    prefix: str = "geo_"
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        probed = df.withColumn(
+            "__geoip", probe_ip_attr(F.col(self.attrs_col), self.attributes)
+        )
+        enr = CidrEnrich(
+            dim=self.dim, ip_col="__geoip", cidr_col=self.cidr_col,
+            prefix=self.prefix, how="left",
+        )
+        return enr(probed).drop("__geoip")
