@@ -709,22 +709,127 @@ class SyslogParser:
 
 @dataclass
 class UriParser:
-    """URI -> components (parser/uri/parser.go:36-48) via parse_url."""
+    """URI -> components with Go ``parseutils.ParseURI`` parity
+    (parser/uri/parser.go:36-48, internal/coreinternal/parseutils/
+    uri.go:22-52 + urlToMap:100-127 + queryToMap:129-155).
+
+    Emits ``scheme`` (lowercased, as url.Parse does), ``user``
+    (username only), ``host``, ``port``, ``path`` (raw/escaped form =
+    EscapedPath), ``query`` (the raw query string), and
+    ``query_params`` (``map<string, array<string>>`` — url.Values:
+    repeated keys accumulate in order, keys/values percent-decoded with
+    ``+`` as space). Empty components are null (urlToMap excludes
+    unset values).
+
+    Error semantics (url.ParseRequestURI): the input must be an
+    absolute URI (leading scheme), an absolute path (leading ``/``), or
+    a bare query (leading ``?`` — ParseURI:25-32); anything else
+    (``golang.org``, ``:8080``, ``user=dev``) is a parse failure, as is
+    a query containing ``;`` (url.ParseQuery rejects semicolons).
+    Failures flow through the stanza ``on_error`` contract.
+
+    One RFC-3986 regexp + one array scan per row — zero shuffle, no
+    Python in the row path.
+    """
 
     parse_from: str = "body"
     parse_to: str | None = None
     prefix: str = ""
+    on_error: str = "send"
+    if_expr: str | None = None
+
+    # RFC 3986 appendix-B style, with a numeric-port authority split
+    URI_RE = (
+        r"^(?:([A-Za-z][A-Za-z0-9+.-]*):)?"      # 1 scheme
+        r"(?://(?:([^@/?#]*)@)?"                  # 2 userinfo
+        r"([^:/?#]*)(?::([0-9]*))?)?"             # 3 host, 4 port
+        r"([^?#]*)"                               # 5 path
+        r"(?:\?([^#]*))?"                         # 6 query
+        r"(?:#(.*))?$"                            # 7 fragment
+    )
+    # a %-sequence is decodable only when well-formed (url_decode throws
+    # on stray '%'; Go returns an error — we keep the raw token instead
+    # so one bad pair can't fail the row the reference would keep)
+    _DECODABLE = r"^(?:[^%]|%[0-9A-Fa-f]{2})*$"
+
+    def _decode(self, c: Column) -> Column:
+        plus = F.replace(c, F.lit("+"), F.lit(" "))
+        return F.when(plus.rlike(self._DECODABLE), F.url_decode(plus)).otherwise(plus)
 
     def __call__(self, df: DataFrame) -> DataFrame:
         src = field_get(self.parse_from)
         p = self.prefix
+
+        def part(i: int) -> Column:
+            v = F.regexp_extract(src, self.URI_RE, i)
+            return F.when(v != "", v)
+
+        scheme, userinfo, host = part(1), part(2), part(3)
+        port, path, query = part(4), part(5), part(6)
+        # ParseRequestURI accepts absolute URIs and absolute paths;
+        # ParseURI additionally accepts a '?'-prefixed bare query
+        ok = (
+            scheme.isNotNull()
+            | src.startswith("/")
+            | src.startswith("?")
+        ) & ~F.coalesce(query.contains(";"), F.lit(False))
+
+        # url.Values: split '&', skip empties, key = before first '=',
+        # decoded; repeated keys accumulate values in order. ONE
+        # indexed-transform lambda + ONE scan lambda over the
+        # key-sorted pairs (struct sort is stable via the index field —
+        # no nested lambdas, per the HOF house rule).
+        pairs = F.filter(F.split(F.coalesce(query, F.lit("")), "&"), lambda x: x != "")
+        kv = F.transform(
+            pairs,
+            lambda s, i: F.struct(
+                self._decode(F.substring_index(s, "=", 1)).alias("k"),
+                i.alias("i"),
+                self._decode(
+                    F.when(
+                        s.contains("="), F.substr(s, F.instr(s, "=") + 1)
+                    ).otherwise(F.lit(""))
+                ).alias("v"),
+            ),
+        )
+        staged = df.withColumn("__kv_sorted", F.array_sort(kv))
+        init = F.struct(
+            F.array().cast("array<string>").alias("ks"),
+            F.array().cast("array<array<string>>").alias("vs"),
+        )
+
+        def step(acc, x):
+            k, v = x.getField("k"), x.getField("v")
+            ks, vs = acc.getField("ks"), acc.getField("vs")
+            last_k = F.get(ks, F.size(ks) - 1)
+            same = (F.size(ks) > 0) & (last_k == k)
+            grown_last = F.concat(
+                F.coalesce(F.get(vs, F.size(vs) - 1), F.array().cast("array<string>")),
+                F.array(v),
+            )
+            new_ks = F.when(same, ks).otherwise(F.concat(ks, F.array(k)))
+            new_vs = F.when(
+                same,
+                F.concat(F.slice(vs, 1, F.size(vs) - 1), F.array(grown_last)),
+            ).otherwise(F.concat(vs, F.array(F.array(v))))
+            return F.struct(new_ks.alias("ks"), new_vs.alias("vs"))
+
+        agg = F.aggregate(F.col("__kv_sorted"), init, step)
+        params = F.when(
+            F.size(F.col("__kv_sorted")) > 0,
+            F.map_from_arrays(agg.getField("ks"), agg.getField("vs")),
+        )
         values = {
-            f"{p}scheme": F.lower(F.parse_url(src, F.lit("PROTOCOL"))),
-            f"{p}host": F.parse_url(src, F.lit("HOST")),
-            f"{p}path": F.parse_url(src, F.lit("PATH")),
-            f"{p}query": F.parse_url(src, F.lit("QUERY")),
+            f"{p}scheme": F.lower(scheme),
+            f"{p}user": F.when(userinfo.isNotNull(), F.substring_index(userinfo, ":", 1)),
+            f"{p}host": host,
+            f"{p}port": port,
+            f"{p}path": path,
+            f"{p}query": query,
+            f"{p}query_params": params,
         }
-        return _write_groups(df, values, self.parse_to)
+        out = _write_groups(staged, values, self.parse_to).drop("__kv_sorted")
+        return apply_on_error(out, ok, self.on_error, self.if_expr)
 
 
 @dataclass
