@@ -184,9 +184,24 @@ class CsvParser:
 class KeyValueParser:
     """k=v pair extraction (parser/keyvalue/parser.go:23-48).
 
-    ``strict=True`` is str_to_map over the whole string (every token must
-    be a pair); default lenient mode extracts embedded ``k<delim>v`` pairs
-    from free text (regexp_extract_all -> map_from_entries).
+    Three modes:
+
+    - ``lenient`` (default): extracts embedded ``k<delim>v`` pairs from
+      free text (regexp_extract_all -> map) — the forgiving posture for
+      prose-mixed transcript lines the reference would reject outright.
+    - ``strict``: str_to_map over the whole string (every token must be
+      a pair). ``strict=True`` is a back-compat alias.
+    - ``reference``: exact ``parseutils.SplitString`` +
+      ``ParseKeyValuePairs`` semantics (internal/coreinternal/
+      parseutils/parser.go:16-75): pair split respects single/double
+      quotes ANYWHERE in the string and strips them during the split,
+      multi-char delimiters supported, leading/trailing/empty pair
+      tokens dropped; each pair splits on the FIRST delimiter with both
+      sides space-trimmed; duplicate keys keep the LAST value (Go map
+      overwrite). Unclosed quotes, empty input, or ANY pair missing the
+      delimiter fail the whole row (ProcessWith discards parsed values
+      on error). Implemented as ONE aggregate scan over character
+      positions — no Python in the row path.
     """
 
     delimiter: str = "="
@@ -195,11 +210,27 @@ class KeyValueParser:
     parse_to: str | None = "attributes"
     keys: list[str] | None = None  # with parse_to=None: which keys -> columns
     strict: bool = False
+    mode: str = "lenient"  # lenient | strict | reference
     on_error: str = "send"
     if_expr: str | None = None
 
+    def __post_init__(self):
+        if self.strict and self.mode == "lenient":
+            self.mode = "strict"
+        if self.mode not in ("lenient", "strict", "reference"):
+            raise ValueError(f"unknown mode {self.mode!r}")
+        if self.mode == "reference":
+            # config.go:49-60 build validation
+            if self.delimiter == "":
+                raise ValueError("delimiter cannot be empty")
+            pd = self.pair_delimiter or " "
+            if self.delimiter == pd:
+                raise ValueError(
+                    "delimiter and pair_delimiter cannot be the same value"
+                )
+
     def _pairs(self, src: Column) -> Column:
-        if self.strict:
+        if self.mode == "strict":
             return F.str_to_map(src, F.lit(self.pair_delimiter), F.lit(self.delimiter))
         d = _re.escape(self.delimiter)
         # values are either double-quoted (spaces allowed, quotes
@@ -216,10 +247,119 @@ class KeyValueParser:
             F.regexp_extract_all(src, F.lit(pat), F.lit(1)), vals
         )
 
+    # -- reference mode -------------------------------------------------
+
+    def _split_string(self, src: Column) -> Column:
+        """parseutils.SplitString(input, pair_delimiter) as a single
+        scan over character positions: returns struct(parts
+        array<string>, err boolean). One two-arg lambda whose only
+        outer references are the staged source column and literals
+        (HOF house rule)."""
+        delim = self.pair_delimiter or " "
+        dlen = len(delim)
+        n = F.length(src)
+        idx = F.when(n > 0, F.sequence(F.lit(1), n)).otherwise(
+            F.array().cast("array<int>")
+        )
+        empty = F.array().cast("array<string>")
+        init = F.struct(
+            empty.alias("parts"),
+            F.lit("").alias("cur"),
+            F.lit("").alias("q"),
+            F.lit(0).alias("skip"),
+        )
+
+        def mk(parts, cur, q, skip):
+            return F.struct(
+                parts.alias("parts"), cur.alias("cur"),
+                q.alias("q"), skip.alias("skip"),
+            )
+
+        def step(acc, i):
+            parts = acc.getField("parts")
+            cur = acc.getField("cur")
+            q = acc.getField("q")
+            skip = acc.getField("skip")
+            c = F.substr(src, i, F.lit(1))
+            win = F.substr(src, i, F.lit(dlen))
+            is_delim = (q == "") & (win == delim)
+            is_open = (q == "") & ((c == '"') | (c == "'"))
+            is_close = (q != "") & (c == q)
+            return (
+                F.when(skip > 0, mk(parts, cur, q, skip - 1))
+                .when(
+                    is_delim & (cur == ""),
+                    mk(parts, cur, q, F.lit(dlen - 1)),
+                )
+                .when(
+                    is_delim,
+                    mk(F.concat(parts, F.array(cur)), F.lit(""), q, F.lit(dlen - 1)),
+                )
+                .when(is_open, mk(parts, cur, c, F.lit(0)))
+                .when(is_close, mk(parts, cur, F.lit(""), F.lit(0)))
+                .otherwise(mk(parts, F.concat(cur, c), q, F.lit(0)))
+            )
+
+        def finish(acc):
+            parts = acc.getField("parts")
+            cur = acc.getField("cur")
+            return F.struct(
+                F.when(cur != "", F.concat(parts, F.array(cur)))
+                .otherwise(parts)
+                .alias("parts"),
+                (acc.getField("q") != "").alias("err"),
+            )
+
+        return F.aggregate(idx, init, step, finish)
+
+    def _ref_pairs(self, src: Column) -> tuple[Column, Column]:
+        """ParseKeyValuePairs over the split parts: (map, ok). ok is
+        false on unclosed quotes, empty input, or any pair missing the
+        delimiter (multierr -> whole-entry error)."""
+        delim = self.delimiter
+        dlen = len(delim)
+        split = self._split_string(src)
+        parts = split.getField("parts")
+        bad_pair = F.exists(parts, lambda p: F.instr(p, delim) == 0)
+        ok = (
+            src.isNotNull() & (src != "") & ~split.getField("err") & ~bad_pair
+        )
+        kv = F.transform(
+            parts,
+            lambda p, i: F.struct(
+                F.trim(F.substr(p, F.lit(1), F.instr(p, delim) - 1)).alias("k"),
+                i.alias("i"),
+                F.trim(F.substr(p, F.instr(p, delim) + dlen)).alias("v"),
+            ),
+        )
+        # duplicate keys: LAST wins (Go map overwrite) — stable
+        # (k, i)-sort then scan replacing the tail value on equal key
+        kv_sorted = F.array_sort(kv)
+        empty_s = F.array().cast("array<string>")
+        init = F.struct(empty_s.alias("ks"), empty_s.alias("vs"))
+
+        def step(acc, x):
+            k, v = x.getField("k"), x.getField("v")
+            ks, vs = acc.getField("ks"), acc.getField("vs")
+            same = (F.size(ks) > 0) & (F.get(ks, F.size(ks) - 1) == k)
+            new_vs = F.when(
+                same, F.concat(F.slice(vs, 1, F.size(vs) - 1), F.array(v))
+            ).otherwise(F.concat(vs, F.array(v)))
+            new_ks = F.when(same, ks).otherwise(F.concat(ks, F.array(k)))
+            return F.struct(new_ks.alias("ks"), new_vs.alias("vs"))
+
+        agg = F.aggregate(kv_sorted, init, step)
+        pairs = F.map_from_arrays(agg.getField("ks"), agg.getField("vs"))
+        return F.when(ok, pairs), ok
+
     def __call__(self, df: DataFrame) -> DataFrame:
         src = field_get(self.parse_from)
-        pairs = self._pairs(src)
-        ok = F.size(pairs) > 0
+        if self.mode == "reference":
+            df = df.withColumn("__kv_src", src)
+            pairs, ok = self._ref_pairs(F.col("__kv_src"))
+        else:
+            pairs = self._pairs(src)
+            ok = F.size(pairs) > 0
         if self.parse_to is None:
             keys = self.keys or []
             values = {k: F.element_at(pairs, k) for k in keys}
@@ -238,6 +378,8 @@ class KeyValueParser:
             )
         else:
             out = df.withColumn(self.parse_to, pairs)
+        if self.mode == "reference":
+            out = out.drop("__kv_src")
         return apply_on_error(out, ok, self.on_error, self.if_expr)
 
 
