@@ -133,7 +133,7 @@ class CsvParser:
       since per-row column sets don't exist in a columnar engine
     """
 
-    header: list[str] = field(default_factory=list)
+    header: list[str] | str = field(default_factory=list)
     delimiter: str = ","
     header_delimiter: str | None = None   # delimiter inside the header string
     parse_from: str = "body"
@@ -144,39 +144,153 @@ class CsvParser:
     on_error: str = "send"
     if_expr: str | None = None
 
+    def __post_init__(self):
+        # config.go:53-82 build validation
+        hdelim = self.header_delimiter or self.delimiter
+        if self.lazy_quotes and self.ignore_quotes:
+            raise ValueError(
+                "only one of 'ignore_quotes' or 'lazy_quotes' can be true"
+            )
+        if len(self.delimiter) != 1:
+            raise ValueError(f"invalid 'delimiter': {self.delimiter!r}")
+        if len(hdelim) != 1:
+            raise ValueError(f"invalid 'header_delimiter': {hdelim!r}")
+        if self.header and self.header_attribute:
+            raise ValueError(
+                "only one header parameter can be set: 'header' or 'header_attribute'"
+            )
+        if not self.header and not self.header_attribute:
+            raise ValueError(
+                "missing required field 'header' or 'header_attribute'"
+            )
+        if isinstance(self.header, str):
+            # the reference config takes the header AS a string split by
+            # header_delimiter; a one-token header is a build error
+            if hdelim not in self.header:
+                raise ValueError("missing field delimiter in header")
+            self.header = self.header.split(hdelim)
+
+    def _quote_split(self, src: Column) -> Column:
+        """Quote-respecting delimiter split: the delimiter separates
+        fields only outside double quotes (even-quote-count lookahead —
+        RFC 4180 ``\"\"`` escapes preserve parity)."""
+        d = _re.escape(self.delimiter)
+        return F.split(src, d + '(?=(?:[^"]*"[^"]*")*[^"]*$)')
+
+    def _field_count(self, src: Column) -> Column:
+        """Go encoding/csv field count (LazyQuotes tokenization) as one
+        scan over character positions — MapCSVHeaders needs the REAL
+        field count and from_csv pads/truncates silently. States: 0 =
+        field start, 1 = unquoted, 2 = quoted, 3 = quote-seen-in-quoted
+        (doubled -> escaped, delimiter -> field ends, other -> lazy
+        literal quote)."""
+        n = F.length(src)
+        idx = F.when(n > 0, F.sequence(F.lit(1), n)).otherwise(
+            F.array().cast("array<int>")
+        )
+        init = F.struct(
+            F.lit(0).alias("cnt"), F.lit(0).alias("st")
+        )
+
+        def mk(cnt, st):
+            return F.struct(cnt.alias("cnt"), F.lit(st).alias("st"))
+
+        def step(acc, i):
+            cnt = acc.getField("cnt")
+            st = acc.getField("st")
+            c = F.substr(src, i, F.lit(1))
+            is_d = c == self.delimiter
+            is_q = c == '"'
+            return (
+                # field start: delimiter = empty field; quote opens
+                F.when((st == 0) & is_d, mk(cnt + 1, 0))
+                .when((st == 0) & is_q, mk(cnt, 2))
+                .when(st == 0, mk(cnt, 1))
+                # unquoted: only the delimiter matters (bare quotes are
+                # lazy literals)
+                .when((st == 1) & is_d, mk(cnt + 1, 0))
+                .when(st == 1, mk(cnt, 1))
+                # quoted: quote arms the close
+                .when((st == 2) & is_q, mk(cnt, 3))
+                .when(st == 2, mk(cnt, 2))
+                # armed: doubled quote = escape, delimiter = field end,
+                # anything else = lazy literal quote (stay quoted)
+                .when((st == 3) & is_q, mk(cnt, 2))
+                .when((st == 3) & is_d, mk(cnt + 1, 0))
+                .otherwise(mk(cnt, 2))
+            )
+
+        agg = F.aggregate(idx, init, step)
+        return F.when(n > 0, agg.getField("cnt") + 1).otherwise(F.lit(0))
+
+    @staticmethod
+    def _unquote(tok: Column) -> Column:
+        """Strip one layer of outer quotes and unescape RFC 4180
+        doubled quotes, Go-csv style."""
+        inner = tok.substr(F.lit(2), F.length(tok) - 2)
+        return F.when(
+            tok.rlike('^".*"$'), F.replace(inner, F.lit('""'), F.lit('"'))
+        ).otherwise(tok)
+
     def __call__(self, df: DataFrame) -> DataFrame:
         src = field_get(self.parse_from)
         hdelim = self.header_delimiter or self.delimiter
         if self.header_attribute is not None:
-            # dynamic header: zip the row's own header tokens with its
-            # field tokens (quote handling is split-only here, matching
-            # the reference's dynamic path being CSV-simple)
+            # dynamic header (parser.go:37-51): the row's own header
+            # tokens zip with its CSV fields; MapCSVHeaders requires the
+            # counts to MATCH exactly, and a missing header attribute is
+            # a process error
             hdr = field_get(self.header_attribute)
             keys = F.split(hdr, _re.escape(hdelim))
-            vals = F.split(src, _re.escape(self.delimiter))
-            ok = hdr.isNotNull() & (F.size(vals) >= F.size(keys))
-            # a short row must yield null, not a SparkRuntimeException:
-            # map_from_arrays throws on unequal lengths and with
-            # on_error='send' the row stays in the frame, so the guard
-            # has to live inside the expression (reference fails
-            # per-entry only, parser.go:95-101)
-            parsed_map = F.when(ok, F.map_from_arrays(keys, F.slice(vals, 1, F.size(keys))))
+            toks = (
+                F.split(src, _re.escape(self.delimiter))
+                if self.ignore_quotes
+                else self._quote_split(src)
+            )
+            vals = F.transform(
+                toks, (lambda v: v) if self.ignore_quotes else self._unquote
+            )
+            ok = hdr.isNotNull() & (F.size(vals) == F.size(keys))
+            # a mismatched row must yield null, not a
+            # SparkRuntimeException: map_from_arrays throws on unequal
+            # lengths and with on_error='send' the row stays in the
+            # frame, so the guard lives inside the expression
+            # (reference fails per-entry only, parser.go:95-101)
+            parsed_map = F.when(ok, F.map_from_arrays(keys, vals))
             out = df.withColumn("parsed", parsed_map)
             return apply_on_error(out, ok, self.on_error, self.if_expr)
+        header = list(self.header)
         if self.ignore_quotes:
+            # generateSplitParseFunc: plain split, quotes meaningless;
+            # MapCSVHeaders still requires exact field count
             toks = F.split(src, _re.escape(self.delimiter))
-            ok = F.size(toks) >= len(self.header)
-            values = {h: F.element_at(toks, i + 1) for i, h in enumerate(self.header)}
+            ok = F.size(toks) == len(header)
+            values = {
+                h: F.when(ok, F.element_at(toks, i + 1))
+                for i, h in enumerate(header)
+            }
             out = _write_groups(df, values, self.parse_to)
             return apply_on_error(out, ok, self.on_error, self.if_expr)
-        ddl = ", ".join(f"`{h}` string" for h in self.header)
-        opts = {"sep": self.delimiter}
+        ddl = ", ".join(f"`{h}` string" for h in header)
+        # escape='"' = RFC 4180 doubled-quote escaping (Go encoding/csv);
+        # Spark's default escape is backslash
+        opts = {"sep": self.delimiter, "escape": '"'}
         if self.lazy_quotes:
             opts["unescapedQuoteHandling"] = "STOP_AT_CLOSING_QUOTE"
+        staged = df.withColumn("__csv_src", src)
+        src = F.col("__csv_src")
         parsed = F.from_csv(src, ddl, opts)
-        ok = parsed.isNotNull()
-        values = {h: parsed.getField(h) for h in self.header}
-        out = _write_groups(df, values, self.parse_to)
+        # MapCSVHeaders (parseutils/csv.go:73-76): field count must
+        # EQUAL the header length or the whole entry errors; count via
+        # the tokenizer-faithful scan (from_csv pads/truncates
+        # silently). Go csv yields "" for empty fields where Univocity
+        # yields null — coalesce inside the ok guard.
+        ok = (self._field_count(src) == len(header)) & parsed.isNotNull()
+        values = {
+            h: F.when(ok, F.coalesce(parsed.getField(h), F.lit("")))
+            for h in header
+        }
+        out = _write_groups(staged, values, self.parse_to).drop("__csv_src")
         return apply_on_error(out, ok, self.on_error, self.if_expr)
 
 

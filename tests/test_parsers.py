@@ -95,10 +95,14 @@ def test_csv_parser(spark):
 def test_csv_parser_option_parity(spark):
     from opentelemetry_collector_contrib_spark.operators import CsvParser
 
-    # ignore_quotes: quotes carry no meaning -> plain split
+    # ignore_quotes: quotes carry no meaning -> plain split; the split
+    # of 'a,"b,c",d' yields 4 tokens vs 3 headers, which MapCSVHeaders
+    # rejects (parseutils/csv.go:73-76) — the row errors to nulls
     df = spark.createDataFrame([('a,"b,c",d',)], "body string")
     r = CsvParser(header=["x", "y", "z"], ignore_quotes=True)(df).collect()[0]
-    assert (r.x, r.y, r.z) == ("a", '"b', 'c"')
+    assert (r.x, r.y, r.z) == (None, None, None)
+    r = CsvParser(header=["x", "y", "z", "w"], ignore_quotes=True)(df).collect()[0]
+    assert (r.x, r.y, r.z, r.w) == ("a", '"b', 'c"', "d")
     # default quote handling keeps the quoted field together
     r = CsvParser(header=["x", "y", "z"])(df).collect()[0]
     assert (r.x, r.y, r.z) == ("a", "b,c", "d")
