@@ -497,14 +497,29 @@ class KeyValueParser:
         return apply_on_error(out, ok, self.on_error, self.if_expr)
 
 
-# strptime ctime directive -> JVM DateTimeFormatter pattern
-# (reference time layouts: pkg/stanza/operator/helper/time.go:19-76)
+# strptime ctime directive -> JVM DateTimeFormatter pattern, following
+# the reference's ctime -> gotime table (internal/coreinternal/
+# timeutils/internal/ctimefmt/ctimefmt.go:23-62) token for token:
+# %q/%o = non/space-padded month, %g/%e = non/space-padded day,
+# %L/%f/%s = milli/micro/nanoseconds (Spark timestamps are
+# microsecond-precision, so %s truncates the last 3 digits), %z =
+# gotime Z0700 (accepts 'Z' or +-hhmm -> XX), %j/%i/%w/%k = the
+# colon/second offset variants. Weekday tokens translate to EEE/EEEE
+# and are handled by TimeParser (Spark refuses 'E' in parse patterns;
+# Go ignores the day name anyway).
 _STRPTIME = {
-    "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd", "%e": "d",
-    "%H": "HH", "%I": "hh", "%M": "mm", "%S": "ss", "%f": "SSSSSS",
-    "%L": "SSS", "%s": "SSS", "%j": "DDD", "%p": "a", "%z": "Z",
-    "%Z": "zz", "%b": "MMM", "%B": "MMMM", "%a": "EEE", "%A": "EEEE",
-    "%T": "HH:mm:ss",
+    "%Y": "yyyy", "%y": "yy", "%m": "MM", "%o": "M", "%q": "M",
+    "%d": "dd", "%e": "d", "%g": "d",
+    "%H": "HH", "%I": "hh", "%l": "h",
+    "%M": "mm", "%S": "ss",
+    "%f": "SSSSSS", "%L": "SSS", "%s": "SSSSSSSSS",
+    "%p": "a", "%P": "a",
+    "%z": "XX", "%Z": "zz",
+    "%i": "x", "%j": "xxx", "%w": "xxxx", "%k": "xxxxx",
+    "%b": "MMM", "%h": "MMM", "%B": "MMMM", "%a": "EEE", "%A": "EEEE",
+    "%D": "MM/dd/yyyy", "%x": "MM/dd/yyyy", "%F": "yyyy-MM-dd",
+    "%T": "HH:mm:ss", "%X": "HH:mm:ss", "%r": "hh:mm:ss a", "%R": "HH:mm",
+    "%n": "\n", "%t": "\t",
 }
 
 
@@ -521,7 +536,9 @@ _GOTIME = [
     (".000000000", ".SSSSSSSSS"), (".000000", ".SSSSSS"), (".000", ".SSS"),
     ("999999999", "SSSSSSSSS"), ("999999", "SSSSSS"), ("999", "SSS"),
     ("PM", "a"), ("pm", "a"),
-    ("Z07:00", "XXX"), ("Z0700", "XX"), ("-07:00", "xxx"), ("-0700", "xx"),
+    ("Z07:00", "XXX"), ("Z0700", "XX"),
+    ("-07:00:00", "xxxxx"), ("-070000", "xxxx"),
+    ("-07:00", "xxx"), ("-0700", "xx"), ("-07", "x"),
     ("MST", "zz"),
     ("03", "hh"), ("3", "h"), ("2", "d"), ("1", "M"),
 ]
@@ -601,6 +618,12 @@ class TimeParser:
                 fmt = gotime_to_jvm(self.layout)
             else:
                 fmt = self.layout
+            if fmt.startswith(("EEEE", "EEE")):
+                # Go ignores the weekday name when parsing and Spark
+                # refuses 'E' in parse patterns — drop the leading
+                # token from the pattern and the name from the input
+                fmt = _re.sub(r"^EEEE?[ ,]*", "", fmt)
+                src = F.regexp_replace(src, r"^[A-Za-z]+[ ,]+", "")
             if fmt in ("yyyy-MM-dd'T'HH:mm:ss", "yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd"):
                 # ISO layouts hit Spark's hand-rolled stringToTimestamp
                 # cast (~4x faster than DateTimeFormatter-based
