@@ -709,6 +709,9 @@ def expand_stanza_severity_mapping(stanza: dict) -> dict[str, str]:
             out[str(value)] = name
 
     for name, value in stanza.items():
+        # severity names are case-insensitive in the builder
+        # (severity_builder.go validateseverity lowercases the key)
+        name = name.lower()
         if name not in SEVERITY_NUMBERS:
             raise ValueError(f"unknown severity {name!r}")
         add(value, name)
@@ -728,19 +731,25 @@ class SeverityParser:
     parse_from: str = "severity_text"
     mapping: dict[str, str] = field(default_factory=lambda: dict(SEVERITY_ALIASES))
     stanza_mapping: dict | None = None
+    preset: str = "default"  # severity_builder.go:216-228: default | none
     on_error: str = "send"
     if_expr: str | None = None
 
     def __post_init__(self):
+        if self.preset not in ("default", "none"):
+            raise ValueError(f"unknown severity preset {self.preset!r}")
+        base = dict(SEVERITY_ALIASES) if self.preset == "default" else {}
         if self.stanza_mapping is not None:
             # the reference severity_builder MERGES user mappings into the
             # builtin preset (operatorMapping.add over the default table,
             # severity_builder.go:201-214) — user entries win, but 'warn',
-            # 'emerg' etc. keep resolving
+            # 'emerg' etc. keep resolving; preset 'none' starts empty
             self.mapping = {
-                **dict(SEVERITY_ALIASES),
+                **base,
                 **expand_stanza_severity_mapping(self.stanza_mapping),
             }
+        elif self.preset == "none":
+            self.mapping = {}
 
     def __call__(self, df: DataFrame) -> DataFrame:
         # Broadcast-join the alias dimension instead of a 16-branch
