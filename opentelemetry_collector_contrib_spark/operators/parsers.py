@@ -841,12 +841,21 @@ class ContainerParser:
     Partial-line assembly is the standard :class:`Recombine` with
     ``is_last_entry="NOT partial"`` — same internal-recombine semantics
     as the reference's ``recombineInternal``.
+    ``add_metadata_from_file_path`` (parser.go:31-54, on by default in
+    the reference config) resolves k8s pod metadata from the
+    ``/var/log/pods/<ns>_<pod>_<uid>/<container>/<restart>.log`` path in
+    ``path_attribute`` into ``k8s_*`` columns.
     Detection and both parse paths are one codegen'd projection.
     """
 
     parse_from: str = "body"
+    add_metadata_from_file_path: bool = False
+    path_attribute: str = "log.file.path"
     on_error: str = "send"
     if_expr: str | None = None
+
+    # logpathPattern (parser.go:31), group order ns/pod/uid/container/restart
+    LOGPATH = r"^.*/([^_]+)_([^_]+)_([a-f0-9\-]+)/([^._]+)/(\d+)\.log$"
 
     def __call__(self, df: DataFrame) -> DataFrame:
         src = field_get(self.parse_from)
@@ -864,14 +873,38 @@ class ContainerParser:
         ts_str = F.when(is_docker, docker.getField("time")).when(cri_ok, g(1))
         partial = F.when(is_docker, F.lit(False)).when(cri_ok, g(3) == "P")
         ok = (is_docker & docker.isNotNull()) | cri_ok
-        out = df.withColumns(
-            {
-                "log": log,
-                "stream": stream,
-                "event_ts": F.try_to_timestamp(ts_str),
-                "partial": partial,
-            }
-        )
+        cols = {
+            "log": log,
+            "stream": stream,
+            "event_ts": F.try_to_timestamp(ts_str),
+            "partial": partial,
+        }
+        if self.add_metadata_from_file_path:
+            # the path attribute name contains dots ('log.file.path') —
+            # resolve a literal column of that name first, then the
+            # attributes map, before dotted struct traversal
+            if self.path_attribute in df.columns:
+                path = F.col(f"`{self.path_attribute}`")
+            elif "attributes" in df.columns:
+                path = F.element_at(F.col("attributes"), self.path_attribute)
+            else:
+                path = field_get(self.path_attribute)
+
+            def pg(i: int) -> Column:
+                v = F.regexp_extract(path, self.LOGPATH, i)
+                return F.when(v != "", v)
+
+            # k8sMetadataMapping (parser.go:47-54)
+            cols.update(
+                {
+                    "k8s_namespace_name": pg(1),
+                    "k8s_pod_name": pg(2),
+                    "k8s_pod_uid": pg(3),
+                    "k8s_container_name": pg(4),
+                    "k8s_container_restart_count": pg(5),
+                }
+            )
+        out = df.withColumns(cols)
         return apply_on_error(out, ok, self.on_error, self.if_expr)
 
 
