@@ -530,6 +530,30 @@ def _q_parse_kv(spark, sf_dir):
     return parsed.select("conv_id", "turn_idx", "evt", "code", "dur_ms", "k")
 
 
+def _q_parse_kv_reference(spark, sf_dir):
+    # the exact SplitString/ParseKeyValuePairs state machine
+    # (KeyValueParser mode='reference') over a quoted kv line CONSTRUCTED
+    # from transcript columns — quoted values with embedded spaces
+    # exercise the quote-respecting split; the oracle reconstructs the
+    # expected fields directly from the source columns (same results,
+    # independent derivation)
+    df = _transcripts(spark, sf_dir)
+    line = F.concat(
+        F.lit('role="'), F.col("role"), F.lit(' turn" tool='), F.col("tool"),
+        F.lit(" idx="), F.col("turn_idx").cast("string"),
+    )
+    parsed = KeyValueParser(mode="reference", parse_from="kvline", parse_to=None,
+                            keys=["role", "tool", "idx"])(
+        df.withColumn("kvline", line).select("conv_id", "turn_idx", "kvline")
+    )
+    return parsed.select(
+        "conv_id", "turn_idx",
+        F.col("role").alias("kv_role"),
+        F.col("tool").alias("kv_tool"),
+        F.col("idx").alias("kv_idx"),
+    )
+
+
 def _q_parse_csv(spark, sf_dir):
     df = _transcripts(spark, sf_dir).withColumn(
         "line", F.concat_ws(",", "role", "tool", "conv_id")
@@ -1698,6 +1722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_ottl": _q_ottl,
         "parse_json": _q_parse_json,
         "parse_kv": _q_parse_kv,
+        "parse_kv_reference": _q_parse_kv_reference,
         "parse_csv": _q_parse_csv,
         "parse_uri": _q_parse_uri,
         "redaction": _q_redaction,
@@ -1848,6 +1873,12 @@ SELECT conv_id, turn_idx, upper(role) AS role,
        regexp_replace(text, 'code=\\d+', 'code=*', 'g') AS text
 FROM transcripts""",
         "parse_json": """SELECT event_id, json_extract_string(props, '$.k') AS k_prop FROM events""",
+        "parse_kv_reference": f"""WITH {TRANSCRIPTS_ORACLE_CTE.strip()}
+SELECT conv_id, turn_idx,
+  role || ' turn' AS kv_role,
+  tool AS kv_tool,
+  CAST(turn_idx AS VARCHAR) AS kv_idx
+FROM transcripts""",
         "parse_kv": f"""WITH {TRANSCRIPTS_ORACLE_CTE.strip()}
 SELECT conv_id, turn_idx,
   CASE WHEN regexp_matches(text, '(^| )evt=') THEN regexp_extract(text, '(^| )evt=(\\S+)', 2) END AS evt,
