@@ -807,20 +807,38 @@ class ScopeNameParser:
 
 @dataclass
 class TraceParser:
-    """Hex trace/span ids -> binary (parser/trace/parser.go)."""
+    """Hex trace/span ids -> binary (parser/trace/parser.go,
+    helper/trace.go Parse): each configured field decodes
+    independently — an invalid-hex field stays null while the others
+    still parse (the reference returns a joined error but keeps the
+    valid ids); rows with any present-but-invalid source are parse
+    errors under the ``on_error`` contract. With no ``*_from``
+    configured, the stanza defaults ``trace_id`` / ``span_id`` /
+    ``trace_flags`` are read when those columns exist."""
 
     trace_from: str | None = None
     span_from: str | None = None
     flags_from: str | None = None
+    on_error: str = "send"
+    if_expr: str | None = None
 
     def __call__(self, df: DataFrame) -> DataFrame:
-        if self.trace_from:
-            df = df.withColumn("trace_id", F.unhex(field_get(self.trace_from)))
-        if self.span_from:
-            df = df.withColumn("span_id", F.unhex(field_get(self.span_from)))
-        if self.flags_from:
-            df = df.withColumn("trace_flags", F.unhex(field_get(self.flags_from)))
-        return df
+        ok = F.lit(True)
+        pairs = [
+            ("trace_id", self.trace_from),
+            ("span_id", self.span_from),
+            ("trace_flags", self.flags_from),
+        ]
+        for target, src_path in pairs:
+            if src_path is None:
+                if target not in df.columns:
+                    continue
+                src_path = target
+            src = field_get(src_path)
+            decoded = F.unhex(src)
+            ok = ok & (src.isNull() | decoded.isNotNull())
+            df = df.withColumn(target, decoded)
+        return apply_on_error(df, ok, self.on_error, self.if_expr)
 
 
 CRI_PATTERN = (
