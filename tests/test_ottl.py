@@ -317,3 +317,20 @@ def test_parse_xml_depth_and_selfclose(row):
     # malformed XML -> null fields, row survives (ignore-mode semantics)
     bad = run(row, 'set(xml, ParseXML("not xml at all"))')["xml"]
     assert bad["tag"] is None
+
+
+def test_float_lexer_forms():
+    # grammar.go:434 Float = [-+]?\d*\.\d+([eE][-+]?\d+)? — exponents
+    # and bare-dot forms are valid OTTL floats
+    from opentelemetry_collector_contrib_spark.functions.ast import Lit, Parser
+
+    for text, want in [
+        ('set(attributes["x"], 3.14e2)', 314.0),
+        ('set(attributes["x"], .5)', 0.5),
+        ('set(attributes["x"], -.5)', -0.5),
+        ('set(attributes["x"], 1.5E-3)', 0.0015),
+        ('set(attributes["x"], +2.5)', 2.5),
+    ]:
+        st = Parser(text).parse_statement()
+        lit = st.editor.args[1]
+        assert isinstance(lit, Lit) and lit.value == want, text
