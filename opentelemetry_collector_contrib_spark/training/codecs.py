@@ -49,6 +49,10 @@ def sniff(payload: bytes) -> str:
         return "bmp"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:2] == b"\xff\xd8":
+        return "jpeg"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return "raw"
 
 
@@ -284,7 +288,75 @@ def encode_wav(samples: list[int], sample_rate: int = 8000, channels: int = 1) -
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
 
-DECODERS = {"png": decode_png, "bmp": decode_bmp, "wav": decode_wav}
+# --- JPEG / GIF (header-only: dimensions + layout; entropy-coded pixel
+# data is out of scope for a dependency-free codec — a training-data
+# pipeline's filter/bucket stages need dimensions, not pixels) --------------
+
+
+def decode_jpeg_header(payload: bytes) -> dict:
+    """Walk JFIF markers to the first SOF0/1/2 frame header and read
+    (precision, height, width, components)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = payload[pos + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            pos += 2  # standalone markers carry no length
+            continue
+        if pos + 4 > len(payload):
+            break
+        (length,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        if marker in (0xC0, 0xC1, 0xC2):  # SOF0 baseline / ext / progressive
+            _prec, height, width, comps = struct.unpack(
+                ">BHHB", payload[pos + 4 : pos + 10]
+            )
+            return {
+                "format": "jpeg",
+                "width": width,
+                "height": height,
+                "channels": comps,
+                "sample_rate": 0,
+                "n_frames": 1,
+                "mean_q3": 0,  # pixel stats need entropy decode
+            }
+        if marker == 0xD9:  # EOI
+            break
+        pos += 2 + length
+    raise ValueError("JPEG missing SOF frame header")
+
+
+def decode_gif_header(payload: bytes) -> dict:
+    """GIF87a/89a logical screen descriptor: width/height (LE) +
+    global-color-table depth."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    if len(payload) < 13:
+        raise ValueError("GIF header truncated")
+    width, height = struct.unpack("<HH", payload[6:10])
+    # image-data frames need LZW decode; count the image separator
+    # blocks for n_frames (an upper-bound scan, exact for simple GIFs)
+    n_frames = payload.count(b"\x2c", 13)
+    return {
+        "format": "gif",
+        "width": width,
+        "height": height,
+        "channels": 3,  # palette-indexed -> RGB
+        "sample_rate": 0,
+        "n_frames": max(n_frames, 1),
+        "mean_q3": 0,
+    }
+
+
+DECODERS = {
+    "png": decode_png,
+    "bmp": decode_bmp,
+    "wav": decode_wav,
+    "jpeg": decode_jpeg_header,
+    "gif": decode_gif_header,
+}
 
 
 def decode_media(payload: bytes) -> dict:

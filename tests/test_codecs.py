@@ -162,3 +162,56 @@ def test_extract_features_real_media_in_spark(spark):
     total = sum(sum(px) for row in RGB for px in row)
     assert out[0].mean_q3 == round(total / 18 * 1000)
     assert out[0].mean_q3 == out[1].mean_q3
+
+
+def _tiny_jpeg(width=7, height=5):
+    import struct
+    sof = struct.pack(">BHHB", 8, height, width, 3) + b"\x01\x11\x00\x02\x11\x00\x03\x11\x00"
+    app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    return (
+        b"\xff\xd8"                                            # SOI
+        + b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0  # APP0
+        + b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof    # SOF0
+        + b"\xff\xd9"                                            # EOI
+    )
+
+
+def _tiny_gif(width=9, height=4):
+    import struct
+    return (
+        b"GIF89a" + struct.pack("<HH", width, height)
+        + b"\x00\x00\x00"          # packed, bg, aspect (no GCT)
+        + b"\x2c" + b"\x00" * 9    # one image separator block stub
+        + b"\x3b"                  # trailer
+    )
+
+
+def test_jpeg_header_decode():
+    from opentelemetry_collector_contrib_spark.training.codecs import (
+        decode_media, sniff,
+    )
+
+    p = _tiny_jpeg()
+    assert sniff(p) == "jpeg"
+    d = decode_media(p)
+    assert (d["width"], d["height"], d["channels"]) == (7, 5, 3)
+
+
+def test_gif_header_decode():
+    from opentelemetry_collector_contrib_spark.training.codecs import (
+        decode_media, sniff,
+    )
+
+    p = _tiny_gif()
+    assert sniff(p) == "gif"
+    d = decode_media(p)
+    assert (d["width"], d["height"], d["n_frames"]) == (9, 4, 1)
+
+
+def test_jpeg_missing_sof_rejected():
+    import pytest as _pytest
+
+    from opentelemetry_collector_contrib_spark.training.codecs import decode_media
+
+    with _pytest.raises(ValueError):
+        decode_media(b"\xff\xd8\xff\xd9")
