@@ -6,7 +6,12 @@ from .enrich import (  # noqa: F401
     ipv4_to_long,
     probe_ip_attr,
 )
-from .filter import FilterProcessor, LogMatchProperties  # noqa: F401
+from .filter import (  # noqa: F401
+    FilterMetricsProcessor,
+    FilterProcessor,
+    LogMatchProperties,
+    MetricMatchProperties,
+)
 from .groupbyattrs import GroupByAttrs  # noqa: F401
 from .k8sattributes import (  # noqa: F401
     AssociationRule,

@@ -93,6 +93,88 @@ class LogMatchProperties:
 
 
 @dataclass
+class MetricMatchProperties:
+    """The reference's ``MetricMatchProperties`` (processor/
+    filterprocessor/config.go MetricFilters + internal/filter/
+    filtermetric): a metric matches when its name matches ANY listed
+    name (strict equality or Go-regexp ``MatchString`` = unanchored
+    ``rlike``) AND its resource carries EVERY listed attribute. With
+    neither names nor attributes the properties object is treated as
+    absent (nil matcher — the emptyFilterInclude/Exclude cases)."""
+
+    match_type: str = "strict"  # strict | regexp
+    metric_names: list[str] = field(default_factory=list)
+    resource_attributes: list[tuple[str, str]] = field(default_factory=list)
+
+    def __post_init__(self):
+        if self.match_type not in ("strict", "regexp"):
+            raise ValueError("match_type must be 'strict' or 'regexp'")
+
+    def compile(
+        self, name_col: str = "metric_name", resource_col: str = "resource"
+    ) -> F.Column | None:
+        if not self.metric_names and not self.resource_attributes:
+            return None
+        groups: list[F.Column] = []
+        if self.metric_names:
+            hit = F.lit(False)
+            for v in self.metric_names:
+                col = F.col(name_col)
+                one = col == v if self.match_type == "strict" else col.rlike(v)
+                hit = hit | F.coalesce(one, F.lit(False))
+            groups.append(hit)
+        for key, value in self.resource_attributes:
+            col = F.col(resource_col).getItem(key)
+            one = col == value if self.match_type == "strict" else col.rlike(value)
+            groups.append(F.coalesce(one, F.lit(False)))
+        cond = groups[0]
+        for g in groups[1:]:
+            cond = cond & g
+        return cond
+
+
+@dataclass
+class FilterMetricsProcessor:
+    """Metrics-signal filter (processor/filterprocessor/metrics.go):
+    keep only metrics matching ``include`` and drop those matching
+    ``exclude``; OTTL/SQL ``conditions`` cascade after, matching ->
+    DROP, exactly like the logs signal."""
+
+    include: MetricMatchProperties | None = None
+    exclude: MetricMatchProperties | None = None
+    conditions: list[str] = field(default_factory=list)
+    name_col: str = "metric_name"
+    resource_col: str = "resource"
+    observe_name: str | None = None
+
+    def matched(self) -> F.Column:
+        cond = F.lit(False)
+        for c in self.conditions:
+            cond = cond | F.coalesce(F.expr(c), F.lit(False))
+        if self.include is not None:
+            inc = self.include.compile(self.name_col, self.resource_col)
+            if inc is not None:
+                cond = cond | ~inc
+        if self.exclude is not None:
+            exc = self.exclude.compile(self.name_col, self.resource_col)
+            if exc is not None:
+                cond = cond | exc
+        return cond
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        cond = self.matched()
+        if self.observe_name:
+            obs = Observation(self.observe_name)
+            df = df.observe(
+                obs,
+                F.sum(cond.cast("long")).alias("filtered"),
+                F.count(F.lit(1)).alias("seen"),
+            )
+            self.observation = obs
+        return df.filter(~cond)
+
+
+@dataclass
 class FilterProcessor:
     conditions: list[str] = field(default_factory=list)
     #                              OR-joined predicates; match -> DROP

@@ -220,3 +220,113 @@ def test_filter_log_processor_with_ottl(spark, name, conditions, expected):
     df = spark.createDataFrame(OTTL_ROWS, "scope string, body string")
     out = FilterProcessor(conditions, language="ottl")(df)
     assert sorted((r.scope, r.body) for r in out.collect()) == sorted(expected)
+
+
+# --- metrics signal: standardTests (metrics_test.go:42-318) ------------------
+
+VALID_FILTERS = [
+    "prefix/.*", "prefix_.*", ".*/suffix", ".*_suffix", ".*/contains/.*",
+    ".*_contains_.*", "full/name/match", "full_name_match",
+]
+
+IN_METRIC_NAMES = [
+    "full_name_match", "not_exact_string_match", "prefix/test/match",
+    "prefix_test_match", "prefixprefix/test/match", "test/match/suffix",
+    "test_match_suffix", "test/match/suffixsuffix", "test/contains/match",
+    "test_contains_match", "random", "full/name/match", "full_name_match",
+    "not_exact_string_match",
+]
+
+INCLUDE_FILTER_OUT = [
+    "full_name_match", "prefix/test/match", "prefix_test_match",
+    "prefixprefix/test/match", "test/match/suffix", "test_match_suffix",
+    "test/match/suffixsuffix", "test/contains/match", "test_contains_match",
+    "full/name/match", "full_name_match",
+]
+
+RES1 = {"attr1": "attr1/val1", "attr2": "attr2/val2", "attr3": "attr3/val3"}
+RES2 = {"attr1": "attr1/val2"}
+# metricWithResource fixtures
+RESOURCE_METRICS = [("metric1", RES1), ("metric2", RES1)]
+TWO_RESOURCE_METRICS = [
+    ("metric1", RES1), ("metric2", RES1), ("metric3", RES2), ("metric4", RES2),
+]
+
+
+def _metric_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "metric_name string, resource map<string,string>"
+    )
+
+
+METRIC_CASES = [
+    ("includeFilter",
+     {"include": {"match_type": "regexp", "metric_names": VALID_FILTERS}},
+     [(n, {}) for n in IN_METRIC_NAMES], INCLUDE_FILTER_OUT),
+    ("excludeFilter",
+     {"exclude": {"match_type": "regexp", "metric_names": VALID_FILTERS}},
+     [(n, {}) for n in IN_METRIC_NAMES],
+     ["not_exact_string_match", "random", "not_exact_string_match"]),
+    ("includeAndExclude",
+     {"include": {"match_type": "regexp", "metric_names": VALID_FILTERS},
+      "exclude": {"match_type": "strict",
+                  "metric_names": ["prefix_test_match", "test_contains_match"]}},
+     [(n, {}) for n in IN_METRIC_NAMES],
+     [n for n in INCLUDE_FILTER_OUT
+      if n not in ("prefix_test_match", "test_contains_match")]),
+    ("emptyFilterInclude",
+     {"include": {"match_type": "strict"}},
+     [(n, {}) for n in IN_METRIC_NAMES], IN_METRIC_NAMES),
+    ("emptyFilterExclude",
+     {"exclude": {"match_type": "strict"}},
+     [(n, {}) for n in IN_METRIC_NAMES], IN_METRIC_NAMES),
+    ("excludeNilWithResourceAttributes",
+     {"exclude": {"match_type": "strict"}},
+     RESOURCE_METRICS, ["metric1", "metric2"]),
+    ("includeAllWithResourceAttributes",
+     {"include": {"match_type": "strict", "metric_names": ["metric1", "metric2"],
+                  "resource_attributes": [("attr1", "attr1/val1")]}},
+     RESOURCE_METRICS, ["metric1", "metric2"]),
+    ("includeAllWithMissingResourceAttributes",
+     {"include": {"match_type": "strict",
+                  "metric_names": ["metric1", "metric2", "metric3", "metric4"],
+                  "resource_attributes": [("attr1", "attr1/val1")]}},
+     TWO_RESOURCE_METRICS, ["metric1", "metric2"]),
+    ("excludeAllWithMissingResourceAttributes",
+     {"exclude": {"match_type": "strict",
+                  "resource_attributes": [("attr1", "attr1/val1")]}},
+     TWO_RESOURCE_METRICS, ["metric3", "metric4"]),
+    ("includeWithRegexResourceAttributes",
+     {"include": {"match_type": "regexp", "metric_names": [".*"],
+                  "resource_attributes": [("attr1", "attr1/val1")]}},
+     TWO_RESOURCE_METRICS, ["metric1", "metric2"]),
+    ("includeWithRegexResourceAttributesOnly",
+     {"include": {"match_type": "regexp",
+                  "resource_attributes": [("attr1", "attr1/val1")]}},
+     TWO_RESOURCE_METRICS, ["metric1", "metric2"]),
+    ("includeWithStrictResourceAttributes",
+     {"include": {"match_type": "strict", "metric_names": ["metric1", "metric2"],
+                  "resource_attributes": [("attr1", "attr1/val1")]}},
+     TWO_RESOURCE_METRICS, ["metric1", "metric2"]),
+    ("includeWithStrictResourceAttributesOnly",
+     {"include": {"match_type": "strict",
+                  "resource_attributes": [("attr1", "attr1/val1")]}},
+     TWO_RESOURCE_METRICS, ["metric1", "metric2"]),
+]
+
+
+@pytest.mark.parametrize("name,cfg,rows,expected", METRIC_CASES,
+                         ids=[c[0] for c in METRIC_CASES])
+def test_filter_metric_processor(spark, name, cfg, rows, expected):
+    from opentelemetry_collector_contrib_spark.processors import (
+        FilterMetricsProcessor,
+        MetricMatchProperties,
+    )
+
+    kwargs = {}
+    for side in ("include", "exclude"):
+        if side in cfg:
+            kwargs[side] = MetricMatchProperties(**cfg[side])
+    out = FilterMetricsProcessor(**kwargs)(_metric_df(spark, rows))
+    got = sorted(r.metric_name for r in out.collect())
+    assert got == sorted(expected), name
