@@ -9,8 +9,10 @@ from .enrich import (  # noqa: F401
 from .filter import (  # noqa: F401
     FilterMetricsProcessor,
     FilterProcessor,
+    FilterSpansProcessor,
     LogMatchProperties,
     MetricMatchProperties,
+    SpanMatchProperties,
 )
 from .groupbyattrs import GroupByAttrs  # noqa: F401
 from .k8sattributes import (  # noqa: F401

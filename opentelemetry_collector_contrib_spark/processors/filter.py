@@ -175,6 +175,105 @@ class FilterMetricsProcessor:
 
 
 @dataclass
+class SpanMatchProperties:
+    """The reference's span ``MatchProperties`` (internal/filter/
+    filterspan/filterspan.go): services match the resource's
+    ``service.name`` (ANY of the listed values), span_names match the
+    span name, attributes must ALL be present on the span, libraries
+    match the instrumentation scope name (+optional version). Groups
+    AND together; values within a list OR together."""
+
+    match_type: str = "strict"  # strict | regexp
+    services: list[str] = field(default_factory=list)
+    span_names: list[str] = field(default_factory=list)
+    attributes: list[tuple[str, str]] = field(default_factory=list)
+    libraries: list[tuple[str, str | None]] = field(default_factory=list)
+
+    def __post_init__(self):
+        if self.match_type not in ("strict", "regexp"):
+            raise ValueError("match_type must be 'strict' or 'regexp'")
+
+    def _one(self, col: F.Column, value: str) -> F.Column:
+        hit = col == value if self.match_type == "strict" else col.rlike(value)
+        return F.coalesce(hit, F.lit(False))
+
+    def compile(
+        self,
+        name_col: str = "span_name",
+        attributes_col: str = "attributes",
+        resource_col: str = "resource",
+        scope_name_col: str = "scope_name",
+        scope_version_col: str = "scope_version",
+    ) -> F.Column | None:
+        groups: list[F.Column] = []
+        if self.services:
+            svc = F.col(resource_col).getItem("service.name")
+            hit = F.lit(False)
+            for v in self.services:
+                hit = hit | self._one(svc, v)
+            groups.append(hit)
+        if self.span_names:
+            hit = F.lit(False)
+            for v in self.span_names:
+                hit = hit | self._one(F.col(name_col), v)
+            groups.append(hit)
+        for key, value in self.attributes:
+            groups.append(self._one(F.col(attributes_col).getItem(key), value))
+        if self.libraries:
+            hit = F.lit(False)
+            for lib, ver in self.libraries:
+                one = self._one(F.col(scope_name_col), lib)
+                if ver is not None:
+                    one = one & self._one(F.col(scope_version_col), ver)
+                hit = hit | one
+            groups.append(hit)
+        if not groups:
+            return None
+        cond = groups[0]
+        for g in groups[1:]:
+            cond = cond & g
+        return cond
+
+
+@dataclass
+class FilterSpansProcessor:
+    """Traces-signal filter (processor/filterprocessor/traces.go): keep
+    only spans matching ``include``, drop those matching ``exclude``,
+    then the OTTL/SQL condition cascade (matching -> DROP)."""
+
+    include: SpanMatchProperties | None = None
+    exclude: SpanMatchProperties | None = None
+    conditions: list[str] = field(default_factory=list)
+    observe_name: str | None = None
+
+    def matched(self) -> F.Column:
+        cond = F.lit(False)
+        for c in self.conditions:
+            cond = cond | F.coalesce(F.expr(c), F.lit(False))
+        if self.include is not None:
+            inc = self.include.compile()
+            if inc is not None:
+                cond = cond | ~inc
+        if self.exclude is not None:
+            exc = self.exclude.compile()
+            if exc is not None:
+                cond = cond | exc
+        return cond
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        cond = self.matched()
+        if self.observe_name:
+            obs = Observation(self.observe_name)
+            df = df.observe(
+                obs,
+                F.sum(cond.cast("long")).alias("filtered"),
+                F.count(F.lit(1)).alias("seen"),
+            )
+            self.observation = obs
+        return df.filter(~cond)
+
+
+@dataclass
 class FilterProcessor:
     conditions: list[str] = field(default_factory=list)
     #                              OR-joined predicates; match -> DROP

@@ -330,3 +330,69 @@ def test_filter_metric_processor(spark, name, cfg, rows, expected):
     out = FilterMetricsProcessor(**kwargs)(_metric_df(spark, rows))
     got = sorted(r.metric_name for r in out.collect())
     assert got == sorted(expected), name
+
+
+# --- traces signal: standardTraceTests (traces_test.go:24-160) ----------------
+
+REDIS_SPANS = [
+    # (span_name, scope_name, scope_version, attributes, resource)
+    ("test!", "otel", "11", {"db.type": "redis"}, {}),
+    ("test!", "otel", "11", {}, {}),
+]
+NAME_SPANS = [
+    ("test!", "otel", "11", {}, {"service.name": "keep"}),
+    ("test!", "otel", "11", {}, {"service.name": "dont_keep"}),
+    ("test!", "otel", "11", {}, {"service.name": "keep"}),
+]
+
+SPAN_SCHEMA = ("span_name string, scope_name string, scope_version string, "
+               "attributes map<string,string>, resource map<string,string>")
+
+
+@pytest.mark.parametrize("name,inc,exc,rows,expected", [
+    ("filterRedis", None,
+     {"attributes": [("db.type", "redis")]}, REDIS_SPANS, 1),
+    ("keepRedis",
+     {"attributes": [("db.type", "redis")]}, None, REDIS_SPANS, 1),
+    ("keepServiceName",
+     {"services": ["keep"]}, None, NAME_SPANS, 2),
+], ids=["filterRedis", "keepRedis", "keepServiceName"])
+def test_filter_trace_processor(spark, name, inc, exc, rows, expected):
+    from opentelemetry_collector_contrib_spark.processors import (
+        FilterSpansProcessor,
+        SpanMatchProperties,
+    )
+
+    df = spark.createDataFrame(rows, SPAN_SCHEMA)
+    proc = FilterSpansProcessor(
+        include=SpanMatchProperties(**inc) if inc else None,
+        exclude=SpanMatchProperties(**exc) if exc else None,
+    )
+    assert proc(df).count() == expected, name
+
+
+def test_filter_trace_ottl_conditions(spark):
+    # TestFilterTraceProcessorWithOTTL "drop spans": name = "operationA"
+    rows = [("operationA", "otel", "1", {}, {}),
+            ("operationB", "otel", "1", {}, {})]
+    from opentelemetry_collector_contrib_spark.processors import (
+        FilterSpansProcessor,
+    )
+
+    df = spark.createDataFrame(rows, SPAN_SCHEMA)
+    out = FilterSpansProcessor(conditions=["span_name = 'operationA'"])(df)
+    assert [r.span_name for r in out.collect()] == ["operationB"]
+
+
+def test_filter_trace_library_match(spark):
+    rows = [("s", "otel", "11", {}, {}), ("s", "other", "11", {}, {})]
+    from opentelemetry_collector_contrib_spark.processors import (
+        FilterSpansProcessor,
+        SpanMatchProperties,
+    )
+
+    df = spark.createDataFrame(rows, SPAN_SCHEMA)
+    out = FilterSpansProcessor(
+        include=SpanMatchProperties(libraries=[("otel", "11")])
+    )(df)
+    assert out.count() == 1
