@@ -743,6 +743,25 @@ def _span_frame(spark, sf_dir):
     )
 
 
+def _q_filter_spans(spark, sf_dir):
+    # traces-signal filter (processor/filterprocessor/traces.go): span
+    # attribute exclude matcher + OTTL-shaped condition cascade over the
+    # deterministic span frame
+    from opentelemetry_collector_contrib_spark.processors import (
+        FilterSpansProcessor,
+        SpanMatchProperties,
+    )
+
+    spans = _span_frame(spark, sf_dir)
+    proc = FilterSpansProcessor(
+        exclude=SpanMatchProperties(attributes=[("turn", "3")]),
+        conditions=["span_kind = 'SPAN_KIND_CLIENT'"],
+    )
+    return proc(spans).select(
+        "trace_id", "span_id", "span_name", "span_kind", "status_code"
+    )
+
+
 def _q_count_spans_signal(spark, sf_dir):
     # the count connector's span + span-event signals (config.go:19-29
     # per-signal default metric names): spans counted per service with
@@ -1718,6 +1737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recombine": _q_recombine,
         "recombine_sessions": _q_recombine_sessions,
         "filter_processor": _q_filter,
+        "filter_spans": _q_filter_spans,
         "attributes_processor": _q_attributes,
         "transform_ottl": _q_ottl,
         "parse_json": _q_parse_json,
@@ -1857,6 +1877,17 @@ g AS (SELECT *, sum(CASE WHEN turn_idx % 5 = 0 THEN 1 ELSE 0 END)
 SELECT conv_id, min(turn_idx) AS turn_idx,
        string_agg(text, chr(10) ORDER BY turn_idx) AS text
 FROM g GROUP BY conv_id, grp""",
+        "filter_spans": f"""WITH {TRANSCRIPTS_ORACLE_CTE.strip()}
+SELECT conv_id AS trace_id,
+       conv_id || '#' || CAST(turn_idx AS VARCHAR) AS span_id,
+       'turn-' || role AS span_name,
+       CASE WHEN role = 'user' THEN 'SPAN_KIND_CLIENT'
+            WHEN role = 'tool' THEN 'SPAN_KIND_SERVER'
+            ELSE 'SPAN_KIND_INTERNAL' END AS span_kind,
+       CASE WHEN turn_idx % 5 = 0 THEN 'STATUS_CODE_ERROR'
+            ELSE 'STATUS_CODE_OK' END AS status_code
+FROM transcripts
+WHERE turn_idx <> 3 AND role <> 'user'""",
         "filter_processor": f"""WITH {TRANSCRIPTS_ORACLE_CTE.strip()}
 SELECT conv_id, turn_idx, role, tool FROM transcripts
 WHERE NOT (coalesce(role = 'system', false) OR coalesce(tool = 'none', false))""",
