@@ -65,7 +65,9 @@ from ..processors import (
     CumulativeToDelta,
     DeltaToCumulative,
     DeltaToRate,
+    FilterMetricsProcessor,
     FilterProcessor,
+    FilterSpansProcessor,
     GroupByAttrs,
     GenerationRule,
     IntervalProcessor,
@@ -80,6 +82,10 @@ from ..processors import (
     TailPolicy,
     TailSampling,
     TransformProcessor,
+)
+from ..processors import (
+    MetricMatchProperties,
+    SpanMatchProperties,
 )
 from ..processors import GroupByTrace as _GroupByTrace
 from ..processors import transform_metrics as _tm
@@ -169,6 +175,22 @@ OPERATOR_REGISTRY: dict[str, Callable[..., Callable[[DataFrame], DataFrame]]] = 
         [_tail_policy(p) for p in policies], **kw
     ),
     "groupbytrace": _GroupByTrace,
+    # filter processor's metric / trace signals (config.go Metrics /
+    # Spans blocks): include/exclude dicts become match-properties
+    "filter_metrics": lambda include=None, exclude=None, **kw: (
+        FilterMetricsProcessor(
+            include=MetricMatchProperties(**include) if include else None,
+            exclude=MetricMatchProperties(**exclude) if exclude else None,
+            **kw,
+        )
+    ),
+    "filter_spans": lambda include=None, exclude=None, **kw: (
+        FilterSpansProcessor(
+            include=SpanMatchProperties(**include) if include else None,
+            exclude=SpanMatchProperties(**exclude) if exclude else None,
+            **kw,
+        )
+    ),
     # connectors
     "count": lambda metrics: CountConnector([MetricDef(**m) for m in metrics]),
     "routing": lambda routes, **kw: RoutingConnector(

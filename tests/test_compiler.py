@@ -169,3 +169,27 @@ def test_metric_context_and_expo_stages_compile(spark):
     )
     fn2 = compile_pipeline(PipelineConfig([StageConfig("deltatocumulative_expo", {})]))
     assert fn2(expo_df).count() == 1
+
+
+def test_compiler_reaches_signal_filters(spark):
+    from opentelemetry_collector_contrib_spark.plans.compiler import (
+        OPERATOR_REGISTRY,
+    )
+
+    fm = OPERATOR_REGISTRY["filter_metrics"](
+        include={"match_type": "regexp", "metric_names": ["http_.*"]}
+    )
+    df = spark.createDataFrame(
+        [("http_x", {}), ("other", {})],
+        "metric_name string, resource map<string,string>",
+    )
+    assert fm(df).count() == 1
+    fs = OPERATOR_REGISTRY["filter_spans"](
+        exclude={"attributes": [("db.type", "redis")]}
+    )
+    sdf = spark.createDataFrame(
+        [("a", "s", "1", {"db.type": "redis"}, {}), ("b", "s", "1", {}, {})],
+        "span_name string, scope_name string, scope_version string, "
+        "attributes map<string,string>, resource map<string,string>",
+    )
+    assert fs(sdf).count() == 1
