@@ -283,6 +283,13 @@ def compile_pipeline(
             dim = opts.pop("dim")
             ops.append(LookupEnrich(dims[dim] if isinstance(dim, str) else dim, **opts))
             continue
+        if st.kind == "geoip":
+            from ..processors import GeoIpEnrich
+
+            opts = dict(st.options)
+            dim = opts.pop("dim")
+            ops.append(GeoIpEnrich(dims[dim] if isinstance(dim, str) else dim, **opts))
+            continue
         if st.kind not in OPERATOR_REGISTRY:
             raise KeyError(f"unknown stage kind {st.kind!r}")
         ops.append(OPERATOR_REGISTRY[st.kind](**st.options))

@@ -193,3 +193,24 @@ def test_compiler_reaches_signal_filters(spark):
         "attributes map<string,string>, resource map<string,string>",
     )
     assert fs(sdf).count() == 1
+
+
+def test_compiler_geoip_stage(spark):
+    from opentelemetry_collector_contrib_spark.plans.compiler import (
+        PipelineConfig,
+        StageConfig,
+        compile_pipeline,
+    )
+
+    dim = spark.createDataFrame(
+        [("1.2.3.0/24", "bcn")], "cidr string, city string"
+    )
+    pipe = compile_pipeline(
+        PipelineConfig([StageConfig("geoip", {"dim": "geo"})]),
+        dims={"geo": dim},
+    )
+    df = spark.createDataFrame(
+        [(0, {"source.address": "1.2.3.4"})],
+        "rid int, attributes map<string,string>",
+    )
+    assert pipe(df).collect()[0].geo_city == "bcn"
