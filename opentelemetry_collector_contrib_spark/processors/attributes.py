@@ -113,15 +113,26 @@ class Action:
 @dataclass
 class AttributesProcessor:
     actions: list[Action]
-    include: str | None = None  # SQL predicate: record must match to be touched
-    exclude: str | None = None  # SQL predicate: matching records are skipped
+    include: object | None = None  # SQL predicate string OR a
+    #   Log/Span/MetricMatchProperties (the reference's MatchConfig
+    #   include block, attraction/config.go): record must match to be
+    #   touched
+    exclude: object | None = None  # same forms; matching records skipped
+
+    @staticmethod
+    def _props(p) -> Column | None:
+        return F.expr(p) if isinstance(p, str) else p.compile()
 
     def _guard(self) -> Column | None:
         conds = []
         if self.include is not None:
-            conds.append(F.expr(self.include))
+            inc = self._props(self.include)
+            if inc is not None:  # empty properties object = absent matcher
+                conds.append(F.coalesce(inc, F.lit(False)))
         if self.exclude is not None:
-            conds.append(~F.coalesce(F.expr(self.exclude), F.lit(False)))
+            exc = self._props(self.exclude)
+            if exc is not None:
+                conds.append(~F.coalesce(exc, F.lit(False)))
         if not conds:
             return None
         g = conds[0]

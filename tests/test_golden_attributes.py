@@ -148,3 +148,30 @@ def test_filter_logs_by_name_regexp(spark):
         ("incorrect_log_name_with_attr",
          {"NoModification": "true"}, {"NoModification": "true"}),
     ])
+
+
+def test_attributes_with_match_properties_guard(spark):
+    # attraction include/exclude as the declarative MatchConfig forms
+    # (processor/attributesprocessor/config.go Include/Exclude) instead
+    # of SQL strings
+    from opentelemetry_collector_contrib_spark.processors import (
+        Action,
+        AttributesProcessor,
+        LogMatchProperties,
+    )
+
+    df = spark.createDataFrame(
+        [({"svc": "a"}, {}, "keep me", "INFO", 9),
+         ({"svc": "b"}, {}, "skip me", "INFO", 9)],
+        "resource map<string,string>, attributes map<string,string>, "
+        "body string, severity_text string, severity_number int",
+    )
+    proc = AttributesProcessor(
+        actions=[Action("upsert", key="attributes.touched", value="1")],
+        include=LogMatchProperties(
+            match_type="strict", resource_attributes=[("svc", "a")]
+        ),
+    )
+    rows = {r.body: dict(r.attributes) for r in proc(df).collect()}
+    assert rows["keep me"].get("touched") == "1"
+    assert "touched" not in rows["skip me"]
