@@ -1397,6 +1397,39 @@ def _metric_frame(spark, sf_dir):
     )
 
 
+def _q_filter_metrics(spark, sf_dir):
+    # metrics-signal filter (processor/filterprocessor/metrics.go):
+    # regexp include on the metric name AND a strict-on-regexp-side
+    # resource attribute conjunction
+    from opentelemetry_collector_contrib_spark.processors import (
+        FilterMetricsProcessor,
+        MetricMatchProperties,
+    )
+
+    m = _metric_frame(spark, sf_dir).withColumn(
+        "resource",
+        F.create_map(
+            F.lit("env"),
+            F.when(
+                F.element_at("labels", "uid").cast("long") % 3 == 0, "prod"
+            ).otherwise("dev"),
+        ),
+    )
+    proc = FilterMetricsProcessor(
+        include=MetricMatchProperties(
+            match_type="regexp",
+            metric_names=[r"req\..*"],
+            resource_attributes=[("env", "prod")],
+        )
+    )
+    return proc(m).select(
+        "metric_name",
+        F.element_at("labels", "uid").alias("uid"),
+        "value",
+        F.element_at("resource", "env").alias("env"),
+    )
+
+
 def _q_metrics_transform(spark, sf_dir):
     # combine req.count + err.count into one summed metric per label set
     mt = MetricsTransform([
@@ -1778,6 +1811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampler_proportional": _q_sampler_proportional,
         "sampler_equalizing": _q_sampler_equalizing,
         "metrics_transform": _q_metrics_transform,
+        "filter_metrics": _q_filter_metrics,
         "metrics_combine_captures": _q_metrics_combine_captures,
         "grafanacloud_hosts": _q_grafanacloud_hosts,
         "sumologic_shape": _q_sumologic_shape,
@@ -2240,6 +2274,11 @@ SELECT client, server, count(*)::BIGINT AS request_count,
 FROM paired
 WHERE client = 'user' AND next_role = 'tool'
 GROUP BY client, server""",
+        "filter_metrics": """SELECT 'req.count' AS metric_name,
+  CAST(user_id AS VARCHAR) AS uid,
+  floor(value * 1000000) AS value,
+  'prod' AS env
+FROM events WHERE event_id % 2 = 0 AND user_id % 3 = 0""",
         "metrics_transform": """WITH mf AS (
   SELECT CASE WHEN event_id % 2 = 0 THEN 'req.count' ELSE 'err.count' END AS metric_name,
          floor(value * 1000000) AS v, CAST(user_id AS VARCHAR) AS uid
