@@ -75,7 +75,7 @@ _TOKEN_RE = re.compile(
   | (?P<string>"(?:[^"\\]|\\.)*")
   | (?P<bytes>0x[0-9a-fA-F]+)
   | (?P<float>[-+]?\d*\.\d+(?:[eE][-+]?\d+)?)
-  | (?P<int>-?\d+)
+  | (?P<int>[-+]?\d+)
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
   | (?P<op>==|!=|<=|>=|<|>|\+|\-|\*|/|\(|\)|\[|\]|,|\.)
     """,

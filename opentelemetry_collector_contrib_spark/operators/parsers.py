@@ -177,11 +177,14 @@ class CsvParser:
         d = _re.escape(self.delimiter)
         return F.split(src, d + '(?=(?:[^"]*"[^"]*")*[^"]*$)')
 
-    def _field_count(self, src: Column) -> Column:
-        """Go encoding/csv field count (LazyQuotes tokenization) as one
-        scan over character positions — MapCSVHeaders needs the REAL
-        field count and from_csv pads/truncates silently. States: 0 =
-        field start, 1 = unquoted, 2 = quoted, 3 = quote-seen-in-quoted
+    def _csv_scan(self, src: Column) -> Column:
+        """Go encoding/csv tokenization as one scan over character
+        positions: struct(count, bare) — the REAL field count
+        (MapCSVHeaders needs it; from_csv pads/truncates silently) and
+        whether the row used a LazyQuotes-only form (bare quote in an
+        unquoted field = ErrBareQuote, non-doubled quote inside a
+        quoted field = ErrQuote, unterminated quote). States: 0 = field
+        start, 1 = unquoted, 2 = quoted, 3 = quote-seen-in-quoted
         (doubled -> escaped, delimiter -> field ends, other -> lazy
         literal quote)."""
         n = F.length(src)
@@ -189,39 +192,52 @@ class CsvParser:
             F.array().cast("array<int>")
         )
         init = F.struct(
-            F.lit(0).alias("cnt"), F.lit(0).alias("st")
+            F.lit(0).alias("cnt"), F.lit(0).alias("st"),
+            F.lit(False).alias("bare"),
         )
 
-        def mk(cnt, st):
-            return F.struct(cnt.alias("cnt"), F.lit(st).alias("st"))
+        def mk(cnt, st, bare):
+            return F.struct(cnt.alias("cnt"), F.lit(st).alias("st"), bare.alias("bare"))
 
         def step(acc, i):
             cnt = acc.getField("cnt")
             st = acc.getField("st")
+            bare = acc.getField("bare")
             c = F.substr(src, i, F.lit(1))
             is_d = c == self.delimiter
             is_q = c == '"'
             return (
                 # field start: delimiter = empty field; quote opens
-                F.when((st == 0) & is_d, mk(cnt + 1, 0))
-                .when((st == 0) & is_q, mk(cnt, 2))
-                .when(st == 0, mk(cnt, 1))
-                # unquoted: only the delimiter matters (bare quotes are
-                # lazy literals)
-                .when((st == 1) & is_d, mk(cnt + 1, 0))
-                .when(st == 1, mk(cnt, 1))
+                F.when((st == 0) & is_d, mk(cnt + 1, 0, bare))
+                .when((st == 0) & is_q, mk(cnt, 2, bare))
+                .when(st == 0, mk(cnt, 1, bare))
+                # unquoted: a quote here is ErrBareQuote in strict mode
+                .when((st == 1) & is_d, mk(cnt + 1, 0, bare))
+                .when((st == 1) & is_q, mk(cnt, 1, F.lit(True)))
+                .when(st == 1, mk(cnt, 1, bare))
                 # quoted: quote arms the close
-                .when((st == 2) & is_q, mk(cnt, 3))
-                .when(st == 2, mk(cnt, 2))
+                .when((st == 2) & is_q, mk(cnt, 3, bare))
+                .when(st == 2, mk(cnt, 2, bare))
                 # armed: doubled quote = escape, delimiter = field end,
-                # anything else = lazy literal quote (stay quoted)
-                .when((st == 3) & is_q, mk(cnt, 2))
-                .when((st == 3) & is_d, mk(cnt + 1, 0))
-                .otherwise(mk(cnt, 2))
+                # anything else = lazy literal quote (ErrQuote strict)
+                .when((st == 3) & is_q, mk(cnt, 2, bare))
+                .when((st == 3) & is_d, mk(cnt + 1, 0, bare))
+                .otherwise(mk(cnt, 2, F.lit(True)))
             )
 
-        agg = F.aggregate(idx, init, step)
-        return F.when(n > 0, agg.getField("cnt") + 1).otherwise(F.lit(0))
+        def finish(acc):
+            open_quote = acc.getField("st") == 2  # EOF inside quotes
+            return F.struct(
+                F.when(n > 0, acc.getField("cnt") + 1)
+                .otherwise(F.lit(0))
+                .alias("count"),
+                (acc.getField("bare") | open_quote).alias("bare"),
+            )
+
+        return F.aggregate(idx, init, step, finish)
+
+    def _field_count(self, src: Column) -> Column:
+        return self._csv_scan(src).getField("count")
 
     @staticmethod
     def _unquote(tok: Column) -> Column:
@@ -277,21 +293,34 @@ class CsvParser:
         opts = {"sep": self.delimiter, "escape": '"'}
         if self.lazy_quotes:
             opts["unescapedQuoteHandling"] = "STOP_AT_CLOSING_QUOTE"
-        staged = df.withColumn("__csv_src", src)
-        src = F.col("__csv_src")
-        parsed = F.from_csv(src, ddl, opts)
         # MapCSVHeaders (parseutils/csv.go:73-76): field count must
         # EQUAL the header length or the whole entry errors; count via
         # the tokenizer-faithful scan (from_csv pads/truncates
-        # silently). Go csv yields "" for empty fields where Univocity
-        # yields null — coalesce inside the ok guard.
-        ok = (self._field_count(src) == len(header)) & parsed.isNotNull()
+        # silently). Strict (non-lazy) mode additionally errors rows
+        # Go csv rejects with ErrBareQuote/ErrQuote. The scan, parse,
+        # and ok flag are STAGED columns so each evaluates once — a
+        # per-column when(ok, ...) would re-run the O(chars) scan and
+        # from_csv once per header column (conditional branches defeat
+        # subexpression elimination). Go csv yields "" for empty fields
+        # where Univocity yields null — coalesce inside the ok guard.
+        staged = df.withColumn("__csv_src", src)
+        src = F.col("__csv_src")
+        staged = staged.withColumn("__csv_scan", self._csv_scan(src))
+        staged = staged.withColumn("__csv_parsed", F.from_csv(src, ddl, opts))
+        scan = F.col("__csv_scan")
+        parsed = F.col("__csv_parsed")
+        ok_expr = (scan.getField("count") == len(header)) & parsed.isNotNull()
+        if not self.lazy_quotes:
+            ok_expr = ok_expr & ~scan.getField("bare")
+        staged = staged.withColumn("__csv_ok", ok_expr)
+        ok = F.col("__csv_ok")
         values = {
             h: F.when(ok, F.coalesce(parsed.getField(h), F.lit("")))
             for h in header
         }
-        out = _write_groups(staged, values, self.parse_to).drop("__csv_src")
-        return apply_on_error(out, ok, self.on_error, self.if_expr)
+        out = _write_groups(staged, values, self.parse_to)
+        out = apply_on_error(out, ok, self.on_error, self.if_expr)
+        return out.drop("__csv_src", "__csv_scan", "__csv_parsed", "__csv_ok")
 
 
 @dataclass
@@ -438,12 +467,17 @@ class KeyValueParser:
         ok = (
             src.isNotNull() & (src != "") & ~split.getField("err") & ~bad_pair
         )
+        def _trimspace(c: Column) -> Column:
+            # strings.TrimSpace trims ALL whitespace (tabs/newlines),
+            # not just the space char F.trim handles
+            return F.regexp_replace(c, r"^\s+|\s+$", "")
+
         kv = F.transform(
             parts,
             lambda p, i: F.struct(
-                F.trim(F.substr(p, F.lit(1), F.instr(p, delim) - 1)).alias("k"),
+                _trimspace(F.substr(p, F.lit(1), F.instr(p, delim) - 1)).alias("k"),
                 i.alias("i"),
-                F.trim(F.substr(p, F.instr(p, delim) + dlen)).alias("v"),
+                _trimspace(F.substr(p, F.instr(p, delim) + dlen)).alias("v"),
             ),
         )
         # duplicate keys: LAST wins (Go map overwrite) — stable
@@ -829,16 +863,29 @@ class TraceParser:
             ("span_id", self.span_from),
             ("trace_flags", self.flags_from),
         ]
+        staged = []
         for target, src_path in pairs:
             if src_path is None:
                 if target not in df.columns:
                     continue
                 src_path = target
-            src = field_get(src_path)
-            decoded = F.unhex(src)
+            # stage the source FIRST: the decode overwrites the target
+            # column, and the ok predicate must read the original value
+            # (not the freshly-written binary)
+            raw = f"__trace_raw_{target}"
+            df = df.withColumn(raw, field_get(src_path))
+            staged.append((target, raw))
+        for target, raw in staged:
+            src = F.col(raw)
+            # Go hex.DecodeString errors on ODD length where Spark unhex
+            # left-pads a nibble — gate the decode on even length so an
+            # odd-length id nulls out and errors instead of silently
+            # producing a padded binary
+            decoded = F.when(F.length(src) % 2 == 0, F.unhex(src))
             ok = ok & (src.isNull() | decoded.isNotNull())
             df = df.withColumn(target, decoded)
-        return apply_on_error(df, ok, self.on_error, self.if_expr)
+        df = apply_on_error(df, ok, self.on_error, self.if_expr)
+        return df.drop(*[raw for _, raw in staged])
 
 
 CRI_PATTERN = (
@@ -1077,14 +1124,20 @@ class UriParser:
     on_error: str = "send"
     if_expr: str | None = None
 
-    # RFC 3986 appendix-B style, with a numeric-port authority split
+    # RFC 3986 appendix-B style, with a numeric-port authority split.
+    # The lookahead after the authority forces it to consume up to a
+    # path/query/fragment boundary — 'http://host:8080x/p' (invalid
+    # port) and IPv6 bracket hosts fail the authority as a whole and
+    # surface as parse errors below, like Go's 'invalid port' error
+    # (bracketed IPv6 authorities, which Go does accept, are an
+    # unsupported-input -> error deviation here, never corrupt output)
     URI_RE = (
-        r"^(?:([A-Za-z][A-Za-z0-9+.-]*):)?"      # 1 scheme
-        r"(?://(?:([^@/?#]*)@)?"                  # 2 userinfo
-        r"([^:/?#]*)(?::([0-9]*))?)?"             # 3 host, 4 port
-        r"([^?#]*)"                               # 5 path
-        r"(?:\?([^#]*))?"                         # 6 query
-        r"(?:#(.*))?$"                            # 7 fragment
+        r"^(?:([A-Za-z][A-Za-z0-9+.-]*):)?"       # 1 scheme
+        r"(?://(?:([^@/?#]*)@)?"                   # 2 userinfo
+        r"([^:/?#]*)(?::([0-9]*))?(?=[/?#]|$))?"   # 3 host, 4 port
+        r"([^?#]*)"                                # 5 path
+        r"(?:\?([^#]*))?"                          # 6 query
+        r"(?:#(.*))?$"                             # 7 fragment
     )
     # a %-sequence is decodable only when well-formed (url_decode throws
     # on stray '%'; Go returns an error — we keep the raw token instead
@@ -1106,12 +1159,22 @@ class UriParser:
         scheme, userinfo, host = part(1), part(2), part(3)
         port, path, query = part(4), part(5), part(6)
         # ParseRequestURI accepts absolute URIs and absolute paths;
-        # ParseURI additionally accepts a '?'-prefixed bare query
+        # ParseURI additionally accepts a '?'-prefixed bare query. An
+        # input whose '//' authority section failed the regex (bad
+        # port, bracket host) falls into the PATH group as '//...' with
+        # no host — Go errors those ('invalid port'), so flag them.
+        authority_failed = (
+            path.isNotNull() & path.startswith("//") & host.isNull()
+        )
         ok = (
-            scheme.isNotNull()
-            | src.startswith("/")
-            | src.startswith("?")
-        ) & ~F.coalesce(query.contains(";"), F.lit(False))
+            (
+                scheme.isNotNull()
+                | src.startswith("/")
+                | src.startswith("?")
+            )
+            & ~F.coalesce(query.contains(";"), F.lit(False))
+            & ~F.coalesce(authority_failed, F.lit(False))
+        )
 
         # url.Values: split '&', skip empties, key = before first '=',
         # decoded; repeated keys accumulate values in order. ONE
@@ -1167,6 +1230,9 @@ class UriParser:
             f"{p}query": query,
             f"{p}query_params": params,
         }
+        # error rows keep NO components (ParseURI returns nil, err — the
+        # entry is left untouched under send mode)
+        values = {k: F.when(ok, v) for k, v in values.items()}
         out = _write_groups(staged, values, self.parse_to).drop("__kv_sorted")
         return apply_on_error(out, ok, self.on_error, self.if_expr)
 

@@ -303,6 +303,9 @@ def decode_jpeg_header(payload: bytes) -> dict:
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
         marker = payload[pos + 1]
+        if marker == 0xFF:
+            pos += 1  # 0xFF fill/padding byte before the real marker
+            continue
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
             pos += 2  # standalone markers carry no length
             continue
@@ -336,9 +339,44 @@ def decode_gif_header(payload: bytes) -> dict:
     if len(payload) < 13:
         raise ValueError("GIF header truncated")
     width, height = struct.unpack("<HH", payload[6:10])
-    # image-data frames need LZW decode; count the image separator
-    # blocks for n_frames (an upper-bound scan, exact for simple GIFs)
-    n_frames = payload.count(b"\x2c", 13)
+    # walk the block structure for an EXACT frame count: 0x2C image
+    # descriptors (skip 9-byte descriptor + optional local color table
+    # + LZW sub-blocks), 0x21 extensions (label + sub-blocks), 0x3B
+    # trailer — a bare byte-scan would count 0x2C bytes inside color
+    # tables and pixel data
+    packed = payload[10]
+    pos = 13
+    if packed & 0x80:  # global color table present
+        pos += 3 * (2 << (packed & 0x07))
+    n_frames = 0
+
+    def _skip_subblocks(p: int) -> int:
+        while p < len(payload):
+            size = payload[p]
+            p += 1
+            if size == 0:
+                return p
+            p += size
+        return p
+
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x2C:  # image descriptor
+            n_frames += 1
+            if pos + 10 > len(payload):
+                break
+            img_packed = payload[pos + 9]
+            pos += 10
+            if img_packed & 0x80:  # local color table
+                pos += 3 * (2 << (img_packed & 0x07))
+            pos += 1  # LZW minimum code size
+            pos = _skip_subblocks(pos)
+        elif block == 0x21:  # extension: label byte + sub-blocks
+            pos = _skip_subblocks(pos + 2)
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            break  # malformed tail — keep what we counted
     return {
         "format": "gif",
         "width": width,

@@ -101,3 +101,95 @@ def test_recombine_both_caps_apply_min_on_unmatched(spark):
     assert "start\nm1\nm2\nm3\nm4" in bodies
     assert "m5\nm6" in bodies
     assert len(bodies) == 4
+
+
+# --- round-3 self-review fixes (code-review findings) -------------------------
+
+
+def test_trace_parser_odd_length_hex_errors(spark):
+    from opentelemetry_collector_contrib_spark.operators import TraceParser
+
+    df = spark.createDataFrame([("abc",)], "trace_id string")
+    assert TraceParser()(df).collect()[0].trace_id is None
+    assert TraceParser(on_error="drop")(df).count() == 0
+
+
+def test_uri_parser_invalid_authority_errors(spark):
+    from opentelemetry_collector_contrib_spark.operators.parsers import UriParser
+
+    bad = ["http://host:8080x/path", "http://[::1]:8080/p", "http://h:80a0/"]
+    df = spark.createDataFrame([(b,) for b in bad], "body string")
+    assert UriParser(on_error="drop")(df).count() == 0
+    # schemeless network-path reference still resolves its host
+    df2 = spark.createDataFrame([("//foo/bar",)], "body string")
+    r = UriParser()(df2).collect()[0]
+    assert r.host == "foo" and r.path == "/bar"
+
+
+def test_csv_strict_mode_rejects_bare_quotes(spark):
+    from opentelemetry_collector_contrib_spark.operators import CsvParser
+
+    df = spark.createDataFrame(
+        [('stanza "log parser",1,6ft,5',)], "body string"
+    )
+    hdr = "name,age,height,number"
+    # strict: ErrBareQuote -> whole-row error (csv.go LazyQuotes=false)
+    strict = CsvParser(header=hdr)(df).collect()[0]
+    assert strict.name is None
+    assert CsvParser(header=hdr, on_error="drop")(df).count() == 0
+    # lazy: parses with the quote kept
+    lazy = CsvParser(header=hdr, lazy_quotes=True)(df).collect()[0]
+    assert lazy.name == 'stanza "log parser"'
+    # unterminated quote is an error in strict mode too
+    df2 = spark.createDataFrame([('a,"unterminated',)], "body string")
+    assert CsvParser(header="x,y", on_error="drop")(df2).count() == 0
+
+
+def test_kv_reference_trims_all_whitespace(spark):
+    from opentelemetry_collector_contrib_spark.operators import KeyValueParser
+
+    df = spark.createDataFrame([("a=1\t b=2",)], "body string")
+    r = KeyValueParser(mode="reference", parse_to="parsed")(df).collect()[0]
+    assert dict(r.parsed) == {"a": "1", "b": "2"}
+
+
+def test_ottl_signed_int_literal():
+    from opentelemetry_collector_contrib_spark.functions.ast import Lit, Parser
+
+    st = Parser('set(attributes["x"], +5)').parse_statement()
+    assert isinstance(st.editor.args[1], Lit)
+    assert st.editor.args[1].value == 5
+
+
+def test_gif_frame_count_walks_blocks():
+    import struct
+
+    from opentelemetry_collector_contrib_spark.training.codecs import (
+        decode_gif_header,
+    )
+
+    def frame(w=2, h=2):
+        # descriptor + no LCT + lzw code size + one 0x2C-laden subblock
+        return (b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+                + b"\x02" + b"\x02\x2c\x2c" + b"\x00")
+
+    header = b"GIF89a" + struct.pack("<HH", 2, 2) + bytes([0x80, 0, 0])
+    gct = b"\x2c" * 6  # 2-entry global color table FULL of 0x2C bytes
+    one = header + gct + frame() + b"\x3b"
+    two = header + gct + frame() + frame() + b"\x3b"
+    assert decode_gif_header(one)["n_frames"] == 1
+    assert decode_gif_header(two)["n_frames"] == 2
+
+
+def test_jpeg_fill_bytes_between_segments():
+    import struct
+
+    from opentelemetry_collector_contrib_spark.training.codecs import (
+        decode_jpeg_header,
+    )
+
+    sof = struct.pack(">BHHB", 8, 3, 4, 3) + b"\x01\x11\x00" * 3
+    jpeg = (b"\xff\xd8" + b"\xff\xff\xff"  # fill bytes
+            + b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof + b"\xff\xd9")
+    d = decode_jpeg_header(jpeg)
+    assert (d["width"], d["height"]) == (4, 3)
