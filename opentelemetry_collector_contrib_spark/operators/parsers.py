@@ -24,6 +24,43 @@ from ..envelope import field_get
 from .base import apply_on_error
 
 
+def grouped_kv_scan(sorted_col: "Column", accumulate: bool) -> "Column":
+    """Scan a ``struct(k, i, v)`` array SORTED by (k, i): returns
+    ``struct(ks, vs)`` where repeated keys either ACCUMULATE their
+    values in first-seen order (``vs: array<array<string>>`` —
+    url.Values semantics) or keep the LAST value (``vs: array<string>``
+    — Go map overwrite). ONE two-arg lambda; the index field makes the
+    struct sort stable (HOF house rule: no nested lambdas). Shared by
+    UriParser.query_params and KeyValueParser reference mode."""
+    val_t = "array<array<string>>" if accumulate else "array<string>"
+    init = F.struct(
+        F.array().cast("array<string>").alias("ks"),
+        F.array().cast(val_t).alias("vs"),
+    )
+
+    def step(acc, x):
+        k, v = x.getField("k"), x.getField("v")
+        ks, vs = acc.getField("ks"), acc.getField("vs")
+        same = (F.size(ks) > 0) & (F.get(ks, F.size(ks) - 1) == k)
+        if accumulate:
+            grown = F.concat(
+                F.coalesce(
+                    F.get(vs, F.size(vs) - 1), F.array().cast("array<string>")
+                ),
+                F.array(v),
+            )
+            replace_tail, append = F.array(grown), F.array(F.array(v))
+        else:
+            replace_tail = append = F.array(v)
+        new_ks = F.when(same, ks).otherwise(F.concat(ks, F.array(k)))
+        new_vs = F.when(
+            same, F.concat(F.slice(vs, 1, F.size(vs) - 1), replace_tail)
+        ).otherwise(F.concat(vs, append))
+        return F.struct(new_ks.alias("ks"), new_vs.alias("vs"))
+
+    return F.aggregate(sorted_col, init, step)
+
+
 def _write_groups(
     df: DataFrame, values: dict[str, Column], parse_to: str | None
 ) -> DataFrame:
@@ -482,21 +519,7 @@ class KeyValueParser:
         )
         # duplicate keys: LAST wins (Go map overwrite) — stable
         # (k, i)-sort then scan replacing the tail value on equal key
-        kv_sorted = F.array_sort(kv)
-        empty_s = F.array().cast("array<string>")
-        init = F.struct(empty_s.alias("ks"), empty_s.alias("vs"))
-
-        def step(acc, x):
-            k, v = x.getField("k"), x.getField("v")
-            ks, vs = acc.getField("ks"), acc.getField("vs")
-            same = (F.size(ks) > 0) & (F.get(ks, F.size(ks) - 1) == k)
-            new_vs = F.when(
-                same, F.concat(F.slice(vs, 1, F.size(vs) - 1), F.array(v))
-            ).otherwise(F.concat(vs, F.array(v)))
-            new_ks = F.when(same, ks).otherwise(F.concat(ks, F.array(k)))
-            return F.struct(new_ks.alias("ks"), new_vs.alias("vs"))
-
-        agg = F.aggregate(kv_sorted, init, step)
+        agg = grouped_kv_scan(F.array_sort(kv), accumulate=False)
         pairs = F.map_from_arrays(agg.getField("ks"), agg.getField("vs"))
         return F.when(ok, pairs), ok
 
@@ -1195,28 +1218,7 @@ class UriParser:
             ),
         )
         staged = df.withColumn("__kv_sorted", F.array_sort(kv))
-        init = F.struct(
-            F.array().cast("array<string>").alias("ks"),
-            F.array().cast("array<array<string>>").alias("vs"),
-        )
-
-        def step(acc, x):
-            k, v = x.getField("k"), x.getField("v")
-            ks, vs = acc.getField("ks"), acc.getField("vs")
-            last_k = F.get(ks, F.size(ks) - 1)
-            same = (F.size(ks) > 0) & (last_k == k)
-            grown_last = F.concat(
-                F.coalesce(F.get(vs, F.size(vs) - 1), F.array().cast("array<string>")),
-                F.array(v),
-            )
-            new_ks = F.when(same, ks).otherwise(F.concat(ks, F.array(k)))
-            new_vs = F.when(
-                same,
-                F.concat(F.slice(vs, 1, F.size(vs) - 1), F.array(grown_last)),
-            ).otherwise(F.concat(vs, F.array(F.array(v))))
-            return F.struct(new_ks.alias("ks"), new_vs.alias("vs"))
-
-        agg = F.aggregate(F.col("__kv_sorted"), init, step)
+        agg = grouped_kv_scan(F.col("__kv_sorted"), accumulate=True)
         params = F.when(
             F.size(F.col("__kv_sorted")) > 0,
             F.map_from_arrays(agg.getField("ks"), agg.getField("vs")),
