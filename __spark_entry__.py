@@ -1734,6 +1734,22 @@ def _q_fingerprint(spark, sf_dir):
     return fingerprint(_docs(spark, sf_dir))
 
 
+def _q_chunk_documents(spark, sf_dir):
+    from opentelemetry_collector_contrib_spark.training.chunking import (
+        chunk_documents,
+    )
+
+    return chunk_documents(_docs(spark, sf_dir), window=16, overlap=4)
+
+
+def _q_vocab_topk(spark, sf_dir):
+    from opentelemetry_collector_contrib_spark.training.chunking import (
+        vocab_topk,
+    )
+
+    return vocab_topk(_docs(spark, sf_dir), k=50)
+
+
 def _q_repetition_stats(spark, sf_dir):
     from opentelemetry_collector_contrib_spark.training.textstats import (
         repetition_stats,
@@ -1843,6 +1859,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_fingerprint,
         "text_repetition_stats": _q_repetition_stats,
         "quality_gate_gopher": _q_gopher_gate,
+        "chunk_documents": _q_chunk_documents,
+        "vocab_topk": _q_vocab_topk,
         "multimodal_features": _q_multimodal,
     }
 
@@ -2601,6 +2619,21 @@ FROM documents""",
         "doc_fingerprint": f"""SELECT doc_id,
   list_min(list_transform({_SH3}, s -> md5(s))) AS fp
 FROM documents""",
+        "chunk_documents": f"""WITH base AS (
+  SELECT doc_id, {_WTOKS} AS toks, len({_WTOKS}) AS n FROM documents
+), idx AS (
+  SELECT doc_id, toks,
+         unnest(range(0, CASE WHEN n > 0
+           THEN 1 + CAST(ceil(greatest(n - 16, 0) / 12.0) AS INT)
+           ELSE 0 END)) AS chunk_idx
+  FROM base)
+SELECT doc_id, chunk_idx::INT AS chunk_idx,
+  array_to_string(list_slice(toks, chunk_idx*12 + 1, chunk_idx*12 + 16), ' ') AS chunk_text,
+  len(list_slice(toks, chunk_idx*12 + 1, chunk_idx*12 + 16))::INT AS n_tokens
+FROM idx""",
+        "vocab_topk": f"""SELECT token, count(*)::BIGINT AS n
+FROM (SELECT unnest({_WTOKS}) AS token FROM documents)
+GROUP BY token ORDER BY n DESC, token LIMIT 50""",
         "text_repetition_stats": _REPSTATS_SQL,
         "quality_gate_gopher": f"""SELECT * FROM ({_REPSTATS_SQL})
 WHERE n_words >= 20 AND n_words <= 100000

@@ -91,6 +91,8 @@ BENCH_QUERIES = [
     "doc_fingerprint",
     "text_repetition_stats",
     "quality_gate_gopher",
+    "chunk_documents",
+    "vocab_topk",
 ]
 
 

@@ -39,6 +39,7 @@ from .textstats import (
     token_stats,
 )
 
+from .chunking import chunk_documents, vocab_topk  # noqa: F401
 from .curation import curate  # noqa: F401
 from .sampling import pack_sequences, stratified_sample  # noqa: F401
 
@@ -69,6 +70,8 @@ __all__ = [
     "token_stats",
     "tokens",
     "curate",
+    "chunk_documents",
+    "vocab_topk",
     "pack_sequences",
     "stratified_sample",
 ]

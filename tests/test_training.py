@@ -738,3 +738,44 @@ def test_gopher_quality_filter(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     kept = [r["doc_id"] for r in gopher_quality_filter(df, min_words=20).collect()]
     assert kept == [0]
+
+
+class TestChunking:
+    def test_sliding_windows_exact(self, spark):
+        from opentelemetry_collector_contrib_spark.training.chunking import (
+            chunk_documents,
+        )
+
+        df = spark.createDataFrame(
+            [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b"), (3, "")],
+            "doc_id long, text string",
+        )
+        out = chunk_documents(df, window=4, overlap=1).collect()
+        got = {(r.doc_id, r.chunk_idx): (r.chunk_text, r.n_tokens) for r in out}
+        assert got[(1, 0)] == ("t0 t1 t2 t3", 4)
+        assert got[(1, 1)] == ("t3 t4 t5 t6", 4)
+        assert got[(1, 2)] == ("t6 t7 t8 t9", 4)
+        assert got[(2, 0)] == ("a b", 2)         # short doc: one chunk
+        assert not any(d == 3 for d, _ in got)   # empty doc: no chunks
+        assert len(got) == 4
+
+    def test_overlap_bounds_validated(self, spark):
+        from opentelemetry_collector_contrib_spark.training.chunking import (
+            chunk_documents,
+        )
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            chunk_documents(df, window=4, overlap=4)
+
+    def test_vocab_topk_deterministic_ties(self, spark):
+        from opentelemetry_collector_contrib_spark.training.chunking import (
+            vocab_topk,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "b a b c a"), (2, "c d")], "doc_id long, text string"
+        )
+        rows = [(r.token, r.n) for r in vocab_topk(df, k=3).collect()]
+        # counts: a=2 b=2 c=2 d=1 -> top3 ties broken lexicographically
+        assert rows == [("a", 2), ("b", 2), ("c", 2)]
