@@ -253,6 +253,12 @@ SELECT doc_id, n_words, n_lines,
 FROM scalars"""
 
 _MINHASH_N, _BANDS, _ROWS = 8, 4, 2
+# Skew guard for the banded-LSH headline queries: buckets larger than
+# this are degenerate content (boilerplate/empty docs sharing a band
+# hash) and are dropped BEFORE the quadratic in-bucket pair expansion —
+# the same cap the cosine-bucket twin uses. Mirrored in the DuckDB
+# oracles via QUALIFY count(*) OVER (PARTITION BY band, bh).
+_LSH_MAX_BUCKET = 200
 _MINHASH_P = 1_000_000_007
 # 60-bit int from the first 15 hex chars of md5(shingle), mod p —
 # portable nibble-parse (DuckDB has no hex->int cast)
@@ -1624,7 +1630,9 @@ def _q_dedup_exact(spark, sf_dir):
 
 def _q_dedup_lsh(spark, sf_dir):
     sigs = minhash_signatures(_docs(spark, sf_dir), n_hashes=_MINHASH_N)
-    return lsh_candidate_pairs(sigs, bands=_BANDS, rows_per_band=_ROWS)
+    return lsh_candidate_pairs(
+        sigs, bands=_BANDS, rows_per_band=_ROWS, max_bucket=_LSH_MAX_BUCKET
+    )
 
 
 def _q_dedup_clusters(spark, sf_dir):
@@ -1637,7 +1645,9 @@ def _q_dedup_clusters(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
     sigs = minhash_signatures(docs, n_hashes=_MINHASH_N)
-    pairs = lsh_candidate_pairs(sigs, bands=_BANDS, rows_per_band=_ROWS)
+    pairs = lsh_candidate_pairs(
+        sigs, bands=_BANDS, rows_per_band=_ROWS, max_bucket=_LSH_MAX_BUCKET
+    )
     return connected_components(docs, pairs)
 
 
@@ -1652,7 +1662,9 @@ def _q_curation(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
     sigs = minhash_signatures(docs, n_hashes=_MINHASH_N)
-    pairs = lsh_candidate_pairs(sigs, bands=_BANDS, rows_per_band=_ROWS)
+    pairs = lsh_candidate_pairs(
+        sigs, bands=_BANDS, rows_per_band=_ROWS, max_bucket=_LSH_MAX_BUCKET
+    )
     clusters = connected_components(docs, pairs)
     return curate(docs, clusters, min_quality=4000, lang="en")
 
@@ -1774,29 +1786,72 @@ def _q_multimodal(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # Order matters: the driver verifies the FIRST 50 entries against
+        # their DuckDB oracles. Rotated each round so every query earns a
+        # driver CORRECTNESS row (r04 window: the 18 never-checked + the
+        # ANSI-fixed expo query + the 20 last green in r02 + 11 core ops).
         "flagship": _q_flagship,
+        "filter_metrics": _q_filter_metrics,
+        "metrics_combine_captures": _q_metrics_combine_captures,
+        "grafanacloud_hosts": _q_grafanacloud_hosts,
+        "sumologic_shape": _q_sumologic_shape,
+        "schema_translate": _q_schema_translate,
+        "k8sattributes": _q_k8sattributes,
+        "span_rename": _q_span_rename,
+        "tail_sampling_invert": _q_tail_invert,
+        "tail_sampling_span_count": _q_tail_span_count,
+        "dedup_clusters": _q_dedup_clusters,
+        "curation_select": _q_curation,
+        "ann_ivf_assign": _q_ann_ivf_assign,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_ivf_kmeans": _q_ann_ivf_kmeans,
+        "text_repetition_stats": _q_repetition_stats,
+        "quality_gate_gopher": _q_gopher_gate,
+        "chunk_documents": _q_chunk_documents,
+        "vocab_topk": _q_vocab_topk,
+        "delta_to_cumulative_expo": _q_expo_cumulative,
+        "sampler_proportional": _q_sampler_proportional,
+        "sampler_equalizing": _q_sampler_equalizing,
+        "metrics_transform": _q_metrics_transform,
+        "metrics_generation": _q_metrics_generation,
+        "tail_sampling": _q_tail_sampling,
+        "groupbytrace": _q_groupbytrace,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_lsh": _q_dedup_lsh,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_ngram_jaccard": _q_dedup_jaccard,
+        "dedup_embedding_cosine": _q_dedup_cosine,
+        "ann_bruteforce_topk": _q_ann_topk,
+        "ann_lsh_buckets": _q_ann_lsh,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "dedup_cosine_bucketed": _q_cosine_bucketed,
+        "text_token_stats": _q_token_stats,
+        "text_quality_score": _q_quality,
+        "text_lang_id": _q_lang_id,
+        "doc_fingerprint": _q_fingerprint,
+        "multimodal_features": _q_multimodal,
         "transcripts_derive": _q_transcripts,
         "parse_regex": _q_parse_regex,
+        "parse_json": _q_parse_json,
+        "parse_csv": _q_parse_csv,
+        "parse_syslog": _q_parse_syslog,
+        "parse_uri": _q_parse_uri,
+        "transform_ottl": _q_ottl,
+        "recombine": _q_recombine,
+        "count_connector": _q_counts,
+        "attributes_processor": _q_attributes,
         "parse_time_severity": _q_parse_time_severity,
         "enrich_lookup": _q_enrich,
         "enrich_geoip": _q_enrich_geoip,
         "route_match_once": _q_route_once,
         "route_multi_match": _q_route_multi,
-        "count_connector": _q_counts,
-        "recombine": _q_recombine,
         "recombine_sessions": _q_recombine_sessions,
         "filter_processor": _q_filter,
         "filter_spans": _q_filter_spans,
-        "attributes_processor": _q_attributes,
-        "transform_ottl": _q_ottl,
-        "parse_json": _q_parse_json,
         "parse_kv": _q_parse_kv,
         "parse_kv_reference": _q_parse_kv_reference,
-        "parse_csv": _q_parse_csv,
-        "parse_uri": _q_parse_uri,
         "redaction": _q_redaction,
         "groupbyattrs": _q_groupbyattrs,
-        "parse_syslog": _q_parse_syslog,
         "spanmetrics_hist": _q_spanmetrics,
         "spanmetrics_calls": _q_spanmetrics_calls,
         "delta_to_cumulative": _q_delta_to_cumulative,
@@ -1804,7 +1859,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cumulative_to_delta_mono": _q_cumulative_to_delta_mono,
         "expo_widen_zero": _q_expo_widen_zero,
         "delta_to_rate_ref": _q_delta_to_rate_ref,
-        "delta_to_cumulative_expo": _q_expo_cumulative,
         "transform_metric_ctx": _q_transform_metric_ctx,
         "sample_stratified": _q_sample_stratified,
         "quantize_int8": _q_quantize_int8,
@@ -1824,44 +1878,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_container": _q_parse_container,
         "sampler_deterministic": _q_sampler,
         "sampler_fnv": _q_sampler_fnv,
-        "sampler_proportional": _q_sampler_proportional,
-        "sampler_equalizing": _q_sampler_equalizing,
-        "metrics_transform": _q_metrics_transform,
-        "filter_metrics": _q_filter_metrics,
-        "metrics_combine_captures": _q_metrics_combine_captures,
-        "grafanacloud_hosts": _q_grafanacloud_hosts,
-        "sumologic_shape": _q_sumologic_shape,
-        "schema_translate": _q_schema_translate,
-        "metrics_generation": _q_metrics_generation,
-        "k8sattributes": _q_k8sattributes,
-        "span_rename": _q_span_rename,
-        "tail_sampling": _q_tail_sampling,
-        "tail_sampling_invert": _q_tail_invert,
-        "tail_sampling_span_count": _q_tail_span_count,
-        "groupbytrace": _q_groupbytrace,
-        "dedup_exact": _q_dedup_exact,
-        "dedup_minhash_lsh": _q_dedup_lsh,
-        "dedup_clusters": _q_dedup_clusters,
-        "curation_select": _q_curation,
-        "dedup_simhash": _q_dedup_simhash,
-        "dedup_ngram_jaccard": _q_dedup_jaccard,
-        "dedup_embedding_cosine": _q_dedup_cosine,
-        "ann_bruteforce_topk": _q_ann_topk,
-        "ann_lsh_buckets": _q_ann_lsh,
-        "ann_lsh_topk": _q_ann_lsh_topk,
-        "ann_ivf_assign": _q_ann_ivf_assign,
-        "ann_ivf_topk": _q_ann_ivf_topk,
-        "ann_ivf_kmeans": _q_ann_ivf_kmeans,
-        "dedup_cosine_bucketed": _q_cosine_bucketed,
-        "text_token_stats": _q_token_stats,
-        "text_quality_score": _q_quality,
-        "text_lang_id": _q_lang_id,
-        "doc_fingerprint": _q_fingerprint,
-        "text_repetition_stats": _q_repetition_stats,
-        "quality_gate_gopher": _q_gopher_gate,
-        "chunk_documents": _q_chunk_documents,
-        "vocab_topk": _q_vocab_topk,
-        "multimodal_features": _q_multimodal,
     }
 
 
@@ -2462,13 +2478,15 @@ SELECT doc_id FROM h WHERE rn = 1""",
         "dedup_minhash_lsh": f"""WITH sigs AS (SELECT doc_id, {_SIG} AS sig FROM documents),
 bands AS (SELECT doc_id, band,
                  md5(array_to_string(list_transform(list_slice(sig, band*{_ROWS}+1, band*{_ROWS}+{_ROWS}), x -> CAST(x AS VARCHAR)), '|')) AS bh
-          FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, {_BANDS - 1})) AS band))
+          FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, {_BANDS - 1})) AS band)
+          QUALIFY count(*) OVER (PARTITION BY band, bh) <= {_LSH_MAX_BUCKET})
 SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
 FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id""",
         "dedup_clusters": f"""WITH RECURSIVE sigs AS (SELECT doc_id, {_SIG} AS sig FROM documents),
 bands AS (SELECT doc_id, band,
                  md5(array_to_string(list_transform(list_slice(sig, band*{_ROWS}+1, band*{_ROWS}+{_ROWS}), x -> CAST(x AS VARCHAR)), '|')) AS bh
-          FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, {_BANDS - 1})) AS band)),
+          FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, {_BANDS - 1})) AS band)
+          QUALIFY count(*) OVER (PARTITION BY band, bh) <= {_LSH_MAX_BUCKET}),
 prs AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
         FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
 edges AS (SELECT a_id AS src, b_id AS dst FROM prs
@@ -2483,7 +2501,8 @@ GROUP BY d.doc_id""",
         "curation_select": f"""WITH RECURSIVE sigs AS (SELECT doc_id, {_SIG} AS sig FROM documents),
 bands AS (SELECT doc_id, band,
                  md5(array_to_string(list_transform(list_slice(sig, band*{_ROWS}+1, band*{_ROWS}+{_ROWS}), x -> CAST(x AS VARCHAR)), '|')) AS bh
-          FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, {_BANDS - 1})) AS band)),
+          FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, {_BANDS - 1})) AS band)
+          QUALIFY count(*) OVER (PARTITION BY band, bh) <= {_LSH_MAX_BUCKET}),
 prs AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
         FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
 edges AS (SELECT a_id AS src, b_id AS dst FROM prs

@@ -426,7 +426,36 @@ def main() -> None:
             "rows": BENCH_ROWS,
             "turns_per_sec": tps_best,
         }
-    print(json.dumps(result))
+    # Contract: the FULL artifact goes to a file; stdout's final line is a
+    # COMPACT json the driver can parse from a bounded tail (BENCH_r03's
+    # "parsed": null came from a >2 KB line whose front the driver's
+    # 2,000-char tail truncated — the sf0.1 table and flagship number were
+    # lost). The compact line keeps everything except the sf1 table,
+    # which is summarized by its worst ratio and pointed at the file.
+    with open(os.path.join(os.path.dirname(__file__), "BENCH_full.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    compact = dict(result)
+    if queries_sf1:
+        ratios = {
+            k: queries_sf1[k] / queries[k]
+            for k in queries_sf1
+            if queries.get(k, 0) > 0.2  # sub-200ms bases are all noise
+        }
+        worst = max(ratios, key=ratios.get) if ratios else None
+        del compact["queries_sf1"]
+        compact["sf1_worst_ratio"] = (
+            {"query": worst, "ratio": round(ratios[worst], 2)} if worst else None
+        )
+        compact["sf1_table_file"] = "BENCH_full.json"
+    compact["queries"] = {k: round(v, 2) for k, v in compact["queries"].items()}
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # stay inside the driver's 2,000-char tail
+        slim = {k: compact[k] for k in
+                ("metric", "value", "unit", "sf", "scaling", "throughput",
+                 "sf1_worst_ratio") if k in compact}
+        slim["queries_file"] = "BENCH_full.json"
+        line = json.dumps(slim, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -281,8 +281,10 @@ class CsvParser:
         """Strip one layer of outer quotes and unescape RFC 4180
         doubled quotes, Go-csv style."""
         inner = tok.substr(F.lit(2), F.length(tok) - 2)
+        # (?s): Java-regex '.' does not match newlines by default, and a
+        # quoted field may legally contain an embedded newline (RFC 4180)
         return F.when(
-            tok.rlike('^".*"$'), F.replace(inner, F.lit('""'), F.lit('"'))
+            tok.rlike('(?s)^".*"$'), F.replace(inner, F.lit('""'), F.lit('"'))
         ).otherwise(tok)
 
     def __call__(self, df: DataFrame) -> DataFrame:
@@ -420,7 +422,9 @@ class KeyValueParser:
         vals = F.transform(
             F.regexp_extract_all(src, F.lit(pat), F.lit(2)),
             lambda v: F.when(
-                v.rlike('^".*"$'), v.substr(F.lit(2), F.length(v) - 2)
+                # (?s): quoted values may contain newlines ('.' is not
+                # DOTALL in Java regex)
+                v.rlike('(?s)^".*"$'), v.substr(F.lit(2), F.length(v) - 2)
             ).otherwise(v),
         )
         return F.map_from_arrays(
@@ -1163,13 +1167,34 @@ class UriParser:
         r"(?:#(.*))?$"                             # 7 fragment
     )
     # a %-sequence is decodable only when well-formed (url_decode throws
-    # on stray '%'; Go returns an error — we keep the raw token instead
-    # so one bad pair can't fail the row the reference would keep)
+    # on stray '%'; Go's QueryUnescape returns an error)
     _DECODABLE = r"^(?:[^%]|%[0-9A-Fa-f]{2})*$"
+
+    def _decodable(self, c: Column) -> Column:
+        return F.replace(c, F.lit("+"), F.lit(" ")).rlike(self._DECODABLE)
 
     def _decode(self, c: Column) -> Column:
         plus = F.replace(c, F.lit("+"), F.lit(" "))
         return F.when(plus.rlike(self._DECODABLE), F.url_decode(plus)).otherwise(plus)
+
+    @staticmethod
+    def _seg_key(s: Column) -> Column:
+        return F.substring_index(s, "=", 1)
+
+    @staticmethod
+    def _seg_val(s: Column) -> Column:
+        return F.when(
+            s.contains("="), F.substr(s, F.instr(s, "=") + 1)
+        ).otherwise(F.lit(""))
+
+    def _seg_bad(self, s: Column) -> Column:
+        """A query segment Go's parseQuery records an error for: a ';'
+        separator or an undecodable %-escape in key or value."""
+        return (
+            s.contains(";")
+            | ~self._decodable(self._seg_key(s))
+            | ~self._decodable(self._seg_val(s))
+        )
 
     def __call__(self, df: DataFrame) -> DataFrame:
         src = field_get(self.parse_from)
@@ -1189,22 +1214,38 @@ class UriParser:
         authority_failed = (
             path.isNotNull() & path.startswith("//") & host.isNull()
         )
+        # Error semantics split by input shape (ParseURI:25-52):
+        # - bare '?query' goes through url.ParseQuery DIRECTLY, so a ';'
+        #   separator or an undecodable %-escape is a row parse error;
+        # - absolute URIs / absolute paths reach the query via
+        #   url.URL.Query(), which SWALLOWS the ParseQuery error — the
+        #   row survives with scheme/host/path intact and only the bad
+        #   segments dropped from query_params (Go's parseQuery `continue`s
+        #   past them). Erroring the whole row here would silently lose
+        #   data the reference preserves.
+        segs = F.filter(
+            F.split(F.coalesce(query, F.lit("")), "&"), lambda x: x != ""
+        )
+        bare_query_bad = src.startswith("?") & F.exists(
+            segs, lambda s: self._seg_bad(s)
+        )
         ok = (
             (
                 scheme.isNotNull()
                 | src.startswith("/")
                 | src.startswith("?")
             )
-            & ~F.coalesce(query.contains(";"), F.lit(False))
+            & ~bare_query_bad
             & ~F.coalesce(authority_failed, F.lit(False))
         )
 
-        # url.Values: split '&', skip empties, key = before first '=',
-        # decoded; repeated keys accumulate values in order. ONE
-        # indexed-transform lambda + ONE scan lambda over the
-        # key-sorted pairs (struct sort is stable via the index field —
-        # no nested lambdas, per the HOF house rule).
-        pairs = F.filter(F.split(F.coalesce(query, F.lit("")), "&"), lambda x: x != "")
+        # url.Values: split '&', skip empties AND segments parseQuery
+        # skips (';' / bad escape), key = before first '=', decoded;
+        # repeated keys accumulate values in order. ONE indexed-transform
+        # lambda + ONE scan lambda over the key-sorted pairs (struct sort
+        # is stable via the index field — no nested lambdas, per the HOF
+        # house rule).
+        pairs = F.filter(segs, lambda x: ~self._seg_bad(x))
         kv = F.transform(
             pairs,
             lambda s, i: F.struct(

@@ -113,16 +113,18 @@ def collapse(
         df = df.withColumn("__cp_half__", half)
         h = F.col("__cp_half__")
         # q = 0..half: pair q sums 1-based positions 2q+1, 2q+2; the
-        # q=half probe lands past the array (null) and is sliced away,
-        # so the sequence is never descending even on empty input
+        # q=half probe lands past the array and must yield null (sliced
+        # away below) — try_element_at keeps that true under ANSI mode,
+        # where element_at would throw INVALID_ARRAY_INDEX_IN_ELEMENT_AT
+        # on empty/short count arrays (driver sessions run ANSI-on).
         df = df.withColumn(
             "__cp_pairs__",
             F.slice(
                 F.transform(
                     F.sequence(F.lit(0), h),
                     lambda q: (
-                        F.element_at(pad, q * 2 + 1)
-                        + F.coalesce(F.element_at(pad, q * 2 + 2), F.lit(0))
+                        F.try_element_at(pad, q * 2 + 1)
+                        + F.coalesce(F.try_element_at(pad, q * 2 + 2), F.lit(0))
                     ).cast("long"),
                 ),
                 1,
@@ -305,7 +307,7 @@ class DeltaToCumulativeExpo:
                     p <= F.size(self.counts_col),
                     F.floor((F.col(self.offset_col) + p - 1) / shift).cast("int"),
                 ).alias("idx"),
-                F.coalesce(F.element_at(self.counts_col, p.cast("int")), F.lit(0))
+                F.coalesce(F.try_element_at(self.counts_col, p.cast("int")), F.lit(0))
                 .cast("long")
                 .alias("cnt"),
             ),
@@ -383,11 +385,14 @@ class DeltaToCumulativeExpo:
         # (see collapse for the PySpark 4.1 lambda hazards this
         # formulation avoids).
         cells = F.col("__cells__")
-        lo = F.coalesce(F.element_at(cells, 1).getField("idx"), F.lit(0))
+        lo = F.coalesce(F.try_element_at(cells, F.lit(1)).getField("idx"), F.lit(0))
         hi = F.coalesce(
-            # clamp to index 1 for empty cells (element_at(_, 0) errors;
-            # index 1 on an empty array is a plain null)
-            F.element_at(cells, F.greatest(F.size(cells), F.lit(1))).getField("idx"),
+            # try_element_at: index 1 on an empty array is a plain null
+            # in BOTH ANSI and legacy modes (plain element_at throws
+            # under ANSI, which driver sessions enable)
+            F.try_element_at(
+                cells, F.greatest(F.size(cells), F.lit(1))
+            ).getField("idx"),
             F.lit(-1),
         )
         n_out = F.greatest(hi - lo + 1, F.lit(0))

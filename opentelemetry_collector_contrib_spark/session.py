@@ -35,6 +35,9 @@ DEFAULT_CONFS = {
     # override via spark-submit as usual.
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.driver.maxResultSize": "4g",
+    # No console progress bars: bench.py's contract is ONE parseable JSON
+    # line as the final stdout line; progress redraws interleave with it.
+    "spark.ui.showConsoleProgress": "false",
 }
 
 

@@ -51,15 +51,30 @@ def shingles(toks: Column, k: int = 3) -> Column:
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Keep the lowest-id row per exact content hash (hash-groupBy)."""
+    """Keep the lowest-id row per exact content hash.
+
+    True hash-groupBy, not a window: ``groupBy(hash).agg(min(id))`` gets
+    map-side partial aggregation (partial/final HashAggregate), so a
+    viral duplicate class — millions of copies of one document sharing
+    one hash — is reduced to one (hash, min_id) row per input partition
+    before the shuffle. A ``row_number() over (partition by hash)``
+    window would instead ship EVERY copy to one task (AQE skew-split
+    does not apply to windows). The semi-join back keys on the
+    composite (hash, id), which is unique per row, so the join shuffle
+    is skew-free too. Same rows out as the window formulation.
+    """
     h = F.md5(F.col(text_col))
-    w = Window.partitionBy("__h").orderBy(id_col)
-    return (
-        df.withColumn("__h", h)
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__h", "__rn")
+    winners = (
+        df.select(h.alias("__h"), F.col(id_col).alias("__w_id"))
+        .groupBy("__h")
+        .agg(F.min("__w_id").alias("__w_id"))
     )
+    keyed = df.withColumn("__h", h)
+    return keyed.join(
+        winners,
+        on=[keyed["__h"] == winners["__h"], keyed[id_col] == winners["__w_id"]],
+        how="left_semi",
+    ).drop("__h")
 
 
 MINHASH_P = 1_000_000_007
@@ -117,11 +132,20 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     bands: int = 4,
     rows_per_band: int = 4,
-    max_bucket: int | None = None,
+    max_bucket: int | None = 10000,
 ) -> DataFrame:
     """Banded LSH: docs sharing any band hash become a candidate pair
     (a < b). ``max_bucket`` drops buckets larger than the cap (skew
-    guard for degenerate content)."""
+    guard: one degenerate bucket — boilerplate/empty docs sharing a
+    band hash — makes the in-bucket pair expansion quadratic with no
+    other bound, the classic silent scale-killer at 100 TB). The
+    default 10k cap only trims buckets that are certainly degenerate
+    (10k true near-dups of one doc still surface through the other
+    bands); pass ``None`` to disable, or a tighter cap (the headline
+    queries use 200) to bound worst-case work, mirroring the
+    reference's bounded-state recombine caps
+    (pkg/stanza/operator/transformer/recombine/transformer.go:151-158).
+    """
     band_rows = sigs.select(
         F.col(id_col),
         F.explode(

@@ -128,7 +128,11 @@ def _gram_scan(sorted_col: str):
     )
 
     def step(acc, x):
-        same = x == acc.getField("prev")
+        # run == 0 only before the first element: guard it so a first
+        # gram that happens to EQUAL the init sentinel can never take
+        # the same-branch (which would count a single occurrence as a
+        # duplicate)
+        same = (x == acc.getField("prev")) & (acc.getField("run") > 0)
         run = F.when(same, acc.getField("run") + 1).otherwise(
             F.lit(1).cast("bigint")
         )
