@@ -768,6 +768,37 @@ def _q_filter_spans(spark, sf_dir):
     )
 
 
+def _q_transform_spanevent(spark, sf_dir):
+    # OTTL span-event context (pkg/ottl/contexts/ottlspanevent): ordered
+    # statements over each span's nested events — stamp the enclosing
+    # span's name via the span.* namespace, rename matching events via a
+    # guarded set — then explode the rebuilt arrays to flat rows for the
+    # oracle compare (positions prove event order survived the regroup)
+    from opentelemetry_collector_contrib_spark.processors.spanevents import (
+        SpanEventTransform,
+    )
+
+    spans = _span_frame(spark, sf_dir)
+    out = SpanEventTransform(
+        [
+            'set(attributes["parent_span"], span.name)',
+            'set(name, "exception.renamed") where name == "exception"',
+        ]
+    )(spans)
+    ev = out.select(
+        "trace_id",
+        "span_id",
+        F.posexplode("events").alias("pos", "e"),
+    )
+    return ev.select(
+        "trace_id",
+        "span_id",
+        "pos",
+        F.col("e.name").alias("event_name"),
+        F.element_at("e.attributes", "parent_span").alias("parent_span"),
+    )
+
+
 def _q_count_spans_signal(spark, sf_dir):
     # the count connector's span + span-event signals (config.go:19-29
     # per-signal default metric names): spans counted per service with
@@ -1839,6 +1870,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_ottl": _q_ottl,
         "recombine": _q_recombine,
         "count_connector": _q_counts,
+        # new in r04 — the spanevent OTTL context, never driver-checked
+        "transform_spanevent": _q_transform_spanevent,
+        # --- end of the driver's 50-query window ---
         "attributes_processor": _q_attributes,
         "parse_time_severity": _q_parse_time_severity,
         "enrich_lookup": _q_enrich,
@@ -2252,6 +2286,21 @@ SELECT conv_id, turn_idx,
   try_strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S'), '%Y-%m-%dT%H:%M:%S') AS event_ts,
   CASE WHEN turn_idx % 2 = 0 THEN false ELSE turn_idx % 3 = 0 END AS partial
 FROM transcripts""",
+        "transform_spanevent": f"""WITH {TRANSCRIPTS_ORACLE_CTE.strip()},
+spans AS (
+  SELECT conv_id AS trace_id,
+         conv_id || '#' || CAST(turn_idx AS VARCHAR) AS span_id,
+         'turn-' || role AS span_name,
+         turn_idx
+  FROM transcripts)
+SELECT trace_id, span_id, 0 AS pos,
+       'exception.renamed' AS event_name, span_name AS parent_span
+FROM spans WHERE turn_idx % 7 = 3
+UNION ALL
+SELECT trace_id, span_id,
+       CASE WHEN turn_idx % 7 = 3 THEN 1 ELSE 0 END AS pos,
+       'checkpoint' AS event_name, span_name AS parent_span
+FROM spans WHERE turn_idx % 13 = 5""",
         "count_spans_signal": f"""WITH {TRANSCRIPTS_ORACLE_CTE.strip()},
 spans AS (
   SELECT CASE WHEN tool <> 'none' THEN 'svc-' || tool END AS service_name,

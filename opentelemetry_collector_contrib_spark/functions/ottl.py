@@ -52,6 +52,13 @@ def _resolve_path(p: Path) -> Column:
         return F.col("ts")
     if head == "observed_time":
         return F.col("observed_ts")
+    # nanosecond twins (ottllog/log.go accessTimeUnixNano,
+    # ottlspanevent/span_events.go:209-222): parquet timestamps carry
+    # microseconds, so *1000 is exact
+    if head == "time_unix_nano":
+        return F.unix_micros(F.col("ts")) * F.lit(1000).cast("long")
+    if head == "observed_time_unix_nano":
+        return F.unix_micros(F.col("observed_ts")) * F.lit(1000).cast("long")
     if head in ("attributes", "resource"):
         # log-context grammar: ``resource.attributes["k"]`` addresses the
         # resource attribute map (ottllog/log.go resource context) — the
