@@ -8,10 +8,14 @@ is an allowlist of keys to add.
 Detection happens ONCE on the driver (the collector likewise detects at
 process start, not per record); the result is a handful of ``lit()``
 entries merged into the ``resource`` map column — zero per-row cost.
-Cloud-metadata detectors (ec2/gcp/aks/...) need network calls and are
-out of the sandbox's scope; ``env`` (OTEL_RESOURCE_ATTRIBUTES) and
-``system`` (host.name / os.type, internal/system/system.go semantics)
-cover the log-pipeline slice.
+``env`` (OTEL_RESOURCE_ATTRIBUTES) and ``system`` (host.name /
+os.type, internal/system/system.go semantics) detect from the driver
+environment directly; the twelve cloud detectors (ec2/gcp/azure/
+docker/heroku/ecs/eks/elasticbeanstalk/lambda/consul/k8snode/
+openshift) are the reference's metadata-document -> semconv-attribute
+mappings, fed the already-captured metadata via ``detector_configs``
+(the IMDS/daemon fetch itself is an environment concern — no place
+for an HTTP call inside a Spark scan).
 """
 
 from __future__ import annotations
@@ -197,6 +201,176 @@ def _detect_heroku(meta: dict | None = None) -> dict[str, str]:
     return out
 
 
+def _detect_ecs(meta: dict | None = None) -> dict[str, str]:
+    """internal/aws/ecs/ecs.go:56-106 (Detect): TMDE task metadata.
+
+    ``task_arn`` is parsed per parseTaskARN (ecs.go:118-135, colon parts
+    3/4 = region/account, last '/'-part of part 5 = task id); the
+    cluster ARN is constructed unless ``cluster`` is already an ARN
+    (constructClusterArn, ecs.go:110-115); launch type is stamped only
+    for the two known values (ecs.go:90-95).  Container log data
+    (addValidLogData) needs the per-container metadata fetch and stays
+    out of the resource stamp here — our resource map is
+    string->string and log groups are list-valued per container.
+    """
+    meta = meta or {}
+    if not meta.get("task_arn"):
+        return {}
+    out = {"cloud.provider": "aws", "cloud.platform": "aws_ecs"}
+    out["aws.ecs.task.arn"] = str(meta["task_arn"])
+    for attr, key in [
+        ("aws.ecs.task.family", "family"),
+        ("aws.ecs.task.revision", "revision"),
+        ("cloud.availability_zone", "availability_zone"),
+    ]:
+        if meta.get(key):
+            out[attr] = str(meta[key])
+    parts = str(meta["task_arn"]).split(":")
+    region = account = ""
+    if len(parts) >= 6:
+        region, account = parts[3], parts[4]
+        out["aws.ecs.task.id"] = parts[5].split("/")[-1]
+    if account:
+        out["cloud.account.id"] = account
+    if region:
+        out["cloud.region"] = region
+    cluster = str(meta.get("cluster", ""))
+    if cluster:
+        out["aws.ecs.cluster.arn"] = (
+            cluster
+            if ":" in cluster
+            else f"arn:aws:ecs:{region}:{account}:cluster/{cluster}"
+        )
+    lt = str(meta.get("launch_type", "")).lower()
+    if lt in ("ec2", "fargate"):
+        out["aws.ecs.launchtype"] = lt
+    return out
+
+
+def _detect_eks(meta: dict | None = None) -> dict[str, str]:
+    """internal/aws/eks/detector.go:83-96: provider/platform always,
+    cluster name only when the provider captured one."""
+    meta = meta or {}
+    if not meta:
+        return {}
+    out = {"cloud.provider": "aws", "cloud.platform": "aws_eks"}
+    if meta.get("cluster_name"):
+        out["k8s.cluster.name"] = str(meta["cluster_name"])
+    return out
+
+
+def _detect_elasticbeanstalk(meta: dict | None = None) -> dict[str, str]:
+    """internal/aws/elasticbeanstalk/elasticbeanstalk.go:50-76: the
+    /var/elasticbeanstalk/xray/environment.conf document."""
+    meta = meta or {}
+    if not meta:
+        return {}
+    out = {
+        "cloud.provider": "aws",
+        "cloud.platform": "aws_elastic_beanstalk",
+    }
+    for attr, key in [
+        ("service.instance.id", "deployment_id"),
+        ("deployment.environment", "environment_name"),
+        ("service.version", "version_label"),
+    ]:
+        if meta.get(key):
+            out[attr] = str(meta[key])
+    return out
+
+
+def _detect_lambda(meta: dict | None = None) -> dict[str, str]:
+    """internal/aws/lambda/lambda.go:44-84: runtime env vars.  The
+    reference requires AWS_LAMBDA_FUNCTION_NAME (error when absent,
+    lambda.go:46-49); faas.instance doubles as the log stream name and
+    the aws.log.* names are single-element lists stamped here as the
+    scalar value."""
+    meta = meta or {}
+    env = {**os.environ, **{str(k): str(v) for k, v in meta.items()}}
+    fn = env.get("AWS_LAMBDA_FUNCTION_NAME", "")
+    if not fn:
+        return {}
+    out = {
+        "cloud.provider": "aws",
+        "cloud.platform": "aws_lambda",
+        "faas.name": fn,
+    }
+    for attr, key in [
+        ("cloud.region", "AWS_REGION"),
+        ("faas.version", "AWS_LAMBDA_FUNCTION_VERSION"),
+        ("faas.instance", "AWS_LAMBDA_LOG_STREAM_NAME"),
+        ("faas.max_memory", "AWS_LAMBDA_FUNCTION_MEMORY_SIZE"),
+        ("aws.log.group.names", "AWS_LAMBDA_LOG_GROUP_NAME"),
+        ("aws.log.stream.names", "AWS_LAMBDA_LOG_STREAM_NAME"),
+    ]:
+        if env.get(key):
+            out[attr] = env[key]
+    return out
+
+
+def _detect_consul(meta: dict | None = None) -> dict[str, str]:
+    """internal/consul/consul.go:66-84: agent self metadata plus the
+    user's Meta map stamped verbatim (consul.go:78-80)."""
+    meta = meta or {}
+    if not meta:
+        return {}
+    out: dict[str, str] = {}
+    for attr, key in [
+        ("host.name", "hostname"),
+        ("cloud.region", "datacenter"),
+        ("host.id", "node_id"),
+    ]:
+        if meta.get(key):
+            out[attr] = str(meta[key])
+    for k, v in meta.get("host_metadata", {}).items():
+        out[str(k)] = str(v)
+    return out
+
+
+def _detect_k8snode(meta: dict | None = None) -> dict[str, str]:
+    """internal/k8snode/k8snode.go:52-70: node UID + name from the
+    k8s API (both individually toggleable in the reference's
+    ResourceAttributes config — absent keys are simply not stamped)."""
+    meta = meta or {}
+    out = {}
+    if meta.get("node_uid"):
+        out["k8s.node.uid"] = str(meta["node_uid"])
+    if meta.get("node_name"):
+        out["k8s.node.name"] = str(meta["node_name"])
+    return out
+
+
+def _detect_openshift(meta: dict | None = None) -> dict[str, str]:
+    """internal/openshift/openshift.go:51-88: infrastructure name +
+    per-platform provider/platform/region switch (regions lowercased,
+    openstack stamps region only)."""
+    meta = meta or {}
+    if not meta:
+        return {}
+    out: dict[str, str] = {}
+    if meta.get("infrastructure_name"):
+        out["k8s.cluster.name"] = str(meta["infrastructure_name"])
+    plat = str(meta.get("platform", "")).lower()
+    region = str(meta.get("region", "")).lower()
+    if plat == "aws":
+        out["cloud.provider"] = "aws"
+        out["cloud.platform"] = "aws_openshift"
+    elif plat == "azure":
+        out["cloud.provider"] = "azure"
+        out["cloud.platform"] = "azure_openshift"
+    elif plat == "gcp":
+        out["cloud.provider"] = "gcp"
+        out["cloud.platform"] = "gcp_openshift"
+    elif plat == "ibmcloud":
+        out["cloud.provider"] = "ibm_cloud"
+        out["cloud.platform"] = "ibm_cloud_openshift"
+    elif plat != "openstack":
+        region = ""
+    if region:
+        out["cloud.region"] = region
+    return out
+
+
 DETECTORS = {"env": _detect_env, "system": _detect_system}
 CLOUD_DETECTORS = {
     "ec2": _detect_ec2,
@@ -204,6 +378,13 @@ CLOUD_DETECTORS = {
     "azure": _detect_azure,
     "docker": _detect_docker,
     "heroku": _detect_heroku,
+    "ecs": _detect_ecs,
+    "eks": _detect_eks,
+    "elasticbeanstalk": _detect_elasticbeanstalk,
+    "lambda": _detect_lambda,
+    "consul": _detect_consul,
+    "k8snode": _detect_k8snode,
+    "openshift": _detect_openshift,
 }
 
 

@@ -318,7 +318,11 @@ def test_resourcedetection_env_and_override(spark, monkeypatch):
     out = ResourceDetection(detectors=["system"])(df).collect()[0]
     assert "host.name" in dict(out["resource"]) and "os.type" in dict(out["resource"])
     with pytest.raises(ValueError):
-        ResourceDetection(detectors=["gcp"])(df)
+        ResourceDetection(detectors=["not_a_detector"])(df)
+    # cloud detectors are valid names now (metadata-map-driven stamps);
+    # with no captured metadata they stamp nothing
+    out = ResourceDetection(detectors=["gcp"])(df).collect()[0]
+    assert dict(out["resource"]) == {"region": "us", "keep": "1"}
 
 
 def test_transform_processor_statement_order(spark):

@@ -21,10 +21,17 @@ from opentelemetry_collector_contrib_spark.processors.resourcedetection import (
     CLOUD_DETECTORS,
     ResourceDetection,
     _detect_azure,
+    _detect_consul,
     _detect_docker,
     _detect_ec2,
+    _detect_ecs,
+    _detect_eks,
+    _detect_elasticbeanstalk,
     _detect_gcp,
     _detect_heroku,
+    _detect_k8snode,
+    _detect_lambda,
+    _detect_openshift,
 )
 
 EC2_META = {
@@ -214,5 +221,179 @@ def test_cloud_detector_reachable_from_processor(spark):
     assert dict(r2.resource)["cloud.provider"] == "old"
 
 
+def test_ecs_old_arn_golden():
+    # ecs_test.go taskArnVersion=1: arn:aws:ecs:us-west-2:123456789123:task/123
+    meta = {
+        "task_arn": "arn:aws:ecs:us-west-2:123456789123:task/123",
+        "cluster": "my-cluster",
+        "family": "family",
+        "revision": "26",
+        "availability_zone": "us-west-2a",
+        "launch_type": "EC2",
+    }
+    assert _detect_ecs(meta) == {
+        "cloud.provider": "aws",
+        "cloud.platform": "aws_ecs",
+        "aws.ecs.task.arn": "arn:aws:ecs:us-west-2:123456789123:task/123",
+        "aws.ecs.task.family": "family",
+        "aws.ecs.task.revision": "26",
+        "aws.ecs.task.id": "123",
+        "cloud.region": "us-west-2",
+        "cloud.account.id": "123456789123",
+        "cloud.availability_zone": "us-west-2a",
+        "aws.ecs.cluster.arn": "arn:aws:ecs:us-west-2:123456789123:cluster/my-cluster",
+        "aws.ecs.launchtype": "ec2",
+    }
+
+
+def test_ecs_new_arn_task_id_and_fargate():
+    # taskArnVersion=2: task/my-cluster/123 -> task id is the LAST part
+    meta = {
+        "task_arn": "arn:aws:ecs:us-west-2:123456789123:task/my-cluster/123",
+        "cluster": "arn:aws:ecs:us-west-2:123456789123:cluster/my-cluster",
+        "launch_type": "Fargate",
+    }
+    got = _detect_ecs(meta)
+    assert got["aws.ecs.task.id"] == "123"
+    # already-an-ARN cluster passes through (constructClusterArn)
+    assert (
+        got["aws.ecs.cluster.arn"]
+        == "arn:aws:ecs:us-west-2:123456789123:cluster/my-cluster"
+    )
+    assert got["aws.ecs.launchtype"] == "fargate"
+    # unknown launch types are not stamped (ecs.go:90-95 switch default)
+    assert "aws.ecs.launchtype" not in _detect_ecs(
+        {"task_arn": meta["task_arn"], "launch_type": "external"}
+    )
+    assert _detect_ecs({}) == {}
+
+
+def test_eks_golden():
+    assert _detect_eks({"cluster_name": "my-cluster"}) == {
+        "cloud.provider": "aws",
+        "cloud.platform": "aws_eks",
+        "k8s.cluster.name": "my-cluster",
+    }
+    # detector.go:88-96: platform stamped even without a cluster name
+    assert _detect_eks({"present": True}) == {
+        "cloud.provider": "aws",
+        "cloud.platform": "aws_eks",
+    }
+    assert _detect_eks({}) == {}
+
+
+def test_elasticbeanstalk_golden():
+    # elasticbeanstalk.go:70-74: deployment id is an int in the conf doc
+    meta = {
+        "deployment_id": 23,
+        "environment_name": "BETA",
+        "version_label": "v1",
+    }
+    assert _detect_elasticbeanstalk(meta) == {
+        "cloud.provider": "aws",
+        "cloud.platform": "aws_elastic_beanstalk",
+        "service.instance.id": "23",
+        "deployment.environment": "BETA",
+        "service.version": "v1",
+    }
+    assert _detect_elasticbeanstalk({}) == {}
+
+
+def test_lambda_golden():
+    # lambda_test.go TestLambda: only the function name set -> the
+    # minimal three-attribute resource
+    meta = {"AWS_LAMBDA_FUNCTION_NAME": "TestFunctionName"}
+    assert _detect_lambda(meta) == {
+        "cloud.provider": "aws",
+        "cloud.platform": "aws_lambda",
+        "faas.name": "TestFunctionName",
+    }
+    # TestNotLambda: no function name -> empty resource
+    assert _detect_lambda({}) == {}
+    full = _detect_lambda(
+        {
+            "AWS_LAMBDA_FUNCTION_NAME": "fn",
+            "AWS_REGION": "us-east-1",
+            "AWS_LAMBDA_FUNCTION_VERSION": "$LATEST",
+            "AWS_LAMBDA_FUNCTION_MEMORY_SIZE": "128",
+            "AWS_LAMBDA_LOG_GROUP_NAME": "/aws/lambda/fn",
+            "AWS_LAMBDA_LOG_STREAM_NAME": "2024/01/01/[$LATEST]abc",
+        }
+    )
+    assert full["cloud.region"] == "us-east-1"
+    assert full["faas.version"] == "$LATEST"
+    assert full["faas.max_memory"] == "128"
+    # faas.instance is the log stream name (lambda.go:66-69)
+    assert full["faas.instance"] == "2024/01/01/[$LATEST]abc"
+    assert full["aws.log.group.names"] == "/aws/lambda/fn"
+    assert full["aws.log.stream.names"] == "2024/01/01/[$LATEST]abc"
+
+
+def test_consul_golden():
+    # consul_test.go TestDetect: hostname/dc1/nodeID + Meta{test:test}
+    meta = {
+        "hostname": "hostname",
+        "datacenter": "dc1",
+        "node_id": "00000000-0000-0000-0000-000000000000",
+        "host_metadata": {"test": "test"},
+    }
+    assert _detect_consul(meta) == {
+        "host.name": "hostname",
+        "cloud.region": "dc1",
+        "host.id": "00000000-0000-0000-0000-000000000000",
+        "test": "test",
+    }
+    assert _detect_consul({}) == {}
+
+
+def test_k8snode_golden():
+    assert _detect_k8snode({"node_uid": "uid-1", "node_name": "node-1"}) == {
+        "k8s.node.uid": "uid-1",
+        "k8s.node.name": "node-1",
+    }
+    # k8snode.go:52-70: each attribute individually optional
+    assert _detect_k8snode({"node_name": "node-1"}) == {"k8s.node.name": "node-1"}
+    assert _detect_k8snode({}) == {}
+
+
+def test_openshift_platform_switch_golden():
+    # openshift.go:63-88: per-platform provider/platform + lowercased region
+    base = {"infrastructure_name": "OCP-cluster"}
+    aws = _detect_openshift(dict(base, platform="AWS", region="US-East-1"))
+    assert aws == {
+        "k8s.cluster.name": "OCP-cluster",
+        "cloud.provider": "aws",
+        "cloud.platform": "aws_openshift",
+        "cloud.region": "us-east-1",
+    }
+    azure = _detect_openshift(dict(base, platform="Azure", region="AzurePublicCloud"))
+    assert azure["cloud.platform"] == "azure_openshift"
+    gcp = _detect_openshift(dict(base, platform="GCP", region="us-central1"))
+    assert gcp["cloud.platform"] == "gcp_openshift"
+    ibm = _detect_openshift(dict(base, platform="IBMCloud", region="us-south"))
+    assert ibm["cloud.provider"] == "ibm_cloud"
+    assert ibm["cloud.platform"] == "ibm_cloud_openshift"
+    # openstack stamps region only, no provider/platform
+    osk = _detect_openshift(dict(base, platform="OpenStack", region="RegionOne"))
+    assert osk == {"k8s.cluster.name": "OCP-cluster", "cloud.region": "regionone"}
+    # unknown platform -> no region either (switch default)
+    unk = _detect_openshift(dict(base, platform="Nutanix", region="x"))
+    assert unk == {"k8s.cluster.name": "OCP-cluster"}
+    assert _detect_openshift({}) == {}
+
+
 def test_all_cloud_detectors_registered():
-    assert set(CLOUD_DETECTORS) == {"ec2", "gcp", "azure", "docker", "heroku"}
+    assert set(CLOUD_DETECTORS) == {
+        "ec2",
+        "gcp",
+        "azure",
+        "docker",
+        "heroku",
+        "ecs",
+        "eks",
+        "elasticbeanstalk",
+        "lambda",
+        "consul",
+        "k8snode",
+        "openshift",
+    }

@@ -106,6 +106,37 @@ def test_udp_non_utf8_encoding(spark):
     assert r.body == "héllo"
 
 
+def test_syslog_over_udp_golden(spark):
+    # receiver/syslogreceiver/syslog_test.go TestSyslogWithUdp: five
+    # RFC5424 datagrams -> timestamps 1614470402003000000 + i*60s ns and
+    # attributes["message"] == "test msg i".  The receiver is the
+    # composition UdpInput -> SyslogParser (syslog.go:61-71 wires the
+    # udp input into the syslog parser); trailing \n trimmed by the udp
+    # trim, exactly like the reference's moving parts.
+    from opentelemetry_collector_contrib_spark.operators.parsers import SyslogParser
+
+    rows = [
+        (
+            i,
+            bytearray(
+                f"<86>1 2021-02-28T00:0{i}:02.003Z 192.168.1.1 SecureAuth0 "
+                f"23108 ID52020 [SecureAuth@27389] test msg {i}\n".encode()
+            ),
+        )
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "id int, data binary")
+    out = SyslogParser(protocol="rfc5424")(UdpInput()(df))
+    got = sorted(out.collect(), key=lambda r: r.id)
+    assert len(got) == 5
+    for i, r in enumerate(got):
+        ns = int(r.event_ts.timestamp() * 1_000_000) * 1000
+        assert ns == 1614470402003000000 + i * 60 * 1_000_000_000
+        assert r.message == f"test msg {i}"
+        assert r.hostname == "192.168.1.1"
+        assert r.appname == "SecureAuth0"
+
+
 def test_udp_stream_batch_parity(spark, tmp_path):
     # the operator is a pure stateless projection, so the SAME call
     # applies to a streaming frame — parity with the batch result over
