@@ -11,6 +11,7 @@ writes.
 
 from .pipeline import (
     session_recombine,
+    streaming_dedup_exact,
     streaming_pipeline,
     windowed_counts,
     write_routed_stream,
@@ -24,6 +25,7 @@ __all__ = [
     "socket_stream",
     "stateful_delta_to_cumulative",
     "session_recombine",
+    "streaming_dedup_exact",
     "streaming_pipeline",
     "windowed_counts",
     "write_routed_stream",

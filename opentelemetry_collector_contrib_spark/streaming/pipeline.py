@@ -15,6 +15,10 @@ unchanged. Stateful stages get streaming-native forms:
   a conversation's turns concatenate until a `gap` of event-time
   silence flushes the session. This is the batch-meaningless timeout
   semantics done right in streaming (SURVEY.md 7.3).
+- ``streaming_dedup_exact``: exact dedup at ingest via
+  ``dropDuplicatesWithinWatermark`` — one state entry per content hash,
+  evicted when the watermark passes (bounded state, the eviction
+  posture of deltatocumulative ``max_stale``).
 - ``write_routed_stream``: per-sink fan-out from ONE tagged stream via
   ``foreachBatch`` + ``partitionBy(route)`` — single pass per
   micro-batch, the streaming twin of the routing connector write.
@@ -99,6 +103,37 @@ def session_recombine(
             "n_turns",
         )
     )
+
+
+def streaming_dedup_exact(
+    stream: DataFrame,
+    key_col: str = "text",
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Exact dedup at streaming ingest: keep the first row per content
+    hash, with state bounded by the watermark.
+
+    The streaming twin of ``training.dedup.exact_dedup`` — same
+    ``md5(key)`` identity, but instead of an unbounded groupBy the
+    engine's ``dropDuplicatesWithinWatermark`` keeps one state entry
+    per hash and EVICTS it once the watermark passes, so a 10^12-turn
+    ingest holds only the watermark-window's worth of hashes per
+    partition (exact global dedup over all history is the batch op's
+    job; the reference's bounded-state analogue is the recombine
+    max_sources / deltatocumulative max_stale eviction posture).
+    State is hash-partitioned on the dedup key by the engine — the
+    same shuffle the batch groupBy pays, amortized per micro-batch.
+
+    Watermarks require a zoned TIMESTAMP; parquet event times commonly
+    read as TIMESTAMP_NTZ (this repo's tables do), so an ntz event-time
+    column is cast session-zone-as-UTC first.
+    """
+    if dict(stream.dtypes).get(ts_col) == "timestamp_ntz":
+        stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return stream.withColumn("__h", F.md5(F.col(key_col))).withWatermark(
+        ts_col, watermark
+    ).dropDuplicatesWithinWatermark(["__h"]).drop("__h")
 
 
 def write_routed_stream(

@@ -17,6 +17,7 @@ from opentelemetry_collector_contrib_spark.pipeline import TranscriptPipeline
 from opentelemetry_collector_contrib_spark.streaming import (
     file_stream,
     session_recombine,
+    streaming_dedup_exact,
     streaming_pipeline,
     windowed_counts,
     write_routed_stream,
@@ -111,6 +112,40 @@ def test_session_recombine_parity(spark, stream_dir, tmp_path):
         )
         assert r.text == want
         assert r.n_turns == 8
+
+
+def test_streaming_dedup_exact_parity(spark, tmp_path):
+    # duplicate texts across convs: streaming dedup keeps exactly one
+    # row per distinct text (all rows inside the watermark window), the
+    # same distinct-key set the batch exact dedup retains
+    rows = [
+        (f"c{i}", t, f"msg {t % 3}", "user")
+        for i in range(4)
+        for t in range(6)
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string, role string"
+    ).withColumn(
+        "ts",
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("turn_idx") * 7),
+    )
+    src = str(tmp_path / "dd_in")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = streaming_dedup_exact(stream, key_col="text", watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dd_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck_dd"))
+        .start()
+    )
+    _drain(q)
+    got = spark.sql("SELECT * FROM dd_mem").collect()
+    # exactly one survivor per distinct text, no helper column leaked
+    assert sorted(r.text for r in got) == ["msg 0", "msg 1", "msg 2"]
+    assert "__h" not in spark.sql("SELECT * FROM dd_mem").columns
 
 
 def test_stateful_delta_to_cumulative_across_restarts(spark, tmp_path):
