@@ -69,10 +69,11 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def decode_png(payload: bytes) -> dict:
-    """Parse IHDR, inflate IDAT, undo per-scanline filters (types 0-4),
-    and compute pixel stats. Supports the common case: 8-bit depth,
-    non-interlaced, color types 0/2/4/6 (gray/RGB/gray+A/RGBA)."""
+def _png_unfiltered_rows(payload: bytes) -> tuple[int, int, int, list[bytearray]]:
+    """Parse IHDR, inflate IDAT, undo per-scanline filters (types 0-4).
+    Returns (width, height, channels, unfiltered scanline bytes).
+    Supports the common case: 8-bit depth, non-interlaced, color types
+    0/2/4/6 (gray/RGB/gray+A/RGBA)."""
     if payload[:8] != _PNG_MAGIC:
         raise ValueError("not a PNG")
     pos = 8
@@ -105,7 +106,7 @@ def decode_png(payload: bytes) -> dict:
     if len(raw) < height * (stride + 1):
         raise ValueError("PNG pixel data truncated")
     prev = bytearray(stride)
-    total = 0
+    rows: list[bytearray] = []
     for row in range(height):
         base = row * (stride + 1)
         ftype = raw[base]
@@ -127,9 +128,16 @@ def decode_png(payload: bytes) -> dict:
                 line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
         elif ftype != 0:
             raise ValueError(f"bad PNG filter type {ftype}")
-        total += sum(line)
+        rows.append(line)
         prev = line
-    n_px_bytes = height * stride
+    return width, height, channels, rows
+
+
+def decode_png(payload: bytes) -> dict:
+    """PNG pixel stats over the unfiltered scanlines."""
+    width, height, channels, rows = _png_unfiltered_rows(payload)
+    total = sum(sum(line) for line in rows)
+    n_px_bytes = height * width * channels
     return {
         "format": "png",
         "width": width,
@@ -139,6 +147,19 @@ def decode_png(payload: bytes) -> dict:
         "n_frames": height,
         "mean_q3": _q3(total, n_px_bytes),
     }
+
+
+def decode_png_pixels(payload: bytes) -> dict:
+    """Full pixel decode: ``rows`` is height lists of width per-pixel
+    tuples with ``channels`` components each (the shape
+    :func:`encode_png` accepts, so decode->transform->encode
+    round-trips)."""
+    width, height, channels, lines = _png_unfiltered_rows(payload)
+    rows = [
+        [tuple(line[i * channels : (i + 1) * channels]) for i in range(width)]
+        for line in lines
+    ]
+    return {"width": width, "height": height, "channels": channels, "rows": rows}
 
 
 def encode_png(pixels: list[list[tuple]], channels: int = 3) -> bytes:
@@ -207,6 +228,43 @@ def decode_bmp(payload: bytes) -> dict:
     }
 
 
+def decode_bmp_pixels(payload: bytes) -> dict:
+    """Full pixel decode for the 24-bit BMP subset of
+    :func:`decode_bmp`: ``rows`` is top-down lists of (r, g, b) tuples
+    (storage is BGR and usually bottom-up; both are normalized)."""
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP")
+    (pix_off,) = struct.unpack("<I", payload[10:14])
+    (hdr_size,) = struct.unpack("<I", payload[14:18])
+    if hdr_size < 40:
+        raise ValueError("unsupported BMP header")
+    width, height_raw = struct.unpack("<ii", payload[18:26])
+    (bpp,) = struct.unpack("<H", payload[28:30])
+    (compression,) = struct.unpack("<I", payload[30:34])
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp} comp={compression})")
+    height = abs(height_raw)
+    stride = (width * 3 + 3) & ~3
+    if len(payload) < pix_off + stride * height:
+        raise ValueError("BMP pixel data truncated")
+    rows = []
+    for row in range(height):
+        base = pix_off + row * stride
+        rows.append(
+            [
+                (
+                    payload[base + i * 3 + 2],
+                    payload[base + i * 3 + 1],
+                    payload[base + i * 3],
+                )
+                for i in range(width)
+            ]
+        )
+    if height_raw > 0:  # bottom-up storage -> top-down rows
+        rows.reverse()
+    return {"width": width, "height": height, "channels": 3, "rows": rows}
+
+
 def encode_bmp(pixels: list[list[tuple]]) -> bytes:
     """Minimal bottom-up 24-bit BMP writer for tests; pixel tuples are
     (r, g, b) and are stored BGR per the format."""
@@ -267,6 +325,39 @@ def decode_wav(payload: bytes) -> dict:
         "sample_rate": sample_rate,
         "n_frames": n_samples // channels,
         "mean_q3": _q3(total, n_samples),
+    }
+
+
+def decode_wav_samples(payload: bytes) -> dict:
+    """Full sample decode for the PCM-16 subset of :func:`decode_wav`:
+    ``samples`` is the interleaved 16-bit integer list (the shape
+    :func:`encode_wav` accepts)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos = 12
+    channels = sample_rate = bits = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + length]
+        pos += 8 + length + (length & 1)
+        if cid == b"fmt ":
+            fmt, channels, sample_rate = struct.unpack("<HHI", body[:8])
+            (bits,) = struct.unpack("<H", body[14:16])
+            if fmt != 1:
+                raise ValueError(f"unsupported WAV format {fmt}")
+        elif cid == b"data":
+            data = body
+    if channels is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if bits != 16:
+        raise ValueError(f"unsupported WAV bit depth {bits}")
+    n_samples = len(data) // 2
+    return {
+        "channels": channels,
+        "sample_rate": sample_rate,
+        "samples": list(struct.unpack(f"<{n_samples}h", data[: n_samples * 2])),
     }
 
 
@@ -386,6 +477,61 @@ def decode_gif_header(payload: bytes) -> dict:
         "n_frames": max(n_frames, 1),
         "mean_q3": 0,
     }
+
+
+def gif_frame_slices(payload: bytes) -> list[bytes]:
+    """Split an animated GIF into per-frame byte slices WITHOUT LZW
+    decompression — frame boundaries are pure block structure (GIF89a
+    spec §20-22): each frame is one 0x2C image descriptor (9 bytes),
+    an optional local color table, the LZW minimum code size byte, and
+    its data sub-blocks through the 0-size terminator. The slice for a
+    frame also includes any immediately preceding 0x21 extension blocks
+    (graphic control extensions bind to the frame that follows).
+    Returns the raw slices in frame order; [] for a GIF with no image
+    descriptors."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    if len(payload) < 13:
+        raise ValueError("GIF header truncated")
+    packed = payload[10]
+    pos = 13
+    if packed & 0x80:
+        pos += 3 * (2 << (packed & 0x07))
+
+    def _skip_subblocks(p: int) -> int:
+        while p < len(payload):
+            size = payload[p]
+            p += 1
+            if size == 0:
+                return p
+            p += size
+        return p
+
+    frames: list[bytes] = []
+    pending_ext_start = None  # start of extensions bound to the next frame
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x2C:
+            start = pending_ext_start if pending_ext_start is not None else pos
+            pending_ext_start = None
+            if pos + 10 > len(payload):
+                break
+            img_packed = payload[pos + 9]
+            pos += 10
+            if img_packed & 0x80:
+                pos += 3 * (2 << (img_packed & 0x07))
+            pos += 1  # LZW minimum code size
+            pos = _skip_subblocks(pos)
+            frames.append(bytes(payload[start:pos]))
+        elif block == 0x21:
+            if pending_ext_start is None:
+                pending_ext_start = pos
+            pos = _skip_subblocks(pos + 2)
+        elif block == 0x3B:
+            break
+        else:
+            break
+    return frames
 
 
 DECODERS = {

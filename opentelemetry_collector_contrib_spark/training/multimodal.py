@@ -99,3 +99,173 @@ def extract_features(mm: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield out[cols]
 
     return mm.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+# --- transforms (resize / frame-sample) ------------------------------------
+#
+# The transform stage of a multimodal training pipeline: normalize image
+# sizes, decimate audio, keep every k-th video frame. Same execution
+# shape as extract_features — Arrow-batched mapInPandas, decode/encode
+# per item inside the batch, one output row per item (or per kept frame
+# for the GIF sampler). The codecs are the dependency-free real ones
+# from .codecs; payloads outside their subset degrade to ok=false rows
+# with the reason, never to a dropped row or a thrown task.
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, ok boolean, format string, width int, height int, "
+    "payload binary, err string"
+)
+
+
+def resize_images(
+    mm: DataFrame, out_w: int, out_h: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Nearest-neighbor resize to (out_w, out_h); PNG/BMP in, PNG out.
+
+    Nearest-neighbor (source index = floor(i * src/dst)) is the
+    deterministic, interpolation-free kernel — bit-stable across
+    platforms, which is what a reproducible training pipeline wants
+    from its normalization pass."""
+    from .codecs import decode_bmp_pixels, decode_png_pixels, encode_png, sniff
+
+    def one(doc_id: int, payload: bytes) -> dict:
+        try:
+            fmt = sniff(payload)
+            if fmt == "png":
+                img = decode_png_pixels(payload)
+            elif fmt == "bmp":
+                img = decode_bmp_pixels(payload)
+            else:
+                raise ValueError(f"not a resizable image ({fmt})")
+            src_w, src_h, rows = img["width"], img["height"], img["rows"]
+            if src_w == 0 or src_h == 0:
+                raise ValueError("empty image")
+            out_rows = [
+                [rows[(y * src_h) // out_h][(x * src_w) // out_w] for x in range(out_w)]
+                for y in range(out_h)
+            ]
+            return {
+                "doc_id": doc_id,
+                "ok": True,
+                "format": fmt,
+                "width": out_w,
+                "height": out_h,
+                "payload": encode_png(out_rows, channels=img["channels"]),
+                "err": None,
+            }
+        except Exception as exc:
+            return {
+                "doc_id": doc_id,
+                "ok": False,
+                "format": None,
+                "width": None,
+                "height": None,
+                "payload": None,
+                "err": str(exc)[:200],
+            }
+
+    cols = [f.split()[0] for f in RESIZE_SCHEMA.split(", ")]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pd.DataFrame(
+                [one(i, p) for i, p in zip(pdf[id_col], pdf["payload"])]
+            )
+            yield out[cols]
+
+    return mm.mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
+AUDIO_SCHEMA = (
+    "doc_id bigint, ok boolean, sample_rate int, n_frames int, "
+    "payload binary, err string"
+)
+
+
+def sample_audio(mm: DataFrame, every_k: int, id_col: str = "doc_id") -> DataFrame:
+    """Decimate PCM-16 WAV audio: keep every k-th frame (all channels
+    of it), output a WAV at sample_rate // k. Plain decimation without
+    an anti-alias filter — the deterministic subset-selection semantics
+    (a training pipeline that wants filtering decodes once and applies
+    its own kernel on the samples column)."""
+    from .codecs import decode_wav_samples, encode_wav
+
+    def one(doc_id: int, payload: bytes) -> dict:
+        try:
+            wav = decode_wav_samples(payload)
+            ch, rate, samples = wav["channels"], wav["sample_rate"], wav["samples"]
+            n_frames = len(samples) // ch
+            kept: list[int] = []
+            for f in range(0, n_frames, every_k):
+                kept.extend(samples[f * ch : (f + 1) * ch])
+            new_rate = max(1, rate // every_k)
+            return {
+                "doc_id": doc_id,
+                "ok": True,
+                "sample_rate": new_rate,
+                "n_frames": len(kept) // ch,
+                "payload": encode_wav(kept, sample_rate=new_rate, channels=ch),
+                "err": None,
+            }
+        except Exception as exc:
+            return {
+                "doc_id": doc_id,
+                "ok": False,
+                "sample_rate": None,
+                "n_frames": None,
+                "payload": None,
+                "err": str(exc)[:200],
+            }
+
+    cols = [f.split()[0] for f in AUDIO_SCHEMA.split(", ")]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                [one(i, p) for i, p in zip(pdf[id_col], pdf["payload"])]
+            )[cols]
+
+    return mm.mapInPandas(batches, schema=AUDIO_SCHEMA)
+
+
+FRAME_SCHEMA = (
+    "doc_id bigint, frame_idx int, n_frames_total int, n_bytes int, "
+    "checksum bigint, frame binary"
+)
+
+
+def sample_gif_frames(
+    mm: DataFrame, every_k: int = 1, id_col: str = "doc_id"
+) -> DataFrame:
+    """Frame-sample animated GIFs: one output row per KEPT frame
+    (every k-th image descriptor), carrying the frame's raw byte slice
+    — extracted at the block-structure level without LZW decode
+    (codecs.gif_frame_slices), so sampling a 100-frame GIF costs a
+    byte walk, not a pixel decode. Non-GIF payloads yield no rows
+    (filter semantics, like the reference's on_error=drop parsers)."""
+    from .codecs import gif_frame_slices
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                try:
+                    slices = gif_frame_slices(payload)
+                except Exception:
+                    continue
+                for idx in range(0, len(slices), every_k):
+                    fr = slices[idx]
+                    recs.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_idx": idx,
+                            "n_frames_total": len(slices),
+                            "n_bytes": len(fr),
+                            "checksum": _checksum(fr),
+                            "frame": fr,
+                        }
+                    )
+            cols = [f.split()[0] for f in FRAME_SCHEMA.split(", ")]
+            yield pd.DataFrame(recs, columns=cols)
+
+    return mm.mapInPandas(batches, schema=FRAME_SCHEMA)

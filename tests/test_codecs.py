@@ -215,3 +215,158 @@ def test_jpeg_missing_sof_rejected():
 
     with _pytest.raises(ValueError):
         decode_media(b"\xff\xd8\xff\xd9")
+
+
+# --- pixel/sample-level decodes + transforms --------------------------------
+
+
+def _gif_frame(data=b"\x08\x07", x=0, y=0, w=2, h=2, lct=False):
+    import struct
+
+    packed = 0x80 if lct else 0
+    body = b"\x2c" + struct.pack("<HHHHB", x, y, w, h, packed)
+    if lct:
+        body += b"\x00" * 6  # 2-entry local color table
+    return body + b"\x02" + bytes([len(data)]) + data + b"\x00"
+
+
+def _animated_gif(n_frames=3, with_ext=True):
+    import struct
+
+    out = b"GIF89a" + struct.pack("<HH", 2, 2) + b"\x00\x00\x00"
+    for i in range(n_frames):
+        if with_ext:
+            # graphic control extension bound to the frame after it
+            out += b"\x21\xf9\x04\x00\x0a\x00\x00\x00"
+        out += _gif_frame(data=bytes([i + 1, i + 2]), lct=(i == 1))
+    return out + b"\x3b"
+
+
+def test_png_pixels_round_trip():
+    from opentelemetry_collector_contrib_spark.training.codecs import (
+        decode_png_pixels,
+    )
+
+    png = encode_png(RGB, channels=3)
+    d = decode_png_pixels(png)
+    assert (d["width"], d["height"], d["channels"]) == (3, 2, 3)
+    assert d["rows"] == RGB
+
+
+def test_bmp_pixels_round_trip_top_down_normalized():
+    from opentelemetry_collector_contrib_spark.training.codecs import (
+        decode_bmp_pixels,
+    )
+
+    bmp = encode_bmp(RGB)  # writer stores bottom-up BGR
+    d = decode_bmp_pixels(bmp)
+    assert (d["width"], d["height"], d["channels"]) == (3, 2, 3)
+    assert d["rows"] == RGB  # normalized back to top-down RGB
+
+
+def test_wav_samples_round_trip():
+    from opentelemetry_collector_contrib_spark.training.codecs import (
+        decode_wav_samples,
+    )
+
+    samples = [0, 100, -100, 32767, -32768, 7]
+    wav = encode_wav(samples, sample_rate=16000, channels=2)
+    d = decode_wav_samples(wav)
+    assert d["channels"] == 2
+    assert d["sample_rate"] == 16000
+    assert d["samples"] == samples
+
+
+def test_gif_frame_slices_structure():
+    from opentelemetry_collector_contrib_spark.training.codecs import (
+        decode_gif_header,
+        gif_frame_slices,
+    )
+
+    gif = _animated_gif(n_frames=3)
+    assert decode_gif_header(gif)["n_frames"] == 3
+    slices = gif_frame_slices(gif)
+    assert len(slices) == 3
+    # each slice starts at its bound extension and reassembles the file
+    for s in slices:
+        assert s[0] == 0x21  # graphic control extension first
+        assert 0x2C in s
+    header = gif[: 6 + 4 + 3]
+    assert header + b"".join(slices) + b"\x3b" == gif
+    # reassembled single-frame gif still parses with 1 frame
+    single = header + slices[1] + b"\x3b"
+    assert decode_gif_header(single)["n_frames"] == 1
+    assert gif_frame_slices(single) == [slices[1]]
+
+
+def test_resize_images_nearest_neighbor(spark):
+    from opentelemetry_collector_contrib_spark.training.multimodal import (
+        resize_images,
+    )
+    from opentelemetry_collector_contrib_spark.training.codecs import (
+        decode_png_pixels,
+    )
+
+    # 4x4 checkerboard of 2x2 blocks -> 2x2 resize picks block corners
+    A, B = (255, 0, 0), (0, 0, 255)
+    board = [
+        [A, A, B, B],
+        [A, A, B, B],
+        [B, B, A, A],
+        [B, B, A, A],
+    ]
+    rows = [
+        (1, bytearray(encode_png(board, channels=3))),
+        (2, bytearray(encode_bmp(board))),
+        (3, bytearray(b"not an image")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in resize_images(df, 2, 2).collect()}
+    assert got[1].ok and got[1].format == "png"
+    assert got[2].ok and got[2].format == "bmp"
+    assert not got[3].ok and got[3].payload is None and got[3].err
+    for doc_id in (1, 2):
+        d = decode_png_pixels(bytes(got[doc_id].payload))
+        # nearest-neighbor src index floor(i*4/2) = {0,2} -> corners
+        assert d["rows"] == [[A, B], [B, A]]
+
+
+def test_sample_audio_decimates(spark):
+    from opentelemetry_collector_contrib_spark.training.multimodal import (
+        sample_audio,
+    )
+    from opentelemetry_collector_contrib_spark.training.codecs import (
+        decode_wav_samples,
+    )
+
+    # stereo frames: (i, -i) for i in 0..9; every_k=2 keeps frames 0,2,4,6,8
+    samples = []
+    for i in range(10):
+        samples += [i, -i]
+    rows = [(7, bytearray(encode_wav(samples, sample_rate=8000, channels=2)))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    r = sample_audio(df, 2).collect()[0]
+    assert r.ok and r.sample_rate == 4000 and r.n_frames == 5
+    d = decode_wav_samples(bytes(r.payload))
+    assert d["samples"] == [0, 0, 2, -2, 4, -4, 6, -6, 8, -8]
+    # non-wav -> ok=false row kept
+    bad = spark.createDataFrame(
+        [(8, bytearray(b"xx"))], "doc_id long, payload binary"
+    )
+    rb = sample_audio(bad, 2).collect()[0]
+    assert not rb.ok and rb.err
+
+
+def test_sample_gif_frames_spark(spark):
+    from opentelemetry_collector_contrib_spark.training.multimodal import (
+        sample_gif_frames,
+    )
+
+    gif = _animated_gif(n_frames=5)
+    rows = [(1, bytearray(gif)), (2, bytearray(b"png? no"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = sample_gif_frames(df, every_k=2).collect()
+    # doc 2 is not a gif -> contributes no rows; doc 1 keeps frames 0,2,4
+    assert sorted((r.doc_id, r.frame_idx) for r in got) == [(1, 0), (1, 2), (1, 4)]
+    assert all(r.n_frames_total == 5 for r in got)
+    assert all(r.frame[0] == 0x21 for r in got)
