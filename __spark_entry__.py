@@ -84,6 +84,7 @@ from opentelemetry_collector_contrib_spark.training import (
     ivf_centroids,
     ivf_refine,
     ivf_topk,
+    semdedup,
     lang_id,
     lsh_candidate_pairs,
     make_planes,
@@ -1755,6 +1756,16 @@ def _q_ann_ivf_kmeans(spark, sf_dir):
     return ivf_assign(emb, cents)
 
 
+
+def _q_semdedup(spark, sf_dir):
+    # SemDeDup: IVF-cluster-bucketed semantic dedup; threshold 0.2 so
+    # both verdicts appear at sf0.01 (0.95 removes nothing from 500
+    # synthetic vectors -> a vacuous oracle, same reasoning as
+    # dedup_cosine)
+    emb = _emb(spark, sf_dir)
+    return semdedup(emb, ivf_centroids(emb, n_list=16), threshold=0.2)
+
+
 def _q_cosine_bucketed(spark, sf_dir):
     return cosine_pairs_bucketed(
         _emb(spark, sf_dir), threshold=0.2, n_planes=4, max_bucket=200
@@ -1872,6 +1883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_connector": _q_counts,
         # new in r04 — the spanevent OTTL context, never driver-checked
         "transform_spanevent": _q_transform_spanevent,
+        "dedup_semantic_semdedup": _q_semdedup,
         # --- end of the driver's 50-query window ---
         "attributes_processor": _q_attributes,
         "parse_time_severity": _q_parse_time_severity,
@@ -2641,6 +2653,21 @@ scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
 SELECT query_id, neighbor_id, rank, cos FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
   FROM scored) WHERE rank <= 5""",
+        "dedup_semantic_semdedup": f"""WITH {_IVF_CENT},
+assign AS (SELECT e.vec_id, e.embedding, c.centroid_id AS cluster_id,
+                  ({_IVF_COS_EC} / {_nrm_sql('e.embedding')}) AS cc
+           FROM embeddings e CROSS JOIN cent c
+           QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {_IVF_COS_EC} DESC, c.centroid_id) = 1)
+SELECT a.vec_id, a.cluster_id, round(a.cc, 4) AS cent_cos,
+       NOT EXISTS (
+         SELECT 1 FROM assign b
+         WHERE b.cluster_id = a.cluster_id AND b.vec_id <> a.vec_id
+           AND round({_dot_sql('a.embedding', 'b.embedding')}
+                     / ({_nrm_sql('a.embedding')} * {_nrm_sql('b.embedding')}), 4) >= 0.2
+           AND (b.cc < a.cc OR (b.cc = a.cc AND b.vec_id < a.vec_id))
+       ) AS keep
+FROM assign a""",
         "ann_ivf_kmeans": f"""WITH {_IVF_CENT},
 a0 AS (SELECT e.vec_id, e.embedding, c.centroid_id AS list_id
        FROM embeddings e CROSS JOIN cent c

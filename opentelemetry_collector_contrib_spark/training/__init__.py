@@ -26,6 +26,7 @@ from .similarity import (
     ivf_assign,
     ivf_centroids,
     ivf_refine,
+    semdedup,
     ivf_topk,
     lsh_topk,
     make_planes,
@@ -56,6 +57,7 @@ __all__ = [
     "ivf_assign",
     "ivf_centroids",
     "ivf_refine",
+    "semdedup",
     "ivf_topk",
     "lang_id",
     "lsh_candidate_pairs",

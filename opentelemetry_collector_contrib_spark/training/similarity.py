@@ -462,3 +462,89 @@ def cosine_pairs_bucketed(
         pairs.select("a_id", "b_id", F.round(cos, 4).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
+
+
+def semdedup(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
+    by embedding — cluster with the IVF coarse quantizer, then inside
+    each cluster remove every member that has a near-duplicate
+    (pairwise cosine >= ``threshold``) closer to the centroid than
+    itself; the member FARTHEST from the centroid in each duplicate
+    group survives (the paper's keep-low-centroid-similarity rule,
+    which biases the kept set toward diversity).
+
+    Returns one verdict row per input vector:
+    ``(id_col, cluster_id, cent_cos, keep)``.
+
+    Execution shape (100 TB posture): centroid assignment is the same
+    zero-shuffle literal-projection as :func:`ivf_assign`; ONE shuffle
+    groups each cluster; the removal test is a per-member EXISTS over
+    the collected cluster (member x is removed iff some y in the
+    cluster has round(cos(x,y),4) >= threshold and beats x — lower
+    centroid-cosine, ties to the smaller id), evaluated locally with
+    higher-order functions — no self-join, no join-back, every row
+    yields exactly one verdict. Clusters larger than ``max_cluster``
+    skip the quadratic member test and keep everything (bounded-state
+    guard, same posture as cosine_pairs_bucketed's cap).
+    """
+    ranked = _centroid_ranking(vec_col, centroids)[0]
+    key = -ranked.getField("neg")  # dot(v, c) / ||c||
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        ranked.getField("centroid_id").alias("cluster_id"),
+        (key / _norm(F.col(vec_col))).alias("cc"),
+    )
+    clusters = staged.groupBy("cluster_id").agg(
+        F.sort_array(F.collect_list(F.struct("id", "v", "cc"))).alias("items")
+    )
+    items = F.col("items")
+
+    def _removed(x):
+        def _beats(y):
+            cos = F.round(
+                _dot(x.getField("v"), y.getField("v"))
+                / (_norm(x.getField("v")) * _norm(y.getField("v"))),
+                4,
+            )
+            better = (y.getField("cc") < x.getField("cc")) | (
+                (y.getField("cc") == x.getField("cc"))
+                & (y.getField("id") < x.getField("id"))
+            )
+            return (y.getField("id") != x.getField("id")) & (cos >= F.lit(threshold)) & better
+
+        return F.exists(items, _beats)
+
+    verdict = F.transform(
+        items,
+        lambda x: F.struct(
+            x.getField("id").alias("id"),
+            x.getField("cc").alias("cc"),
+            (~_removed(x)).alias("keep"),
+        ),
+    )
+    if max_cluster is not None:
+        verdict = F.when(F.size(items) > max_cluster, F.transform(
+            items,
+            lambda x: F.struct(
+                x.getField("id").alias("id"),
+                x.getField("cc").alias("cc"),
+                F.lit(True).alias("keep"),
+            ),
+        )).otherwise(verdict)
+    return (
+        clusters.select("cluster_id", F.explode(verdict).alias("m"))
+        .select(
+            F.col("m.id").alias(id_col),
+            "cluster_id",
+            F.round(F.col("m.cc"), 4).alias("cent_cos"),
+            F.col("m.keep").alias("keep"),
+        )
+    )

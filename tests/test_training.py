@@ -779,3 +779,40 @@ class TestChunking:
         rows = [(r.token, r.n) for r in vocab_topk(df, k=3).collect()]
         # counts: a=2 b=2 c=2 d=1 -> top3 ties broken lexicographically
         assert rows == [("a", 2), ("b", 2), ("c", 2)]
+
+
+def test_semdedup_keeps_farthest_from_centroid(vecs):
+    # SemDeDup keep rule (arXiv:2303.09540): inside a cluster, among
+    # near-duplicates keep the member with the LOWEST cosine to the
+    # centroid. Centroid = vec 0's direction -> vecs 0 and 1 are near
+    # dups (cos ~ 1); vec 1 is marginally farther from the centroid
+    # (cc < 1) so vec 0 is the one removed.
+    from opentelemetry_collector_contrib_spark.training import semdedup
+
+    cents = [(1, [1.0, 0.0, 0.0, 0.0])]
+    got = {r.vec_id: r for r in semdedup(vecs, cents, threshold=0.95).collect()}
+    assert len(got) == 4 and all(r.cluster_id == 1 for r in got.values())
+    assert not got[0].keep  # closer to centroid -> removed
+    assert got[1].keep  # farthest member of the dup group survives
+    assert got[2].keep and got[3].keep  # no partner above threshold
+    assert got[0].cent_cos == pytest.approx(1.0, abs=1e-4)
+
+
+def test_semdedup_cap_skips_quadratic_test(vecs):
+    from opentelemetry_collector_contrib_spark.training import semdedup
+
+    cents = [(1, [1.0, 0.0, 0.0, 0.0])]
+    got = semdedup(vecs, cents, threshold=0.95, max_cluster=3).collect()
+    # the 4-member cluster exceeds the cap: everything kept, no pair test
+    assert len(got) == 4 and all(r.keep for r in got)
+
+
+def test_semdedup_tie_breaks_to_smaller_id(spark):
+    from opentelemetry_collector_contrib_spark.training import semdedup
+
+    # identical vectors: equal cent_cos, equal pairwise cos -> the
+    # smallest id survives, the rest are removed
+    rows = [(i, [1.0, 0.0]) for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.vec_id: r.keep for r in semdedup(df, [(1, [1.0, 0.0])], 0.99).collect()}
+    assert got == {0: True, 1: False, 2: False}
