@@ -69,11 +69,21 @@ def _resolve_path(p: Path) -> Column:
             rest = rest[1:]
         col = F.col(head)
         for key in rest:
-            col = F.element_at(col, key) if isinstance(key, str) else col[key]
+            # try_element_at: missing map key / out-of-range index is nil
+            # in reference OTTL; ANSI element_at would throw
+            col = (
+                F.try_element_at(col, F.lit(key))
+                if isinstance(key, str)
+                else F.try_element_at(col, F.lit(key + 1))
+            )
         return col
     col = F.col(str(head))
     for key in p.parts[1:]:
-        col = col.getField(key) if isinstance(key, str) else F.element_at(col, key + 1)
+        col = (
+            col.getField(key)
+            if isinstance(key, str)
+            else F.try_element_at(col, F.lit(key + 1))
+        )
     return col
 
 
@@ -90,9 +100,10 @@ def compile_value(node, df: DataFrame | None = None) -> Column:
     if isinstance(node, Index):
         obj = compile_value(node.obj, df)
         if isinstance(node.key, int):
-            # OTTL list indexes are 0-based; element_at is 1-based
-            return F.element_at(obj, node.key + 1)
-        return F.element_at(obj, node.key)
+            # OTTL list indexes are 0-based; element_at is 1-based;
+            # try_ variant = reference nil-on-missing + ANSI-safe
+            return F.try_element_at(obj, F.lit(node.key + 1))
+        return F.try_element_at(obj, F.lit(node.key))
     if isinstance(node, BinOp):
         return _compile_binop(node, df)
     if isinstance(node, Not):
@@ -248,6 +259,14 @@ def _set_path(df: DataFrame, p: Path, value: Column, where: Column | None) -> Da
         return df.withColumn(col, value)
     if head == "time":
         head, p = "ts", Path(["ts"])
+    elif head == "observed_time":
+        head, p = "observed_ts", Path(["observed_ts"])
+    elif head in ("time_unix_nano", "observed_time_unix_nano"):
+        tcol = "ts" if head == "time_unix_nano" else "observed_ts"
+        value = F.timestamp_micros(
+            (value.cast("decimal(38,0)") / F.lit(1000)).cast("long")
+        )
+        head, p = tcol, Path([tcol])
     if where is not None:
         try:
             current = _resolve_path(p)

@@ -1249,13 +1249,9 @@ class UriParser:
         kv = F.transform(
             pairs,
             lambda s, i: F.struct(
-                self._decode(F.substring_index(s, "=", 1)).alias("k"),
+                self._decode(self._seg_key(s)).alias("k"),
                 i.alias("i"),
-                self._decode(
-                    F.when(
-                        s.contains("="), F.substr(s, F.instr(s, "=") + 1)
-                    ).otherwise(F.lit(""))
-                ).alias("v"),
+                self._decode(self._seg_val(s)).alias("v"),
             ),
         )
         staged = df.withColumn("__kv_sorted", F.array_sort(kv))

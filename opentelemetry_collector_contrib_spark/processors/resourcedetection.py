@@ -109,7 +109,9 @@ def _detect_gcp(meta: dict | None = None) -> dict[str, str]:
     out = {"cloud.provider": "gcp"}
     if meta.get("project_id"):
         out["cloud.account.id"] = str(meta["project_id"])
-    platform_ = meta.get("platform", "gce")
+    # no default: gcp.go's switch default emits provider + project only,
+    # so a missing platform behaves like an unknown one
+    platform_ = meta.get("platform")
     if platform_ == "gce":
         out["cloud.platform"] = "gcp_compute_engine"
         if meta.get("zone"):
@@ -284,9 +286,12 @@ def _detect_lambda(meta: dict | None = None) -> dict[str, str]:
     reference requires AWS_LAMBDA_FUNCTION_NAME (error when absent,
     lambda.go:46-49); faas.instance doubles as the log stream name and
     the aws.log.* names are single-element lists stamped here as the
-    scalar value."""
+    scalar value.  Like every other cloud detector the captured
+    environment arrives via ``detector_configs`` (keyed by the env-var
+    names) — reading the DRIVER's os.environ would stamp the submit
+    host's region/function onto records produced elsewhere."""
     meta = meta or {}
-    env = {**os.environ, **{str(k): str(v) for k, v in meta.items()}}
+    env = {str(k): str(v) for k, v in meta.items()}
     fn = env.get("AWS_LAMBDA_FUNCTION_NAME", "")
     if not fn:
         return {}

@@ -82,7 +82,21 @@ def spanevent_frame(
     # the rebuild); otherwise a monotonic id — only safe over a
     # deterministic scan
     if "trace_id" in spans.columns and "span_id" in spans.columns:
-        sid = F.concat_ws("\x1f", "trace_id", "span_id")
+        # null-SAFE key: concat_ws silently skips null args, so
+        # ('x', null) and (null, 'x') would both key as 'x' and the
+        # regroup would fuse two distinct spans; coalesce each part to
+        # a sentinel that cannot appear in hex ids
+        sid = F.concat_ws(
+            "\x1f",
+            F.coalesce(F.col("trace_id").cast("string"), F.lit("\x00")),
+            F.coalesce(F.col("span_id").cast("string"), F.lit("\x00")),
+        )
+        # two spans BOTH missing BOTH ids are distinct spans, not one:
+        # give each its own key (same deterministic-scan caveat as below)
+        sid = F.when(
+            F.col("trace_id").isNull() & F.col("span_id").isNull(),
+            F.concat(F.lit("\x00m\x1f"), F.monotonically_increasing_id()),
+        ).otherwise(sid)
     else:
         sid = F.monotonically_increasing_id()
     exploded = spans.select(

@@ -291,8 +291,9 @@ def encode_bmp(pixels: list[list[tuple]]) -> bytes:
 # --- WAV ------------------------------------------------------------------
 
 
-def decode_wav(payload: bytes) -> dict:
-    """RIFF/WAVE, PCM (format 1), 16-bit samples."""
+def _wav_pcm16(payload: bytes) -> tuple[int, int, tuple]:
+    """Shared RIFF chunk walk for the PCM-16 subset: returns
+    (channels, sample_rate, interleaved 16-bit samples)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV")
     pos = 12
@@ -315,7 +316,12 @@ def decode_wav(payload: bytes) -> dict:
     if bits != 16:
         raise ValueError(f"unsupported WAV bit depth {bits}")
     n_samples = len(data) // 2
-    samples = struct.unpack(f"<{n_samples}h", data[: n_samples * 2])
+    return channels, sample_rate, struct.unpack(f"<{n_samples}h", data[: n_samples * 2])
+
+
+def decode_wav(payload: bytes) -> dict:
+    """RIFF/WAVE, PCM (format 1), 16-bit samples."""
+    channels, sample_rate, samples = _wav_pcm16(payload)
     total = sum(abs(s) for s in samples)
     return {
         "format": "wav",
@@ -323,8 +329,8 @@ def decode_wav(payload: bytes) -> dict:
         "height": 0,
         "channels": channels,
         "sample_rate": sample_rate,
-        "n_frames": n_samples // channels,
-        "mean_q3": _q3(total, n_samples),
+        "n_frames": len(samples) // channels,
+        "mean_q3": _q3(total, len(samples)),
     }
 
 
@@ -332,32 +338,11 @@ def decode_wav_samples(payload: bytes) -> dict:
     """Full sample decode for the PCM-16 subset of :func:`decode_wav`:
     ``samples`` is the interleaved 16-bit integer list (the shape
     :func:`encode_wav` accepts)."""
-    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
-        raise ValueError("not a WAV")
-    pos = 12
-    channels = sample_rate = bits = None
-    data = None
-    while pos + 8 <= len(payload):
-        cid = payload[pos : pos + 4]
-        (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
-        body = payload[pos + 8 : pos + 8 + length]
-        pos += 8 + length + (length & 1)
-        if cid == b"fmt ":
-            fmt, channels, sample_rate = struct.unpack("<HHI", body[:8])
-            (bits,) = struct.unpack("<H", body[14:16])
-            if fmt != 1:
-                raise ValueError(f"unsupported WAV format {fmt}")
-        elif cid == b"data":
-            data = body
-    if channels is None or data is None:
-        raise ValueError("WAV missing fmt/data chunk")
-    if bits != 16:
-        raise ValueError(f"unsupported WAV bit depth {bits}")
-    n_samples = len(data) // 2
+    channels, sample_rate, samples = _wav_pcm16(payload)
     return {
         "channels": channels,
         "sample_rate": sample_rate,
-        "samples": list(struct.unpack(f"<{n_samples}h", data[: n_samples * 2])),
+        "samples": list(samples),
     }
 
 

@@ -61,7 +61,11 @@ def exact_dedup(
     window would instead ship EVERY copy to one task (AQE skew-split
     does not apply to windows). The semi-join back keys on the
     composite (hash, id), which is unique per row, so the join shuffle
-    is skew-free too. Same rows out as the window formulation.
+    is skew-free too. Same rows out as the window formulation —
+    including null text: md5(null) is null, groupBy groups nulls into
+    one class (as a window partition would), and the join back is
+    null-SAFE on the hash so the null class's winner survives instead
+    of vanishing through a null == null comparison.
     """
     h = F.md5(F.col(text_col))
     winners = (
@@ -72,7 +76,7 @@ def exact_dedup(
     keyed = df.withColumn("__h", h)
     return keyed.join(
         winners,
-        on=[keyed["__h"] == winners["__h"], keyed[id_col] == winners["__w_id"]],
+        on=[keyed["__h"].eqNullSafe(winners["__h"]), keyed[id_col] == winners["__w_id"]],
         how="left_semi",
     ).drop("__h")
 
