@@ -25,6 +25,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..envelope import try_element_at
+
 DEFAULT_METRIC = "log.record.count"
 
 # per-signal default metric names (config.go:19-29): the connector is
@@ -62,7 +64,7 @@ class CountConnector:
         if key in df.columns:
             return F.col(key).cast("string")
         if "attributes" in df.columns:
-            return F.element_at(F.col("attributes"), key)
+            return try_element_at(F.col("attributes"), key)
         return F.lit(None).cast("string")
 
     def __call__(self, df: DataFrame) -> DataFrame:

@@ -33,6 +33,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..envelope import try_element_at
+
 EVENT_NAME_EXC = "exception"  # connector.go:20
 RESERVED_KEYS = ("service.name", "span.name", "span.kind", "status.code")
 
@@ -78,8 +80,8 @@ class ExceptionsConnector:
         """Span attrs -> event attrs -> default (connector.go:43-62)."""
         sources = []
         if self.attributes_col in df.columns:
-            sources.append(F.element_at(F.col(self.attributes_col), d.name))
-        sources.append(F.element_at(F.col("__event__.attributes"), d.name))
+            sources.append(try_element_at(F.col(self.attributes_col), d.name))
+        sources.append(try_element_at(F.col("__event__.attributes"), d.name))
         if d.default is not None:
             sources.append(F.lit(d.default))
         return F.coalesce(*sources).alias(d.name.replace(".", "_"))
@@ -151,7 +153,7 @@ class ExceptionsConnector:
             # stacktrace always copied from the event, '' when absent
             # (connector_logs.go getValue)
             F.coalesce(
-                F.element_at(F.col("__event__.attributes"), "exception.stacktrace"),
+                try_element_at(F.col("__event__.attributes"), "exception.stacktrace"),
                 F.lit(""),
             ).alias("exception_stacktrace"),
         ]

@@ -29,6 +29,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..envelope import try_element_at
+
 HOST_INFO_METRIC = "traces_host_info"  # connector.go:21
 HOST_ID_ATTR = "grafana.host.id"       # connector.go:22
 
@@ -48,7 +50,7 @@ class GrafanaCloudConnector:
         # first PRESENT identifier wins (connector.go:72-79); a map value
         # is never null, so presence == non-null element_at
         host = F.coalesce(
-            *[F.element_at(F.col(self.attrs_col), k) for k in self.host_identifiers],
+            *[try_element_at(F.col(self.attrs_col), k) for k in self.host_identifiers],
             F.lit(None).cast("string"),
         )
         seen = spans.select(host.alias("host_id"), F.col(self.ts_col)).filter(

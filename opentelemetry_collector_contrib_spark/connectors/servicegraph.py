@@ -20,6 +20,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..envelope import try_element_at
+
 # store/edge.go:15-18
 CONN_UNKNOWN = ""
 CONN_MESSAGING = "messaging_system"
@@ -149,7 +151,7 @@ class SpanServiceGraph:
         # span attributes (the resource/span split collapses in the flat
         # span frame)
         return [
-            F.element_at(F.col(self.attrs_col), d).alias(f"{side}_{d}")
+            try_element_at(F.col(self.attrs_col), d).alias(f"{side}_{d}")
             for d in self.dimensions
         ]
 
@@ -160,10 +162,10 @@ class SpanServiceGraph:
         server_kind = kind.isin("SPAN_KIND_SERVER", "SPAN_KIND_CONSUMER")
 
         peer = F.coalesce(
-            *[F.element_at(F.col(self.attrs_col), a) for a in self.peer_attributes],
+            *[try_element_at(F.col(self.attrs_col), a) for a in self.peer_attributes],
             F.lit(None).cast("string"),
         )
-        db_name = F.element_at(F.col(self.attrs_col), self.database_name_attribute)
+        db_name = try_element_at(F.col(self.attrs_col), self.database_name_attribute)
 
         clients = spans.filter(client_kind).select(
             F.col(self.trace_id_col).alias("__tid"),

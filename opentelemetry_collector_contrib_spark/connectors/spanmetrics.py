@@ -23,6 +23,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..envelope import try_element_at
+
 
 # connector.go:39-41
 METRIC_NAME_DURATION = "duration"
@@ -92,7 +94,7 @@ class SpanMetricsConnector:
         if name in df.columns:
             expr = F.col(name)
         elif "attributes" in df.columns:
-            expr = F.element_at(F.col("attributes"), name)
+            expr = try_element_at(F.col("attributes"), name)
         else:
             expr = F.lit(None).cast("string")
         default = self.dimension_defaults.get(name)

@@ -21,6 +21,24 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+def try_element_at(col: Column | str, extraction) -> Column:
+    """ANSI-safe element_at with element_at's LITERAL key semantics.
+
+    ``F.try_element_at`` types its second argument as ColumnOrName — a
+    plain string is resolved as a COLUMN NAME, unlike ``F.element_at``
+    which treats it as a literal map key. Every call site in this
+    package means the literal, so this wrapper lifts non-Column keys
+    with ``lit()`` before delegating. Under ANSI-on sessions (the
+    driver default) a missing map key / out-of-range index yields null
+    (the reference's nil) instead of throwing.
+    """
+    if not isinstance(extraction, Column):
+        extraction = F.lit(extraction)
+    if isinstance(col, str):
+        col = F.col(col)
+    return F.try_element_at(col, extraction)
+
+
 ENVELOPE_SCHEMA = StructType(
     [
         StructField("ts", TimestampType()),          # entry.Timestamp
@@ -87,7 +105,7 @@ def field_get(path: str) -> Column:
     if head in ("attributes", "resource") and len(parts) > 1:
         col = F.col(head)
         for key in parts[1:]:
-            col = F.element_at(col, key) if isinstance(key, str) else col[key]
+            col = try_element_at(col, key) if isinstance(key, str) else col[key]
         return col
     col = F.col(head)
     for key in parts[1:]:

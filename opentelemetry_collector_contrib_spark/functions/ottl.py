@@ -20,6 +20,8 @@ from typing import Callable
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..envelope import try_element_at
+
 from ..envelope import field_delete, field_get, field_set
 from .ast import (
     BinOp,
@@ -72,9 +74,9 @@ def _resolve_path(p: Path) -> Column:
             # try_element_at: missing map key / out-of-range index is nil
             # in reference OTTL; ANSI element_at would throw
             col = (
-                F.try_element_at(col, F.lit(key))
+                try_element_at(col, F.lit(key))
                 if isinstance(key, str)
-                else F.try_element_at(col, F.lit(key + 1))
+                else try_element_at(col, F.lit(key + 1))
             )
         return col
     col = F.col(str(head))
@@ -82,7 +84,7 @@ def _resolve_path(p: Path) -> Column:
         col = (
             col.getField(key)
             if isinstance(key, str)
-            else F.try_element_at(col, F.lit(key + 1))
+            else try_element_at(col, F.lit(key + 1))
         )
     return col
 
@@ -102,8 +104,8 @@ def compile_value(node, df: DataFrame | None = None) -> Column:
         if isinstance(node.key, int):
             # OTTL list indexes are 0-based; element_at is 1-based;
             # try_ variant = reference nil-on-missing + ANSI-safe
-            return F.try_element_at(obj, F.lit(node.key + 1))
-        return F.try_element_at(obj, F.lit(node.key))
+            return try_element_at(obj, F.lit(node.key + 1))
+        return try_element_at(obj, F.lit(node.key))
     if isinstance(node, BinOp):
         return _compile_binop(node, df)
     if isinstance(node, Not):

@@ -20,6 +20,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..envelope import try_element_at
+
 from ..envelope import field_get
 from .base import apply_on_error
 
@@ -321,7 +323,7 @@ class CsvParser:
             toks = F.split(src, _re.escape(self.delimiter))
             ok = F.size(toks) == len(header)
             values = {
-                h: F.when(ok, F.element_at(toks, i + 1))
+                h: F.when(ok, try_element_at(toks, i + 1))
                 for i, h in enumerate(header)
             }
             out = _write_groups(df, values, self.parse_to)
@@ -537,7 +539,7 @@ class KeyValueParser:
             ok = F.size(pairs) > 0
         if self.parse_to is None:
             keys = self.keys or []
-            values = {k: F.element_at(pairs, k) for k in keys}
+            values = {k: try_element_at(pairs, k) for k in keys}
             out = _write_groups(df, values, None)
         elif self.parse_to in ("attributes", "resource"):
             existing = F.coalesce(
@@ -978,7 +980,7 @@ class ContainerParser:
             if self.path_attribute in df.columns:
                 path = F.col(f"`{self.path_attribute}`")
             elif "attributes" in df.columns:
-                path = F.element_at(F.col("attributes"), self.path_attribute)
+                path = try_element_at(F.col("attributes"), self.path_attribute)
             else:
                 path = field_get(self.path_attribute)
 
@@ -1292,7 +1294,7 @@ class JsonArrayParser:
         arr = F.from_json(src, "array<string>")
         ok = arr.isNotNull()
         if self.header:
-            values = {h: F.element_at(arr, i + 1) for i, h in enumerate(self.header)}
+            values = {h: try_element_at(arr, i + 1) for i, h in enumerate(self.header)}
             out = _write_groups(df, values, None)
         else:
             out = df.withColumn(self.parse_to, arr)

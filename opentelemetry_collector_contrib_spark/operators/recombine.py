@@ -54,6 +54,8 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..envelope import try_element_at
+
 
 @dataclass
 class Recombine:
@@ -206,7 +208,7 @@ class Recombine:
         collected = F.sort_array(F.collect_list(row_struct))
         per_group = grouped.groupBy(src, "__grp__").agg(collected.alias("__rows__"))
         elem_ddl = per_group.select(
-            F.element_at("__rows__", 1).alias("e")
+            try_element_at("__rows__", 1).alias("e")
         ).schema[0].dataType.simpleString()
         empty_batches = F.expr(f"cast(array() as array<array<{elem_ddl}>>)")
         empty_cur = F.expr(f"cast(array() as array<{elem_ddl}>)")
@@ -251,7 +253,7 @@ class Recombine:
             F.col(src), F.explode(batches).alias("__batch__")
         )
         pick_idx = 1 if self.overwrite_with == "oldest" else -1
-        picked = F.element_at("__batch__", pick_idx)
+        picked = try_element_at("__batch__", pick_idx)
         cols = [F.col(src)] + [
             (
                 F.array_join(

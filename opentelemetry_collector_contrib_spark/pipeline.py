@@ -19,6 +19,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .envelope import try_element_at
+
 from .connectors import CountConnector, MetricDef, Route, RoutingConnector
 from .data import role_groups_df, tool_catalog_df
 from .metrics import MetricsCollector
@@ -118,7 +120,7 @@ def run_flagship(
     routed, counts = TranscriptPipeline()(transcripts)
     return counts.select(
         "metric_name",
-        F.element_at("attrs", "route").alias("route"),
-        F.element_at("attrs", "role").alias("role"),
+        try_element_at("attrs", "route").alias("route"),
+        try_element_at("attrs", "role").alias("role"),
         "count",
     ).orderBy("metric_name", "route", "role")

@@ -19,6 +19,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..envelope import try_element_at
+
 
 @dataclass
 class LookupEnrich:
@@ -42,7 +44,7 @@ class LookupEnrich:
 def ipv4_to_long(col: Column) -> Column:
     """Dotted-quad string -> BIGINT (null for anything malformed)."""
     parts = F.split(col, r"\.")
-    octets = [F.element_at(parts, i + 1).cast("bigint") for i in range(4)]
+    octets = [try_element_at(parts, i + 1).cast("bigint") for i in range(4)]
     valid = col.rlike(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$")
     for o in octets:
         valid = valid & (o <= 255)
@@ -156,7 +158,7 @@ def probe_ip_attr(attrs_col: Column, keys: list[str]) -> Column:
     nothing resolves (the processor then leaves the record untouched)."""
     cands = []
     for k in keys:
-        v = F.element_at(attrs_col, k)
+        v = try_element_at(attrs_col, k)
         n = ipv4_to_long(v)
         cands.append(F.when(n.isNotNull() & (n != 0), v))
     return F.coalesce(*cands) if cands else F.lit(None).cast("string")

@@ -39,6 +39,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..envelope import try_element_at
+
 
 def scale_idx(value: float, scale: int) -> int:
     """Python twin of scale.go Scale.Idx (driver-side: thresholds are
@@ -123,8 +125,8 @@ def collapse(
                 F.transform(
                     F.sequence(F.lit(0), h),
                     lambda q: (
-                        F.try_element_at(pad, q * 2 + 1)
-                        + F.coalesce(F.try_element_at(pad, q * 2 + 2), F.lit(0))
+                        try_element_at(pad, q * 2 + 1)
+                        + F.coalesce(try_element_at(pad, q * 2 + 2), F.lit(0))
                     ).cast("long"),
                 ),
                 1,
@@ -174,7 +176,7 @@ def merge_expr(
     def at(off, cnt, i):
         pos = i - off + 1  # element_at is 1-based
         return F.when(
-            (pos >= 1) & (pos <= F.size(cnt)), F.element_at(cnt, pos)
+            (pos >= 1) & (pos <= F.size(cnt)), try_element_at(cnt, pos)
         ).otherwise(F.lit(0))
 
     merged = F.transform(
@@ -307,7 +309,7 @@ class DeltaToCumulativeExpo:
                     p <= F.size(self.counts_col),
                     F.floor((F.col(self.offset_col) + p - 1) / shift).cast("int"),
                 ).alias("idx"),
-                F.coalesce(F.try_element_at(self.counts_col, p.cast("int")), F.lit(0))
+                F.coalesce(try_element_at(self.counts_col, p.cast("int")), F.lit(0))
                 .cast("long")
                 .alias("cnt"),
             ),
@@ -385,12 +387,12 @@ class DeltaToCumulativeExpo:
         # (see collapse for the PySpark 4.1 lambda hazards this
         # formulation avoids).
         cells = F.col("__cells__")
-        lo = F.coalesce(F.try_element_at(cells, F.lit(1)).getField("idx"), F.lit(0))
+        lo = F.coalesce(try_element_at(cells, F.lit(1)).getField("idx"), F.lit(0))
         hi = F.coalesce(
             # try_element_at: index 1 on an empty array is a plain null
             # in BOTH ANSI and legacy modes (plain element_at throws
             # under ANSI, which driver sessions enable)
-            F.try_element_at(
+            try_element_at(
                 cells, F.greatest(F.size(cells), F.lit(1))
             ).getField("idx"),
             F.lit(-1),
@@ -400,7 +402,7 @@ class DeltaToCumulativeExpo:
             F.transform(
                 F.sequence(lo, lo + n_out),  # ascending even when empty
                 lambda i: F.coalesce(
-                    F.element_at(F.map_from_entries(cells), i.cast("int")),
+                    try_element_at(F.map_from_entries(cells), i.cast("int")),
                     F.lit(0),
                 ).cast("long"),
             ),

@@ -36,6 +36,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..envelope import try_element_at
+
 
 @dataclass
 class GroupByAttrs:
@@ -60,7 +62,7 @@ class GroupByAttrs:
                 promoted.append(k)
                 continue
             if has_map:
-                out = out.withColumn(k, F.element_at(F.col(self.attrs_col), k))
+                out = out.withColumn(k, try_element_at(F.col(self.attrs_col), k))
                 promoted.append(k)
 
         extracted = None

@@ -31,6 +31,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..envelope import try_element_at
+
 K8S_IP_LABEL = "k8s.pod.ip"  # kube.K8sIPLabelName
 
 
@@ -84,7 +86,7 @@ class K8sAttributes:
             )
         if s.name in df.columns:
             return F.col(s.name)
-        return F.element_at(F.col(self.attrs_col), s.name)
+        return try_element_at(F.col(self.attrs_col), s.name)
 
     @staticmethod
     def _merge_missing(attrs: Column, meta: Column) -> Column:
@@ -175,7 +177,7 @@ class K8sAttributes:
             )
             out = out.join(
                 dim,
-                on=F.element_at(F.col(self.attrs_col), key_attr)
+                on=try_element_at(F.col(self.attrs_col), key_attr)
                 == F.col(f"__{tag}_name__"),
                 how="left",
             )

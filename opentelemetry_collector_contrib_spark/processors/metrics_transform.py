@@ -39,6 +39,8 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..envelope import try_element_at
+
 _AGG = {
     "sum": F.sum,
     "mean": F.mean,
@@ -108,7 +110,7 @@ class MetricTransform:
         if not self.match_labels or labels is None:
             return m
         for k, pat in self.match_labels.items():
-            v = F.element_at(labels, k)
+            v = try_element_at(labels, k)
             if self.match_type == "regexp":
                 present = v.rlike(_jvm_pat(pat))
                 absent_ok = _re.search(pat, "") is not None

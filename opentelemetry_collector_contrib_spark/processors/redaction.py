@@ -26,6 +26,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..envelope import try_element_at
+
 REDACTED_KEYS = "redaction.redacted.keys"
 REDACTED_COUNT = "redaction.redacted.count"
 MASKED_KEYS = "redaction.masked.keys"
@@ -112,7 +114,7 @@ class Redaction:
             cnt = F.size(keys_arr)
             nonzero = cnt > 0
             if self.summary == "debug" and values_attr is not None:
-                prev = F.element_at(attrs, values_attr)
+                prev = try_element_at(attrs, values_attr)
                 merged = F.array_join(
                     F.array_sort(
                         F.concat(
@@ -128,7 +130,7 @@ class Redaction:
                 m = upsert(m, values_attr, merged, nonzero)
             if self.summary in ("debug", "info"):
                 prev_cnt = F.coalesce(
-                    F.element_at(attrs, count_attr).cast("long"), F.lit(0)
+                    try_element_at(attrs, count_attr).cast("long"), F.lit(0)
                 )
                 m = upsert(
                     m, count_attr, (cnt + prev_cnt).cast("string"), nonzero

@@ -35,6 +35,8 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..envelope import try_element_at
+
 
 def parse_version(v: str) -> tuple[int, ...]:
     return tuple(int(p) for p in v.split("."))
@@ -53,10 +55,10 @@ def _rename_map(attrs: Column, mapping: dict[str, str]) -> Column:
         entries,
         lambda e: F.struct(
             F.coalesce(
-                F.element_at(table, e.getField("key")), e.getField("key")
+                try_element_at(table, e.getField("key")), e.getField("key")
             ).alias("key"),
             e.getField("value").alias("value"),
-            F.element_at(table, e.getField("key")).isNotNull().alias("ren"),
+            try_element_at(table, e.getField("key")).isNotNull().alias("ren"),
         ),
     )
     kept = F.filter(
@@ -108,10 +110,10 @@ def _rename_map_staged(
             entries,
             lambda e: F.struct(
                 F.coalesce(
-                    F.element_at(table, e.getField("key")), e.getField("key")
+                    try_element_at(table, e.getField("key")), e.getField("key")
                 ).alias("key"),
                 e.getField("value").alias("value"),
-                F.element_at(table, e.getField("key")).isNotNull().alias("ren"),
+                try_element_at(table, e.getField("key")).isNotNull().alias("ren"),
             ),
         ),
     )
@@ -154,7 +156,7 @@ def _rename_name(name: Column, mapping: dict[str, str]) -> Column:
     if not mapping:
         return name
     table = F.create_map(*[F.lit(x) for kv in mapping.items() for x in kv])
-    return F.coalesce(F.element_at(table, name), name)
+    return F.coalesce(try_element_at(table, name), name)
 
 
 def _invert(mapping: dict[str, str]) -> dict[str, str]:

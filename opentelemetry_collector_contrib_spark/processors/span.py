@@ -34,6 +34,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..envelope import try_element_at
+
 _STATUS = {"Ok", "Error", "Unset"}
 
 
@@ -182,7 +184,7 @@ class SpanProcessor:
 
         # from_attributes: rename only when EVERY key is present
         if self.from_attributes:
-            vals = [F.element_at(F.col(attrs), k) for k in self.from_attributes]
+            vals = [try_element_at(F.col(attrs), k) for k in self.from_attributes]
             present = None
             for v in vals:
                 p = v.isNotNull()

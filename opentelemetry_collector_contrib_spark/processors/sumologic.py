@@ -41,6 +41,8 @@ from functools import reduce
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from ..envelope import try_element_at
 from pyspark.sql.functions import pandas_udf
 
 # translate_attributes_processor.go:19-41
@@ -358,7 +360,7 @@ class SumoLogicProcessor:
     # --- columnar steps ------------------------------------------------------
 
     def _with_cloud_namespace(self, attrs: Column) -> Column:
-        platform = F.element_at(attrs, "cloud.platform")
+        platform = try_element_at(attrs, "cloud.platform")
         ns = reduce(
             lambda acc, kv: acc.when(platform == kv[0], F.lit(kv[1])),
             CLOUD_NAMESPACES.items(),
@@ -395,11 +397,11 @@ class SumoLogicProcessor:
                 F.map_entries(attrs),
                 lambda e: F.struct(
                     F.when(
-                        F.element_at(table, e.getField("key")).isNotNull()
+                        try_element_at(table, e.getField("key")).isNotNull()
                         & ~F.map_contains_key(
-                            attrs, F.element_at(table, e.getField("key"))
+                            attrs, try_element_at(table, e.getField("key"))
                         ),
-                        F.element_at(table, e.getField("key")),
+                        try_element_at(table, e.getField("key")),
                     )
                     .otherwise(e.getField("key"))
                     .alias("key"),
@@ -432,9 +434,9 @@ class SumoLogicProcessor:
             entries,
             lambda e: F.struct(
                 F.when(
-                    F.element_at(table, e.getField("key")).isNotNull()
-                    & ~F.map_contains_key(attrs, F.element_at(table, e.getField("key"))),
-                    F.element_at(table, e.getField("key")),
+                    try_element_at(table, e.getField("key")).isNotNull()
+                    & ~F.map_contains_key(attrs, try_element_at(table, e.getField("key"))),
+                    try_element_at(table, e.getField("key")),
                 )
                 .otherwise(e.getField("key"))
                 .alias("key"),
@@ -546,7 +548,7 @@ class SumoLogicProcessor:
                 out = out.withColumn(
                     self.metric_name_col,
                     F.coalesce(
-                        F.element_at(lookup, F.col(self.metric_name_col)),
+                        try_element_at(lookup, F.col(self.metric_name_col)),
                         F.col(self.metric_name_col),
                     ),
                 )

@@ -59,6 +59,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..envelope import try_element_at
+
 from .sampler import _bucket
 
 NOT_SAMPLED, SAMPLED, INVERT_SAMPLED, INVERT_NOT_SAMPLED = 0, 1, 2, 3
@@ -178,7 +180,7 @@ def _attr(df: DataFrame, key: str) -> Column:
     if key in df.columns:
         return F.col(key)
     if "attributes" in df.columns:
-        return F.element_at(F.col("attributes"), key)
+        return try_element_at(F.col("attributes"), key)
     return F.lit(None).cast("string")
 
 
@@ -226,7 +228,7 @@ def _row_match(p: TailPolicy, df: DataFrame) -> Column:
         state = F.str_to_map(
             F.coalesce(_attr(df, "trace_state"), F.lit("")), F.lit(","), F.lit("=")
         )
-        return F.element_at(state, p.key).isin(vals)
+        return try_element_at(state, p.key).isin(vals)
     raise ValueError(f"not a row-predicate policy: {p.type}")
 
 

@@ -23,6 +23,8 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..envelope import try_element_at
+
 
 @dataclass
 class FileSink:
@@ -34,7 +36,7 @@ class FileSink:
     def __call__(self, df: DataFrame) -> None:
         if self.group_by and self.group_by not in df.columns:
             df = df.withColumn(
-                self.group_by, F.element_at(F.col("attributes"), self.group_by)
+                self.group_by, try_element_at(F.col("attributes"), self.group_by)
             )
         writer = df.write.mode(self.mode).format(self.format)
         if self.group_by:
@@ -277,8 +279,46 @@ class HashRing:
             ]
         )
         pos = F.col("__lb_pos__")
-        hit = F.element_at(F.filter(ring, lambda x: x.getField("pos") >= pos), 1)
+        hit = try_element_at(F.filter(ring, lambda x: x.getField("pos") >= pos), 1)
         return df.withColumn(
             out_col,
             F.coalesce(hit.getField("ep"), F.lit(self.items[0][1])),
         ).drop("__lb_pos__")
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    key: str,
+    path: str,
+    n_buckets: int = 256,
+    format: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Persist a frame hash-bucketed (and sorted) by ``key`` so that
+    downstream equi-joins and aggregations on ``key`` are CO-LOCATED —
+    the read side reports the bucketing to Catalyst and the join plans
+    with ZERO Exchange operators (plan-guard tested).
+
+    This is the 100 TB posture for the repeated joins this engine
+    performs against the same identity column (dedup semi-join back on
+    doc hash/id, cluster-label joins in curation, enrich against a
+    non-broadcastable dim): pay the shuffle ONCE at write time, reuse
+    the physical layout for every subsequent join at read time. The
+    reference's analogue is the loadbalancing exporter pinning a key
+    to a backend so per-key state never moves
+    (exporter/loadbalancingexporter/README.md routing_key).
+
+    Bucketed tables go through ``saveAsTable`` (the in-session catalog
+    records the bucket spec; the files live under ``path``), so the
+    read side MUST use ``spark.table(table)`` — a bare
+    ``spark.read.parquet(path)`` sees plain files and re-shuffles.
+    """
+    (
+        df.write.mode(mode)
+        .format(format)
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .option("path", path)
+        .saveAsTable(table)
+    )

@@ -23,6 +23,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..envelope import try_element_at
+
 
 @dataclass
 class FileLogSource:
@@ -59,7 +61,7 @@ class FileLogSource:
             if self.include_file_path:
                 df = df.withColumn("log_file_path", fp)
             if self.include_file_name:
-                df = df.withColumn("log_file_name", F.element_at(F.split(fp, "/"), -1))
+                df = df.withColumn("log_file_name", try_element_at(F.split(fp, "/"), -1))
         if self.line_start_pattern:
             # multiline: group physical lines into logical entries.
             # Read whole files (one row per file) and posexplode the line
@@ -113,7 +115,7 @@ class FileLogSource:
             if self.include_file_name:
                 df = df.withColumn(
                     "log_file_name",
-                    F.element_at(F.split("log_file_path", "/"), -1),
+                    try_element_at(F.split("log_file_path", "/"), -1),
                 )
             if not self.include_file_path:
                 df = df.drop("log_file_path")

@@ -40,6 +40,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..envelope import try_element_at
+
 # syslog priority names, config_linux.go priority passthrough to -p
 PRIORITY_LEVELS = {
     "emerg": 0, "alert": 1, "crit": 2, "err": 3,
@@ -61,25 +63,25 @@ class JournaldSource:
             raise ValueError(f"invalid priority {self.priority!r}")
 
     def _filters(self, body: Column) -> Column:
-        pred = F.element_at(body, "PRIORITY").cast("int") <= PRIORITY_LEVELS[
+        pred = try_element_at(body, "PRIORITY").cast("int") <= PRIORITY_LEVELS[
             self.priority
         ]
         if self.units:
-            pred = pred & F.element_at(body, "_SYSTEMD_UNIT").isin(self.units)
+            pred = pred & try_element_at(body, "_SYSTEMD_UNIT").isin(self.units)
         if self.identifiers:
-            pred = pred & F.element_at(body, "SYSLOG_IDENTIFIER").isin(
+            pred = pred & try_element_at(body, "SYSLOG_IDENTIFIER").isin(
                 self.identifiers
             )
         if self.grep:
-            pred = pred & F.element_at(body, "MESSAGE").rlike(self.grep)
+            pred = pred & try_element_at(body, "MESSAGE").rlike(self.grep)
         if self.dmesg:
-            pred = pred & (F.element_at(body, "_TRANSPORT") == "kernel")
+            pred = pred & (try_element_at(body, "_TRANSPORT") == "kernel")
         if self.matches:
             groups = None
             for mc in self.matches:
                 g = None
                 for k in sorted(mc):  # buildMatchConfig sorts keys
-                    c = F.element_at(body, k) == mc[k]
+                    c = try_element_at(body, k) == mc[k]
                     g = c if g is None else (g & c)
                 groups = g if groups is None else (groups | g)
             pred = pred & groups
@@ -88,8 +90,8 @@ class JournaldSource:
     def __call__(self, spark: SparkSession, paths: list[str] | str) -> DataFrame:
         raw = spark.read.text(paths)
         body = F.from_json(F.col("value"), "map<string,string>")
-        ts_us = F.element_at(body, "__REALTIME_TIMESTAMP").cast("long")
-        cursor = F.element_at(body, "__CURSOR")
+        ts_us = try_element_at(body, "__REALTIME_TIMESTAMP").cast("long")
+        cursor = try_element_at(body, "__CURSOR")
         valid = body.isNotNull() & ts_us.isNotNull() & cursor.isNotNull()
         parsed = raw.select(
             F.timestamp_micros(ts_us).alias("ts"),

@@ -143,3 +143,35 @@ def test_gcp_missing_platform_provider_only():
         "cloud.provider": "gcp",
         "cloud.account.id": "p",
     }
+
+
+def test_map_access_missing_keys_ansi_on_across_processors(spark):
+    # the package-wide try_element_at wrapper: map reads with literal
+    # keys yield null (reference nil) for ABSENT keys under ANSI-on
+    # sessions, across representative processor/connector/source paths
+    from opentelemetry_collector_contrib_spark.connectors.count import (
+        CountConnector,
+        MetricDef,
+    )
+    from opentelemetry_collector_contrib_spark.envelope import field_get
+
+    df = spark.createDataFrame(
+        [("b1", {"present": "x"})],
+        "body string, attributes map<string,string>",
+    )
+    with _ansi(spark):
+        r = df.select(field_get('attributes["missing"]').alias("v")).collect()[0]
+        assert r.v is None
+        # missing attr, no default -> row excluded (counter.go:70-73),
+        # evaluated WITHOUT an ANSI key error
+        assert (
+            CountConnector(
+                metrics=[MetricDef(name="m", attributes=[("missing", None)])]
+            )(df).collect()
+            == []
+        )
+        # with a default the row counts under it
+        counted = CountConnector(
+            metrics=[MetricDef(name="m", attributes=[("missing", "dflt")])]
+        )(df).collect()
+        assert len(counted) == 1 and counted[0]["count"] == 1

@@ -613,3 +613,28 @@ def test_failover_level_fanout_partial_failure(spark, tmp_path):
     fo = FailoverSink(levels=[[good, broken], [fallback]])
     assert fo(spark.range(5)) == 1
     assert spark.read.parquet(str(tmp_path / "l1")).count() == 5
+
+
+def test_bucketed_table_join_has_no_exchange(spark, tmp_path):
+    from opentelemetry_collector_contrib_spark.sinks.writers import (
+        write_bucketed_table,
+    )
+
+    df = spark.range(5000).selectExpr("id AS doc_id", "id % 7 AS v")
+    write_bucketed_table(df, "bk_a", "doc_id", str(tmp_path / "a"), n_buckets=8)
+    write_bucketed_table(df, "bk_b", "doc_id", str(tmp_path / "b"), n_buckets=8)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("bk_a").join(spark.table("bk_b"), "doc_id")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # co-located: the bucket layout replaces BOTH shuffle exchanges
+        assert plan.count("Exchange") == 0
+        assert j.count() == 5000
+        # groupBy on the bucket key is shuffle-free too
+        g = spark.table("bk_a").groupBy("doc_id").count()
+        assert g._jdf.queryExecution().executedPlan().toString().count("Exchange") == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bk_a")
+        spark.sql("DROP TABLE IF EXISTS bk_b")
