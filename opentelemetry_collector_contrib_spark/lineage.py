@@ -62,6 +62,17 @@ class CheckpointedWriter:
         already = self.last_processed(sink_table)
         if to_snapshot <= already:
             return None  # rerun of a completed increment: no-op
+        if from_snapshot < already:
+            # PARTIAL overlap: snapshots (from, already] are committed
+            # already but (already, to] are not — appending would
+            # double-write the overlap and silently break the
+            # exactly-once contract. The caller must re-derive the
+            # increment from last_processed().
+            raise ValueError(
+                f"increment ({from_snapshot}, {to_snapshot}] overlaps the "
+                f"committed range (.., {already}]: recompute from "
+                f"last_processed()={already}"
+            )
         # observe() snapshots the row count DURING the write job — a
         # plain df.count() afterwards would re-run the whole upstream DAG
         # (nothing is persisted), doubling the job at scale

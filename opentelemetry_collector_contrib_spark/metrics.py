@@ -38,16 +38,39 @@ class MetricsCollector:
     def add(self, stage: str, metric: str, value: float) -> None:
         self.static.append((stage, metric, float(value)))
 
+    @staticmethod
+    def _get_or_none(obs: Observation) -> dict | None:
+        """Non-blocking twin of ``Observation.get``.
+
+        ``Observation.get`` BLOCKS until the observed frame's first
+        action completes — for a stage whose action never ran (a
+        skipped routed branch) it would hang the driver forever. The
+        JVM Observation exposes ``getRowOrEmpty`` (Option[Row]); an
+        empty option means not-yet-run and is skipped.
+        """
+        jo = getattr(obs, "_jo", None)
+        if jo is None:
+            return None  # observe() was never attached to a frame
+        jopt = jo.getRowOrEmpty()
+        if not jopt.isDefined():
+            return None  # action not yet run for this frame
+        from pyspark.serializers import CPickleSerializer
+
+        jvm = obs._jvm
+        utils = getattr(jvm, "org.apache.spark.sql.api.python.PythonSQLUtils")
+        row = CPickleSerializer().loads(utils.toPyRow(jopt.get()))
+        return row.asDict(recursive=False)
+
     def snapshot(self, spark: SparkSession) -> DataFrame:
         """Metrics table: run_id, stage, metric, value, ts (obsreport
-        analog; one row per counter)."""
+        analog; one row per counter). Stages whose action never ran are
+        skipped without blocking (see ``_get_or_none``)."""
         rows = []
         now = time.time()
         for stage, obs in self.observations.items():
-            try:
-                got = obs.get
-            except Exception:
-                continue  # action not yet run for this frame
+            got = self._get_or_none(obs)
+            if got is None:
+                continue
             for metric, value in got.items():
                 if value is not None:
                     rows.append((self.run_id, stage, metric, float(value), now))

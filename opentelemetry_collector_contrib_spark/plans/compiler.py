@@ -92,14 +92,6 @@ from ..processors import transform_metrics as _tm
 from ..processors.expo import DeltaToCumulativeExpo
 from ..processors.metrics_state import CumulativeToDeltaHistogram
 
-
-def _cumulativetodelta_histogram(**kw):
-    return CumulativeToDeltaHistogram(**kw)
-
-
-def _deltatocumulative_expo(**kw):
-    return DeltaToCumulativeExpo(**kw)
-
 OPERATOR_REGISTRY: dict[str, Callable[..., Callable[[DataFrame], DataFrame]]] = {
     # stanza operators (registered-by-name parity: pkg/stanza/operator/registry.go)
     "regex_parser": RegexParser,
@@ -139,8 +131,8 @@ OPERATOR_REGISTRY: dict[str, Callable[..., Callable[[DataFrame], DataFrame]]] = 
     "interval": IntervalProcessor,
     "deltatocumulative": DeltaToCumulative,
     "cumulativetodelta": CumulativeToDelta,
-    "cumulativetodelta_histogram": _cumulativetodelta_histogram,
-    "deltatocumulative_expo": _deltatocumulative_expo,
+    "cumulativetodelta_histogram": CumulativeToDeltaHistogram,
+    "deltatocumulative_expo": DeltaToCumulativeExpo,
     "deltatorate": DeltaToRate,
     # transform processor metric-context editors (function-style)
     "convert_sum_to_gauge": lambda **kw: (

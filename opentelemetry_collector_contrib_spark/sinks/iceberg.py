@@ -85,8 +85,18 @@ class TableSink:
         spark = out.sparkSession
         if has_iceberg(spark):
             writer = out.writeTo(self.table)
-            for p in parts:
-                writer = writer.partitionedBy(F.col(p))
+            if parts:
+                # ONE varargs call: each partitionedBy() REPLACES the
+                # previous spec (DataFrameWriterV2.partitioning is a
+                # single Option), so a per-column loop keeps only the
+                # last column
+                writer = writer.partitionedBy(*[F.col(p) for p in parts])
+            # partitionedBy only applies at CREATE time; append()/
+            # overwritePartitions() require the table to exist and
+            # inherit its spec — so create-with-spec when absent
+            if not spark.catalog.tableExists(self.table):
+                writer.create()
+                return
             if self.mode == "replace":
                 writer.overwritePartitions()
             else:

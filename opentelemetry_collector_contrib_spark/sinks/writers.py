@@ -58,14 +58,35 @@ def write_routed(
     filesystem metadata call via the Hadoop FS API, so it works on any
     supported filesystem) — NOT from ``tagged.select(route).distinct()``,
     which would rescan the input and recompute the whole upstream DAG a
-    second time just to build this dict.
+    second time just to build this dict. That shortcut is only valid
+    when this job owns every ``route=`` directory, i.e. full overwrite:
+    under ``mode="append"`` (or dynamic partition overwrite) the listing
+    would also return STALE sinks from earlier runs, so those modes pay
+    the distinct() scan for a truthful this-run dict.
     """
+    static_overwrite = mode == "overwrite" and (
+        tagged.sparkSession.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        ).lower()
+        == "static"
+    )
+    if not static_overwrite:
+        this_run = {
+            r[0]
+            for r in tagged.select(route_col).distinct().collect()
+            if r[0] is not None
+        }
     (
         tagged.write.mode(mode)
         .format(format)
         .partitionBy(route_col)
         .save(base_path)
     )
+    if not static_overwrite:
+        return {
+            s: os.path.join(base_path, f"{route_col}={s}")
+            for s in sorted(this_run)
+        }
     spark = tagged.sparkSession
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(base_path)

@@ -26,10 +26,22 @@ unchanged. Stateful stages get streaming-native forms:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..pipeline import TranscriptPipeline
+
+
+
+def _with_event_time(stream: DataFrame, ts_col: str, watermark: str) -> DataFrame:
+    """Apply a watermark, casting a TIMESTAMP_NTZ event-time column
+    first (this repo's parquet tables read ``ts`` as ntz; withWatermark
+    requires a zoned TIMESTAMP — session zone is pinned UTC)."""
+    if dict(stream.dtypes).get(ts_col) == "timestamp_ntz":
+        stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return stream.withWatermark(ts_col, watermark)
 
 
 def streaming_pipeline(
@@ -50,7 +62,7 @@ def windowed_counts(
 ) -> DataFrame:
     """Per-(window, route, role) record counts with late-data bound."""
     return (
-        routed.withWatermark(ts_col, watermark)
+        _with_event_time(routed, ts_col, watermark)
         .groupBy(F.window(ts_col, window).alias("w"), "route", "role")
         .agg(F.count(F.lit(1)).alias("count"))
         .select(
@@ -81,7 +93,7 @@ def session_recombine(
         )
     )
     return (
-        stream.withWatermark(ts_col, watermark)
+        _with_event_time(stream, ts_col, watermark)
         .groupBy(
             F.session_window(F.col(ts_col), gap).alias("session"),
             F.col(source_identifier),
@@ -127,13 +139,13 @@ def streaming_dedup_exact(
 
     Watermarks require a zoned TIMESTAMP; parquet event times commonly
     read as TIMESTAMP_NTZ (this repo's tables do), so an ntz event-time
-    column is cast session-zone-as-UTC first.
+    column is cast session-zone-as-UTC first (shared
+    ``_with_event_time`` — all three watermark entry points use it).
     """
-    if dict(stream.dtypes).get(ts_col) == "timestamp_ntz":
-        stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
-    return stream.withColumn("__h", F.md5(F.col(key_col))).withWatermark(
-        ts_col, watermark
-    ).dropDuplicatesWithinWatermark(["__h"]).drop("__h")
+    staged = _with_event_time(
+        stream.withColumn("__h", F.md5(F.col(key_col))), ts_col, watermark
+    )
+    return staged.dropDuplicatesWithinWatermark(["__h"]).drop("__h")
 
 
 def write_routed_stream(
@@ -148,11 +160,16 @@ def write_routed_stream(
     exporter/fileexporter/grouping_file_exporter.go:115-130)."""
 
     def sink_batch(batch: DataFrame, batch_id: int) -> None:
+        # replay-idempotent: a micro-batch replayed after a crash (same
+        # batch_id, checkpoint not yet committed) OVERWRITES its own
+        # batch directory instead of appending duplicates — the
+        # foreachBatch exactly-once contract the batch twin gets from
+        # idempotent overwrite (writers.write_routed)
         (
-            batch.write.mode("append")
+            batch.write.mode("overwrite")
             .partitionBy("route")
             .format(fmt)
-            .save(base_path)
+            .save(os.path.join(base_path, f"batch_id={batch_id}"))
         )
 
     writer = (

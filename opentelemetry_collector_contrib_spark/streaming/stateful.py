@@ -45,8 +45,11 @@ def stateful_delta_to_cumulative(
     import pandas as pd
 
     keys = stream_keys or ["metric"]
+    # key columns keep their ACTUAL input types (a hardcoded string
+    # schema broke int/long stream keys at the Arrow boundary)
+    in_types = dict(stream.dtypes)
     out_schema = ", ".join(
-        [f"{k} string" for k in keys]
+        [f"{k} {in_types.get(k, 'string')}" for k in keys]
         + [f"{order_col} timestamp", f"{value_col} double", "cumulative double"]
     )
     state_schema = "total double"

@@ -175,3 +175,130 @@ def test_map_access_missing_keys_ansi_on_across_processors(spark):
             metrics=[MetricDef(name="m", attributes=[("missing", "dflt")])]
         )(df).collect()
         assert len(counted) == 1 and counted[0]["count"] == 1
+
+
+def test_metrics_snapshot_skips_unrun_stage_without_blocking(spark):
+    # Observation.get BLOCKS until the frame's first action; snapshot
+    # must skip never-run stages via the non-blocking JVM accessor
+    import time as _time
+
+    from opentelemetry_collector_contrib_spark.metrics import MetricsCollector
+
+    mc = MetricsCollector(run_id="r")
+    ran = mc.observe(spark.range(10).toDF("n"), "ran")
+    mc.observe(spark.range(10).toDF("n"), "never_ran")  # no action ever
+    ran.count()
+    t0 = _time.monotonic()
+    snap = {(r.stage, r.metric): r.value for r in mc.snapshot(spark).collect()}
+    assert _time.monotonic() - t0 < 30  # no indefinite block
+    assert snap[("ran", "rows")] == 10.0
+    assert not any(stage == "never_ran" for stage, _ in snap)
+
+
+def test_windowed_counts_and_session_recombine_accept_ntz(spark, tmp_path):
+    # parquet event times read as TIMESTAMP_NTZ; all watermark entry
+    # points must cast before withWatermark or they throw
+    # EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE
+    from opentelemetry_collector_contrib_spark.streaming import (
+        session_recombine,
+        windowed_counts,
+    )
+
+    # second row 2 days later: advances the watermark past the first
+    # row's window/session so append mode actually emits it
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, "hello", "user", "sink_a", 1_700_000_000),
+            ("c9", 0, "later", "user", "sink_a", 1_700_172_800),
+        ],
+        "conv_id string, turn_idx int, text string, role string, "
+        "route string, epoch long",
+    ).withColumn(
+        "ts", F.timestamp_seconds(F.col("epoch")).cast("timestamp_ntz")
+    ).drop("epoch")
+    src = str(tmp_path / "ntz_in")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    assert dict(stream.dtypes)["ts"] == "timestamp_ntz"
+    for name, frame in (
+        ("wc", windowed_counts(stream)),
+        ("sr", session_recombine(stream)),
+    ):
+        q = (
+            frame.writeStream.format("memory")
+            .queryName(f"ntz_{name}")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+            .start()
+        )
+        q.awaitTermination(120)
+    wc = [r for r in spark.sql("select * from ntz_wc").collect() if r.role == "user"]
+    assert wc and wc[0]["count"] == 1
+    sr = {r.conv_id: r.text for r in spark.sql("select * from ntz_sr").collect()}
+    assert sr.get("c1") == "hello"
+
+
+def test_lineage_partial_overlap_raises(spark, tmp_path):
+    import pytest
+
+    from opentelemetry_collector_contrib_spark.lineage import CheckpointedWriter
+    from opentelemetry_collector_contrib_spark.sources.table import SnapshotTable
+
+    sink = SnapshotTable(str(tmp_path / "sink"))
+    lin = SnapshotTable(str(tmp_path / "lin"))
+    w = CheckpointedWriter(lineage=lin)
+    df = spark.range(5).toDF("n")
+    assert w.commit(sink, df, 0, 5) is not None
+    # full rerun: no-op
+    assert w.commit(sink, df, 0, 5) is None
+    # PARTIAL overlap (0, 7] vs committed (.., 5]: must refuse, not
+    # double-append snapshots 1-5
+    with pytest.raises(ValueError, match="overlaps"):
+        w.commit(sink, df, 0, 7)
+    # clean continuation from last_processed is fine
+    assert w.commit(sink, df, 5, 7) is not None
+
+
+def test_write_routed_append_reports_only_this_run(spark, tmp_path):
+    from opentelemetry_collector_contrib_spark.sinks.writers import write_routed
+
+    base = str(tmp_path / "routed")
+    df1 = spark.createDataFrame(
+        [("x", "sink_a"), ("y", "sink_b")], "body string, route string"
+    )
+    got1 = write_routed(df1, base)  # overwrite: listing is authoritative
+    assert set(got1) == {"sink_a", "sink_b"}
+    df2 = spark.createDataFrame([("z", "sink_a")], "body string, route string")
+    got2 = write_routed(df2, base, mode="append")
+    # append: sink_b's directory still exists on disk but was NOT
+    # written by this run — the returned dict must not claim it
+    assert set(got2) == {"sink_a"}
+
+
+def test_stateful_delta_to_cumulative_long_keys(spark, tmp_path):
+    # key columns keep their input types (hardcoded string schema broke
+    # int64 keys at the Arrow boundary)
+    from opentelemetry_collector_contrib_spark.streaming.stateful import (
+        stateful_delta_to_cumulative,
+    )
+
+    df = spark.createDataFrame(
+        [(7, 1.0), (7, 2.0), (8, 5.0)], "metric_id long, value double"
+    ).withColumn("ts", F.timestamp_seconds(F.lit(1_700_000_000)))
+    src = str(tmp_path / "keys_in")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    out = stateful_delta_to_cumulative(stream, stream_keys=["metric_id"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("long_keys")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck_lk"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from long_keys").collect()
+    assert {r.metric_id for r in rows} == {7, 8}
+    assert max(r.cumulative for r in rows if r.metric_id == 7) == 3.0
