@@ -87,15 +87,40 @@ class RoutingConnector:
         ]
 
     def _apply_editors(self, df: DataFrame) -> DataFrame:
-        """Statements with editors mutate matched rows before delivery
-        (the editor's own ``where`` scopes the mutation; conditions were
-        already evaluated pre-mutation when tagging)."""
+        """Statements with editors mutate the rows whose group MATCHED
+        that route (the ``__match_<i>__`` flags stamped pre-mutation at
+        tagging time), conjoined with the editor's own ``where``.
+
+        Reference semantics (routingconnector logs.go): match_once
+        breaks after the first matching statement, so a later route's
+        editor never touches a group an earlier route claimed — the
+        match_once flags encode first-match-wins. In multi-match mode
+        every matching statement's editor runs on the delivered group
+        (cumulative), so each exploded copy carries ALL its matched
+        routes' mutations."""
         from ..functions import compile_statement, drop_cache_columns
 
-        for r in self.table:
+        for i, r in enumerate(self.table):
             if r.editor is not None:
-                df = compile_statement(r.editor)(df)
+                df = compile_statement(
+                    r.editor, extra_where=F.col(f"__match_{i}__")
+                )(df)
+        df = df.drop(*[f"__match_{i}__" for i in range(len(self.table))])
         return drop_cache_columns(df)
+
+    def _with_match_flags(self, df: DataFrame, conds) -> DataFrame:
+        """Stamp per-route matched flags BEFORE mutation/explode: for
+        match_once, flag_i = cond_i and no earlier cond (first match
+        wins); multi-match, flag_i = cond_i."""
+        flags = []
+        earlier = None
+        for i, (cond, _) in enumerate(conds):
+            flag = cond if earlier is None or not self.match_once else (
+                cond & ~earlier
+            )
+            flags.append(F.coalesce(flag, F.lit(False)).alias(f"__match_{i}__"))
+            earlier = cond if earlier is None else (earlier | cond)
+        return df.select("*", *flags)
 
     def __call__(self, df: DataFrame) -> DataFrame:
         """Tag rows with their route(s). match_once: FIRST matching
@@ -124,14 +149,18 @@ class RoutingConnector:
                     if expr is not None
                     else F.lit(self.default_sinks[0])
                 )
-                out = df.withColumn(self.route_col, tag)
+                out = self._with_match_flags(df, conds).withColumn(
+                    self.route_col, tag
+                )
                 return self._apply_editors(out)
             expr = None
             for cond, sinks in conds:
                 arr = F.array(*[F.lit(s) for s in sinks])
                 expr = F.when(cond, arr) if expr is None else expr.when(cond, arr)
             routes = expr.otherwise(default_arr) if expr is not None else default_arr
-            out = df.withColumn(self.route_col, F.explode(routes))
+            out = self._with_match_flags(df, conds).withColumn(
+                self.route_col, F.explode(routes)
+            )
             return self._apply_editors(out)
         matched = F.array_compact(
             F.array(
@@ -146,7 +175,9 @@ class RoutingConnector:
         # per consumer (logs.go:63-67 batching per consumer)
         matched = F.array_distinct(matched)
         routes = F.when(F.size(matched) > 0, matched).otherwise(default_arr)
-        out = df.withColumn(self.route_col, F.explode(routes))
+        out = self._with_match_flags(df, conds).withColumn(
+            self.route_col, F.explode(routes)
+        )
         return self._apply_editors(out)
 
     def sinks(self) -> list[str]:

@@ -137,9 +137,13 @@ class SpanMetricsConnector:
         )
 
     def __call__(self, df: DataFrame) -> DataFrame:
+        # histogram keys on the SAME buildKey as calls(): reserved dims
+        # (service/span.name/kind/status, minus exclusions) + configured
+        # dims — the reference keys both metrics identically
+        # (connector.go buildKey); keying on configured dims alone
+        # merged every service/span into one bucket series
         dur = F.col(self.duration_col).cast("double")
-        dims = [self._dim(df, d) for d in self.dimensions]
-        names = list(self.dimensions)
+        dims, names = self._key_dims(df)
         if self.histogram == "exponential":
             rows = df.filter(dur.isNotNull()).select(
                 *dims,

@@ -512,7 +512,11 @@ EDITORS: dict[str, Callable] = {
 }
 
 
-def compile_statement(text: str, error_mode: str = "propagate") -> Callable[[DataFrame], DataFrame]:
+def compile_statement(
+    text: str,
+    error_mode: str = "propagate",
+    extra_where: Column | None = None,
+) -> Callable[[DataFrame], DataFrame]:
     """One OTTL statement -> DataFrame step.
 
     error_mode (parser.go:230-280): Spark's non-ANSI expression semantics
@@ -520,6 +524,10 @@ def compile_statement(text: str, error_mode: str = "propagate") -> Callable[[Dat
     behavior; ``propagate`` differences (abort batch) only arise for
     statements that cannot even compile — those raise at compile time in
     both modes.
+
+    ``extra_where`` conjoins an out-of-band guard with the statement's
+    own ``where`` — e.g. the routing connector scoping a route's editor
+    to the rows ASSIGNED to that route.
     """
     stmt = parse_statement(text)
     if stmt.editor.name not in EDITORS:
@@ -528,6 +536,8 @@ def compile_statement(text: str, error_mode: str = "propagate") -> Callable[[Dat
 
     def step(df: DataFrame) -> DataFrame:
         where = compile_value(stmt.where, df) if stmt.where is not None else None
+        if extra_where is not None:
+            where = extra_where if where is None else (where & extra_where)
         try:
             return editor(df, stmt.editor.args, where, df)
         except Exception:

@@ -192,7 +192,7 @@ def _unix(sec: Column, nanos: Column | None = None) -> Column:
     """func_unix.go: time.Unix(seconds, nanoseconds) -> timestamp."""
     us = sec.cast("long") * 1_000_000
     if nanos is not None:
-        us = us + (nanos.cast("long") / 1000).cast("long")
+        us = us + (nanos.cast("decimal(38,0)") / F.lit(1000)).cast("long")
     return F.timestamp_micros(us)
 
 

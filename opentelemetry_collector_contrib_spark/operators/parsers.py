@@ -672,7 +672,9 @@ class TimeParser:
                 "s": F.timestamp_seconds(num),
                 "ms": F.timestamp_millis(num),
                 "us": F.timestamp_micros(num),
-                "ns": F.timestamp_micros((num / 1000).cast("long")),
+                "ns": F.timestamp_micros(
+                    (num.cast("decimal(38,0)") / F.lit(1000)).cast("long")
+                ),
             }[self.layout]
         else:
             if self.layout_type == "strptime":

@@ -51,7 +51,7 @@ class FileLogSource:
             )
             df = raw.select(
                 F.explode(
-                    F.split(F.regexp_replace("value", "\n$", ""), "\r?\n")
+                    F.split(F.regexp_replace("value", "\r?\n$", ""), "\r?\n")
                 ).alias("value")
             )
         df = df.withColumnRenamed("value", "body")
@@ -79,16 +79,28 @@ class FileLogSource:
             # into one partition (their posexplode positions would
             # interleave and corrupt grouping); log_file_name is derived
             # as an output column only
-            whole = spark.read.text(paths, wholetext=True)
-            fp = F.input_file_name()
-            whole = whole.withColumn("log_file_path", fp).withColumn(
-                "observed_ts", F.current_timestamp()
-            )
+            if self.encoding.lower() in ("utf-8", "utf8"):
+                whole = spark.read.text(paths, wholetext=True)
+                fp = F.input_file_name()
+                whole = whole.withColumn("log_file_path", fp)
+            else:
+                # same charset rule as the single-line branch: wholetext
+                # is UTF-8-only, so decode the whole binary (a UTF-8
+                # re-read here silently mojibake'd non-ASCII bytes)
+                whole = (
+                    spark.read.format("binaryFile")
+                    .load(paths)
+                    .select(
+                        F.decode(F.col("content"), self.encoding).alias("value"),
+                        F.col("path").alias("log_file_path"),
+                    )
+                )
+            whole = whole.withColumn("observed_ts", F.current_timestamp())
             lines = whole.select(
                 "log_file_path",
                 "observed_ts",
                 F.posexplode(
-                    F.split(F.regexp_replace("value", "\n$", ""), "\r?\n")
+                    F.split(F.regexp_replace("value", "\r?\n$", ""), "\r?\n")
                 ).alias("__line__", "body"),
             )
             w = Window.partitionBy("log_file_path").orderBy("__line__")

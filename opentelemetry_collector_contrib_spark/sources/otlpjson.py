@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 # attributes are OTLP KeyValue lists: [{key, value: {stringValue: ...}}]
@@ -57,13 +57,16 @@ class OtlpJsonFileSource:
             F.col("sl.scope.name").alias("scope"),
             F.explode("sl.logRecords").alias("lr"),
         )
+        def _ns_to_ts(col: Column) -> Column:
+            # exact integer ns -> us: a double divide near 1.7e18 is only
+            # good to ~256 ns, shifting ~12% of values by a microsecond
+            return F.timestamp_micros(
+                (col.cast("decimal(38,0)") / F.lit(1000)).cast("long")
+            )
+
         return lr.select(
-            F.timestamp_micros(
-                (F.col("lr.timeUnixNano").cast("long") / 1000).cast("long")
-            ).alias("ts"),
-            F.timestamp_micros(
-                (F.col("lr.observedTimeUnixNano").cast("long") / 1000).cast("long")
-            ).alias("observed_ts"),
+            _ns_to_ts(F.col("lr.timeUnixNano")).alias("ts"),
+            _ns_to_ts(F.col("lr.observedTimeUnixNano")).alias("observed_ts"),
             F.col("lr.body.stringValue").alias("body"),
             _kv_to_map(F.col("lr.attributes")).alias("attributes"),
             _kv_to_map(F.col("res_attrs")).alias("resource"),

@@ -42,7 +42,7 @@ class StdinSource:
     def __call__(self, spark: SparkSession, paths: list[str] | str) -> DataFrame:
         raw = spark.read.text(paths, wholetext=True)
         lines = F.split(
-            F.regexp_replace(F.col("value"), "\n$", ""), "\r?\n"
+            F.regexp_replace(F.col("value"), "\r?\n$", ""), "\r?\n"
         )
         return raw.select(
             F.input_file_name().alias("capture"),
@@ -72,7 +72,7 @@ class NamedPipeSource:
     def __call__(self, spark: SparkSession, paths: list[str] | str) -> DataFrame:
         raw = spark.read.format("binaryFile").load(paths)
         text = F.decode(F.col("content"), self.encoding)
-        lines = F.split(F.regexp_replace(text, "\n$", ""), "\r?\n")
+        lines = F.split(F.regexp_replace(text, "\r?\n$", ""), "\r?\n")
         exploded = raw.select(
             F.col("path").alias("capture"),
             F.posexplode(lines).alias("line_idx", "raw_body"),

@@ -35,7 +35,7 @@ def split_newline_frames(
     return df.select(
         F.col(id_col).alias("stream_id"),
         F.posexplode(
-            F.split(F.regexp_replace(F.col(blob_col), "\n$", ""), "\r?\n")
+            F.split(F.regexp_replace(F.col(blob_col), "\r?\n$", ""), "\r?\n")
         ).alias("frame_idx", "body"),
         F.lit(True).alias("valid"),
     )

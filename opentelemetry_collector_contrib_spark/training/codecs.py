@@ -194,9 +194,9 @@ def encode_png(pixels: list[list[tuple]], channels: int = 3) -> bytes:
 # --- BMP ------------------------------------------------------------------
 
 
-def decode_bmp(payload: bytes) -> dict:
-    """24-bit uncompressed BITMAPINFOHEADER BMP (rows 4-byte padded,
-    bottom-up or top-down)."""
+def _bmp_header(payload: bytes) -> tuple[int, int, int, int, int]:
+    """Shared 24-bit BITMAPINFOHEADER validation/parse: returns
+    (pix_off, width, height, height_raw, stride)."""
     if payload[:2] != b"BM" or len(payload) < 54:
         raise ValueError("not a BMP")
     (pix_off,) = struct.unpack("<I", payload[10:14])
@@ -209,10 +209,17 @@ def decode_bmp(payload: bytes) -> dict:
     if bpp != 24 or compression != 0:
         raise ValueError(f"unsupported BMP (bpp={bpp} comp={compression})")
     height = abs(height_raw)
-    row_bytes = width * 3
-    stride = (row_bytes + 3) & ~3
+    stride = (width * 3 + 3) & ~3
     if len(payload) < pix_off + stride * height:
         raise ValueError("BMP pixel data truncated")
+    return pix_off, width, height, height_raw, stride
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """24-bit uncompressed BITMAPINFOHEADER BMP (rows 4-byte padded,
+    bottom-up or top-down)."""
+    pix_off, width, height, _height_raw, stride = _bmp_header(payload)
+    row_bytes = width * 3
     total = 0
     for row in range(height):
         base = pix_off + row * stride
@@ -232,21 +239,7 @@ def decode_bmp_pixels(payload: bytes) -> dict:
     """Full pixel decode for the 24-bit BMP subset of
     :func:`decode_bmp`: ``rows`` is top-down lists of (r, g, b) tuples
     (storage is BGR and usually bottom-up; both are normalized)."""
-    if payload[:2] != b"BM" or len(payload) < 54:
-        raise ValueError("not a BMP")
-    (pix_off,) = struct.unpack("<I", payload[10:14])
-    (hdr_size,) = struct.unpack("<I", payload[14:18])
-    if hdr_size < 40:
-        raise ValueError("unsupported BMP header")
-    width, height_raw = struct.unpack("<ii", payload[18:26])
-    (bpp,) = struct.unpack("<H", payload[28:30])
-    (compression,) = struct.unpack("<I", payload[30:34])
-    if bpp != 24 or compression != 0:
-        raise ValueError(f"unsupported BMP (bpp={bpp} comp={compression})")
-    height = abs(height_raw)
-    stride = (width * 3 + 3) & ~3
-    if len(payload) < pix_off + stride * height:
-        raise ValueError("BMP pixel data truncated")
+    pix_off, width, height, height_raw, stride = _bmp_header(payload)
     rows = []
     for row in range(height):
         base = pix_off + row * stride
@@ -407,26 +400,21 @@ def decode_jpeg_header(payload: bytes) -> dict:
     raise ValueError("JPEG missing SOF frame header")
 
 
-def decode_gif_header(payload: bytes) -> dict:
-    """GIF87a/89a logical screen descriptor: width/height (LE) +
-    global-color-table depth."""
+def _gif_prologue(payload: bytes):
+    """Shared GIF header validation: returns (width, height, pos past
+    the logical screen descriptor + global color table) and a sub-block
+    skipper bound to this payload."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     if len(payload) < 13:
         raise ValueError("GIF header truncated")
     width, height = struct.unpack("<HH", payload[6:10])
-    # walk the block structure for an EXACT frame count: 0x2C image
-    # descriptors (skip 9-byte descriptor + optional local color table
-    # + LZW sub-blocks), 0x21 extensions (label + sub-blocks), 0x3B
-    # trailer — a bare byte-scan would count 0x2C bytes inside color
-    # tables and pixel data
     packed = payload[10]
     pos = 13
     if packed & 0x80:  # global color table present
         pos += 3 * (2 << (packed & 0x07))
-    n_frames = 0
 
-    def _skip_subblocks(p: int) -> int:
+    def skip_subblocks(p: int) -> int:
         while p < len(payload):
             size = payload[p]
             p += 1
@@ -434,6 +422,20 @@ def decode_gif_header(payload: bytes) -> dict:
                 return p
             p += size
         return p
+
+    return width, height, pos, skip_subblocks
+
+
+def decode_gif_header(payload: bytes) -> dict:
+    """GIF87a/89a logical screen descriptor: width/height (LE) +
+    global-color-table depth."""
+    # walk the block structure for an EXACT frame count: 0x2C image
+    # descriptors (skip 9-byte descriptor + optional local color table
+    # + LZW sub-blocks), 0x21 extensions (label + sub-blocks), 0x3B
+    # trailer — a bare byte-scan would count 0x2C bytes inside color
+    # tables and pixel data
+    width, height, pos, _skip_subblocks = _gif_prologue(payload)
+    n_frames = 0
 
     while pos < len(payload):
         block = payload[pos]
@@ -474,23 +476,7 @@ def gif_frame_slices(payload: bytes) -> list[bytes]:
     (graphic control extensions bind to the frame that follows).
     Returns the raw slices in frame order; [] for a GIF with no image
     descriptors."""
-    if payload[:6] not in (b"GIF87a", b"GIF89a"):
-        raise ValueError("not a GIF")
-    if len(payload) < 13:
-        raise ValueError("GIF header truncated")
-    packed = payload[10]
-    pos = 13
-    if packed & 0x80:
-        pos += 3 * (2 << (packed & 0x07))
-
-    def _skip_subblocks(p: int) -> int:
-        while p < len(payload):
-            size = payload[p]
-            p += 1
-            if size == 0:
-                return p
-            p += size
-        return p
+    _w, _h, pos, _skip_subblocks = _gif_prologue(payload)
 
     frames: list[bytes] = []
     pending_ext_start = None  # start of extensions bound to the next frame

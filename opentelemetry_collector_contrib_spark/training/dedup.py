@@ -264,9 +264,12 @@ def ngram_jaccard_pairs(
     na = sizes.select(F.col(id_col).alias("a_id"), F.col("n").alias("na"))
     nb = sizes.select(F.col(id_col).alias("b_id"), F.col("n").alias("nb"))
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    # na/nb are one row per DOCUMENT — a forced broadcast is O(corpus)
+    # and would OOM at scale; the joins key on the pair ids, so AQE
+    # picks broadcast only when the sides are actually small
     return (
-        pairs.join(F.broadcast(na), "a_id")
-        .join(F.broadcast(nb), "b_id")
+        pairs.join(na, "a_id")
+        .join(nb, "b_id")
         .select("a_id", "b_id", F.round(jac, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
@@ -343,6 +346,15 @@ def connected_components(
         labels = updated.drop("__chg__")
         if changed == 0:
             break
+    else:
+        # min-label propagation needs O(graph diameter) rounds; leaving
+        # the loop still-changing would hand back INCONSISTENT labels
+        # (one component, several cluster_ids) and downstream dedup
+        # would silently keep duplicates — refuse instead
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"(duplicate-graph diameter exceeds max_iter; raise max_iter)"
+        )
     # label the full corpus: docs in no pair keep their own id; AQE
     # picks a broadcast join when the subgraph labels are small
     return docs.select(ids).join(

@@ -475,10 +475,11 @@ def semdedup(
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
     by embedding — cluster with the IVF coarse quantizer, then inside
     each cluster remove every member that has a near-duplicate
-    (pairwise cosine >= ``threshold``) closer to the centroid than
-    itself; the member FARTHEST from the centroid in each duplicate
-    group survives (the paper's keep-low-centroid-similarity rule,
-    which biases the kept set toward diversity).
+    (pairwise cosine >= ``threshold``) FARTHER from the centroid than
+    itself (lower centroid-cosine, ties to the smaller id); the member
+    farthest from the centroid in each duplicate group survives (the
+    paper's keep-low-centroid-similarity rule, which biases the kept
+    set toward diversity).
 
     Returns one verdict row per input vector:
     ``(id_col, cluster_id, cent_cos, keep)``.

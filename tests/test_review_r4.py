@@ -302,3 +302,106 @@ def test_stateful_delta_to_cumulative_long_keys(spark, tmp_path):
     rows = spark.sql("select * from long_keys").collect()
     assert {r.metric_id for r in rows} == {7, 8}
     assert max(r.cumulative for r in rows if r.metric_id == 7) == 3.0
+
+
+def test_routing_editor_scoped_to_matched_route(spark):
+    # reference routingconnector logs.go: match_once BREAKS after the
+    # first matching statement — a later route's editor must not mutate
+    # a row an earlier route claimed, even when its condition also holds
+    from opentelemetry_collector_contrib_spark.connectors.routing import (
+        Route,
+        RoutingConnector,
+    )
+
+    df = spark.createDataFrame(
+        [("both", {"secret": "x", "kind": "both"}),
+         ("second_only", {"secret": "y", "kind": "second"})],
+        "body string, attributes map<string,string>",
+    )
+    table = [
+        Route("attributes['kind'] = 'both'", ["s1"]),
+        Route(
+            "attributes['kind'] IN ('both', 'second')",
+            ["s2"],
+            editor="delete_key(attributes, \"secret\") "
+            "where attributes[\"kind\"] != \"nope\"",
+        ),
+    ]
+    out = {r.body: r for r in RoutingConnector(table)(df).collect()}
+    # first row matched route 1 first: its secret survives
+    assert out["both"].route == "s1"
+    assert dict(out["both"].attributes).get("secret") == "x"
+    # second row matched route 2: the editor fires
+    assert out["second_only"].route == "s2"
+    assert "secret" not in dict(out["second_only"].attributes)
+    # multi-match: BOTH routes matched the first row -> cumulative
+    # mutations on each copy (reference applies every matching
+    # statement's editor to the delivered group)
+    multi = RoutingConnector(table, match_once=False)(df)
+    copies = [r for r in multi.collect() if r.body == "both"]
+    assert {r.route for r in copies} == {"s1", "s2"}
+    assert all("secret" not in dict(r.attributes) for r in copies)
+
+
+def test_filelog_multiline_respects_encoding(spark, tmp_path):
+    # the multiline branch used to re-read as UTF-8 wholetext, turning
+    # latin-1 bytes into mojibake and discarding the decode path
+    from opentelemetry_collector_contrib_spark.sources.filelog import (
+        FileLogSource,
+    )
+
+    p = tmp_path / "ml.log"
+    p.write_bytes("2024 héllo\n  suite à\n2024 next\n".encode("latin-1"))
+    out = FileLogSource(
+        str(p), encoding="iso-8859-1", line_start_pattern=r"^2024"
+    )(spark)
+    bodies = sorted(r.body for r in out.collect())
+    assert bodies == ["2024 héllo\n  suite à", "2024 next"]
+
+
+def test_crlf_last_line_has_no_stray_cr(spark, tmp_path):
+    from opentelemetry_collector_contrib_spark.sources.filelog import (
+        FileLogSource,
+    )
+
+    p = tmp_path / "crlf.log"
+    p.write_bytes(b"a\r\nb\r\n")
+    bodies = sorted(r.body for r in FileLogSource(str(p), encoding="iso-8859-1")(spark).collect())
+    assert bodies == ["a", "b"]  # no trailing \r on the last line
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    import pytest
+
+    from opentelemetry_collector_contrib_spark.training.dedup import (
+        connected_components,
+    )
+
+    n = 12  # path graph: diameter 11 > max_iter 3
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a_id long, b_id long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(docs, pairs, max_iter=3).collect()
+    # enough rounds: one cluster labeled 0
+    ok = connected_components(docs, pairs, max_iter=n + 2).collect()
+    assert {r.cluster_id for r in ok} == {0}
+
+
+def test_spanmetrics_histogram_keys_on_service(spark):
+    from opentelemetry_collector_contrib_spark.connectors.spanmetrics import (
+        SpanMetricsConnector,
+    )
+
+    df = spark.createDataFrame(
+        [("svc_a", "op", "SERVER", "OK", 120.0),
+         ("svc_b", "op", "SERVER", "OK", 120.0)],
+        "service_name string, span_name string, span_kind string, "
+        "status_code string, dur_ms double",
+    )
+    out = SpanMetricsConnector(duration_col="dur_ms")(df).collect()
+    # same duration bucket but DIFFERENT services -> two series, like
+    # calls(): both metrics key on the reference buildKey
+    assert len(out) == 2
+    assert {r.service_name for r in out} == {"svc_a", "svc_b"}
