@@ -24,6 +24,19 @@ import re
 from dataclasses import dataclass, field
 
 
+_ESCAPES = {'"': '"', "\\": "\\", "n": "\n", "t": "\t"}
+
+
+def _unescape(raw: str) -> str:
+    """Single-pass left-to-right unescape: sequential str.replace
+    corrupted backslash-then-letter sequences (r'C:\\new' became
+    'C:' + newline + 'ew' because '\\\\' collapsed FIRST and the freed
+    backslash then matched '\\n')."""
+    return re.sub(
+        r"\\(.)", lambda m: _ESCAPES.get(m.group(1), "\\" + m.group(1)), raw
+    )
+
+
 @dataclass
 class Lit:
     value: object  # str, int, float, bool, None, bytes
@@ -213,9 +226,7 @@ class Parser:
         if kind == "string":
             self.next()
             raw = v[1:-1]
-            return Lit(
-                raw.replace(r"\"", '"').replace(r"\\", "\\").replace(r"\n", "\n").replace(r"\t", "\t")
-            )
+            return Lit(_unescape(raw))
         if kind == "bytes":
             self.next()
             return Lit(bytes.fromhex(v[2:]))

@@ -286,7 +286,12 @@ def _set_path(df: DataFrame, p: Path, value: Column, where: Column | None) -> Da
         updated = F.map_concat(cleaned, F.map_filter(entry, lambda _, v: v.isNotNull()))
         return df.withColumn(head, updated)
     if len(p.parts) == 1:
-        return df.withColumn(str(head), value)
+        name = str(head)
+        if name in df.columns:
+            # func_set.go: a nil value is a no-op — keep the current
+            # value instead of nulling the column
+            value = F.coalesce(value, F.col(name))
+        return df.withColumn(name, value)
     raise ValueError(f"cannot set path {_path_str(p)}")
 
 
@@ -446,10 +451,29 @@ def _editor_append(df, args, where, dfctx):
         current, dtype = None, None
     if dtype and dtype.startswith("array"):
         new = F.concat(current, F.array(*vals))
+        lifted = current
     elif current is not None:
         new = F.concat(F.array(current.cast("string")), F.array(*[v.cast("string") for v in vals]))
+        lifted = F.array(current.cast("string"))
     else:
         new = F.array(*vals)
+        lifted = None
+    if where is not None:
+        # fold the guard HERE: _set_path's generic guard would put the
+        # SCALAR current in the else branch of an array-typed when() —
+        # a THEN/ELSE type mismatch
+        if dtype and dtype.startswith("array"):
+            new = F.when(where, new).otherwise(lifted)
+        elif current is not None:
+            # scalar target: matched rows carry the appended array
+            # (stringified, like the unconditional path writing into a
+            # string-typed destination); unmatched keep the EXACT value
+            new = F.when(where, new.cast("string")).otherwise(
+                current.cast("string")
+            )
+        else:
+            new = F.when(where, new)
+        where = None
     return _set_path(df, p, new, where)
 
 

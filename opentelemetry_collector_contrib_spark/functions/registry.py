@@ -82,7 +82,15 @@ converter("IsMatch")(lambda s, pattern: s.rlike(pattern))
 
 @converter("ExtractPatterns")
 def _extract_patterns(s: Column, pattern: str) -> Column:
-    groups = _re.compile(pattern.replace("(?<", "(?P<")).groupindex
+    # same name translation as RegexParser.__post_init__: restore
+    # lookbehind assertions after the Java->Python group-name rewrite
+    # ((?<= / (?<! would otherwise become an invalid (?P<= / (?P<!)
+    py = (
+        pattern.replace("(?<", "(?P<")
+        .replace("(?P<=", "(?<=")
+        .replace("(?P<!", "(?<!")
+    )
+    groups = _re.compile(py).groupindex
     jvm = _re.sub(r"\(\?P?<(?![=!])[^>]*>", "(", pattern)
     return F.map_filter(
         F.map_from_arrays(
@@ -95,14 +103,27 @@ def _extract_patterns(s: Column, pattern: str) -> Column:
 
 # parse (func_parse_json.go, func_parse_csv.go, func_parse_key_value.go, func_url.go)
 converter("ParseJSON")(lambda s: F.from_json(s, "map<string,string>"))
-converter("ParseCSV")(
-    lambda s, header, delim=",": F.map_from_arrays(
-        F.split(F.lit(header), _re.escape(delim)), F.split(s, _re.escape(delim))
+@converter("ParseCSV")
+def _parse_csv(s: Column, header: str, delim: str = ",") -> Column:
+    # a row whose field count differs from the header is a nil parse
+    # (reference func_parse_csv.go errors per-value), NOT a
+    # MapData-length SparkRuntimeException that kills the batch
+    ks = F.split(F.lit(header), _re.escape(delim))
+    vs = F.split(s, _re.escape(delim))
+    return F.when(F.size(vs) == F.size(ks), F.map_from_arrays(ks, vs))
+@converter("ParseKeyValue")
+def _parse_key_value(s: Column, kv: str = "=", pair: str = " ") -> Column:
+    # duplicate keys resolve last-wins like the Go map (str_to_map
+    # throws DUPLICATED_MAP_KEY under the default dedup policy)
+    from ..operators.parsers import map_last_wins
+
+    toks = F.split(s, _re.escape(pair))
+    ks = F.transform(toks, lambda t: F.substring_index(t, kv, 1))
+    vs = F.transform(
+        toks,
+        lambda t: F.when(t.contains(kv), F.substr(t, F.instr(t, kv) + len(kv))),
     )
-)
-converter("ParseKeyValue")(
-    lambda s, kv="=", pair=" ": F.str_to_map(s, F.lit(pair), F.lit(kv))
-)
+    return map_last_wins(ks, vs)
 converter("Base64Decode")(lambda s: F.unbase64(s).cast("string"))
 
 
@@ -131,16 +152,16 @@ converter("UUID")(lambda: F.uuid())
 converter("Hex")(lambda b: F.hex(b))
 
 # math / logic (func_int.go, func_double.go, func_log.go)
-converter("Int")(lambda x: x.cast("long"))
-converter("Double")(lambda x: x.cast("double"))
+converter("Int")(lambda x: x.try_cast("long"))
+converter("Double")(lambda x: x.try_cast("double"))
 converter("Log")(lambda x: F.log(x))
 
 # type predicates — schema-resolved at compile time would need the frame;
 # runtime-null checks are the pragmatic columnar equivalent
 converter("IsString")(lambda x: x.cast("string").isNotNull())
-converter("IsInt")(lambda x: x.cast("long").isNotNull())
-converter("IsDouble")(lambda x: x.cast("double").isNotNull())
-converter("IsBool")(lambda x: x.cast("boolean").isNotNull())
+converter("IsInt")(lambda x: x.try_cast("long").isNotNull())
+converter("IsDouble")(lambda x: x.try_cast("double").isNotNull())
+converter("IsBool")(lambda x: x.try_cast("boolean").isNotNull())
 
 # time (func_time.go, func_truncate_time.go, func_duration.go, func_now.go,
 # func_unix_*.go, extractors)

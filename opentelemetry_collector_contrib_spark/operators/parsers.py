@@ -63,8 +63,33 @@ def grouped_kv_scan(sorted_col: "Column", accumulate: bool) -> "Column":
     return F.aggregate(sorted_col, init, step)
 
 
+
+def map_last_wins(ks: "Column", vs: "Column") -> "Column":
+    """``map_from_arrays`` with duplicate keys resolved LAST-wins (Go
+    map overwrite) — safe under the default
+    ``spark.sql.mapKeyDedupPolicy=EXCEPTION``, where a duplicate key
+    would otherwise throw DUPLICATED_MAP_KEY and kill the whole batch.
+    Reuses the sorted-struct scan (:func:`grouped_kv_scan`,
+    accumulate=False) so keys are unique before the map is built."""
+    idx = F.sequence(F.lit(0), F.size(ks) - 1)
+    entries = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.get(ks, i).alias("k"), i.alias("i"), F.get(vs, i).alias("v")
+        ),
+    )
+    agg = grouped_kv_scan(F.array_sort(entries), accumulate=False)
+    return F.when(
+        F.size(ks) > 0,
+        F.map_from_arrays(agg.getField("ks"), agg.getField("vs")),
+    ).otherwise(F.from_json(F.lit("{}"), "map<string,string>"))
+
+
 def _write_groups(
-    df: DataFrame, values: dict[str, Column], parse_to: str | None
+    df: DataFrame,
+    values: dict[str, Column],
+    parse_to: str | None,
+    ok: Column | None = None,
 ) -> DataFrame:
     if parse_to is None:
         return df.withColumns(values)
@@ -81,6 +106,12 @@ def _write_groups(
         merged = F.map_concat(
             cleaned, F.map_filter(entries, lambda _, v: v.isNotNull())
         )
+        if ok is not None:
+            # parse FAILURE with on_error='send' forwards the entry
+            # UNMODIFIED (stanza helper/transformer.go): without this
+            # guard the map_filter above silently deletes pre-existing
+            # keys that collide with the group names
+            merged = F.when(ok, merged).otherwise(F.col(parse_to))
         return df.withColumn(parse_to, merged)
     raise ValueError(f"unsupported parse_to: {parse_to}")
 
@@ -127,7 +158,7 @@ class RegexParser:
             name: F.when(ok, F.regexp_extract(src, self._jvm_pattern, idx))
             for name, idx in self._groups.items()
         }
-        out = _write_groups(df, values, self.parse_to)
+        out = _write_groups(df, values, self.parse_to, ok=ok)
         return apply_on_error(out, src.rlike(self._jvm_pattern), self.on_error, self.if_expr)
 
 
@@ -415,7 +446,20 @@ class KeyValueParser:
 
     def _pairs(self, src: Column) -> Column:
         if self.mode == "strict":
-            return F.str_to_map(src, F.lit(self.pair_delimiter), F.lit(self.delimiter))
+            # str_to_map semantics (split on pair delim; value = rest
+            # after the FIRST kv delim, null when absent) but duplicate
+            # keys resolve last-wins like the Go map — str_to_map itself
+            # throws DUPLICATED_MAP_KEY under the default dedup policy
+            toks = F.split(src, _re.escape(self.pair_delimiter))
+            d = self.delimiter
+            ks = F.transform(toks, lambda t: F.substring_index(t, d, 1))
+            vs = F.transform(
+                toks,
+                lambda t: F.when(
+                    t.contains(d), F.substr(t, F.instr(t, d) + len(d))
+                ),
+            )
+            return map_last_wins(ks, vs)
         d = _re.escape(self.delimiter)
         # values are either double-quoted (spaces allowed, quotes
         # stripped — parseutils.SplitString semantics in the reference
@@ -429,7 +473,7 @@ class KeyValueParser:
                 v.rlike('(?s)^".*"$'), v.substr(F.lit(2), F.length(v) - 2)
             ).otherwise(v),
         )
-        return F.map_from_arrays(
+        return map_last_wins(
             F.regexp_extract_all(src, F.lit(pat), F.lit(1)), vals
         )
 
@@ -667,7 +711,7 @@ class TimeParser:
     def __call__(self, df: DataFrame) -> DataFrame:
         src = field_get(self.parse_from)
         if self.layout_type == "epoch":
-            num = src.cast("long")
+            num = src.try_cast("long")
             parsed = {
                 "s": F.timestamp_seconds(num),
                 "ms": F.timestamp_millis(num),
@@ -689,11 +733,21 @@ class TimeParser:
                 # token from the pattern and the name from the input
                 fmt = _re.sub(r"^EEEE?[ ,]*", "", fmt)
                 src = F.regexp_replace(src, r"^[A-Za-z]+[ ,]+", "")
-            if fmt in ("yyyy-MM-dd'T'HH:mm:ss", "yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd"):
+            _iso_shapes = {
+                "yyyy-MM-dd'T'HH:mm:ss": r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}$",
+                "yyyy-MM-dd HH:mm:ss": r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}$",
+                "yyyy-MM-dd": r"^\d{4}-\d{2}-\d{2}$",
+            }
+            if fmt in _iso_shapes:
                 # ISO layouts hit Spark's hand-rolled stringToTimestamp
                 # cast (~4x faster than DateTimeFormatter-based
-                # try_to_timestamp; measured 2us -> 0.5us/row)
-                parsed = src.try_cast("timestamp")
+                # try_to_timestamp; measured 2us -> 0.5us/row). The
+                # rlike shape guard keeps the LAYOUT's acceptance
+                # semantics: the bare cast would also parse date-only
+                # strings, zone suffixes, fractional seconds
+                parsed = F.when(
+                    src.rlike(_iso_shapes[fmt]), src.try_cast("timestamp")
+                )
             else:
                 parsed = F.try_to_timestamp(src, F.lit(fmt))
         ok = parsed.isNotNull()
@@ -1011,7 +1065,7 @@ class ContainerParser:
 SYSLOG_SEVERITY_TO_OTEL = {0: 23, 1: 22, 2: 21, 3: 17, 4: 13, 5: 10, 6: 9, 7: 5}
 
 RFC5424_PATTERN = (
-    r"^<(\d{1,3})>(\d+) (\S+) (\S+) (\S+) (\S+) (\S+) (-|\[.*?\]) ?(.*)$"
+    r"^<(\d{1,3})>(\d+) (\S+) (\S+) (\S+) (\S+) (\S+) (-|(?:\[.*?\])+) ?(.*)$"
 )
 RFC3164_PATTERN = (
     r"^<(\d{1,3})>([A-Z][a-z]{2} [ \d]\d \d{2}:\d{2}:\d{2}) (\S+) "
@@ -1089,7 +1143,7 @@ class SyslogParser:
                 ),
                 "structured_data_map": F.when(
                     sd.rlike(r"^\["),
-                    F.map_from_arrays(
+                    map_last_wins(
                         F.regexp_extract_all(sd, F.lit(sd_kv_full), F.lit(1)),
                         F.regexp_extract_all(sd, F.lit(sd_kv_val), F.lit(1)),
                     ),

@@ -164,7 +164,15 @@ class Filter:
         if self.drop_ratio >= 1.0:
             return df.filter(~F.coalesce(cond, F.lit(False)))
         threshold = int(self.drop_ratio * 10000)
-        sampled = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), 10000) < threshold
+        # xxhash64 rejects MAP columns (unorderable) — serialize them to
+        # JSON for the hash so envelope frames (attributes/resource maps)
+        # can use sampled drops at all; to_json is deterministic for the
+        # same map contents per-row build order, which reruns reproduce
+        hash_cols = [
+            F.to_json(F.col(c)) if t.startswith("map<") else F.col(c)
+            for c, t in df.dtypes
+        ]
+        sampled = F.pmod(F.xxhash64(*hash_cols), 10000) < threshold
         return df.filter(~(F.coalesce(cond, F.lit(False)) & sampled))
 
 
