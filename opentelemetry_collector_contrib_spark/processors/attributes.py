@@ -41,9 +41,10 @@ def sha256_typed(col: Column, dtype: str) -> Column:
     double bit-pattern comes from `reflect('java.lang.Double',
     'doubleToRawLongBits', x)`, not Python."""
     if dtype == "boolean":
-        return F.sha2(
-            F.unhex(F.when(col, F.lit("01")).otherwise(F.lit("00"))), 256
-        )
+        # null propagates (reference hashes only attributes that exist);
+        # a bare otherwise('00') would give null rows the FALSE digest
+        byte = F.when(col, F.lit("01")).when(~col, F.lit("00"))
+        return F.sha2(F.unhex(byte), 256)
     if dtype in ("bigint", "int", "smallint", "tinyint"):
         h = F.lpad(F.hex(col.cast("long")), 16, "0")
         return F.sha2(F.unhex(_le_hex64(h)), 256)
@@ -188,16 +189,29 @@ class AttributesProcessor:
             elif a.action == "extract":
                 if not a.pattern:
                     raise ValueError("extract requires pattern")
-                groups = _re.compile(
+                py = (
                     a.pattern.replace("(?<", "(?P<")
-                ).groupindex
+                    .replace("(?P<=", "(?<=")
+                    .replace("(?P<!", "(?<!")
+                )
+                groups = _re.compile(py).groupindex
                 jvm = _re.sub(r"\(\?P<", "(?<", a.pattern)
                 jvm = _re.sub(r"\(\?<(?![=!])[^>]*>", "(", jvm)
                 src = field_get(a.key)
                 for name, idx in groups.items():
                     ok = src.rlike(jvm)
-                    val = F.when(ok, F.regexp_extract(src, jvm, idx))
-                    df = field_set(df, name, gated(val, F.lit(None)))
+                    # non-matching rows keep their current value —
+                    # extractAttributes returns without modifying when
+                    # the pattern does not match (attraction.go)
+                    try:
+                        current = field_get(name)
+                        df.select(current)
+                    except Exception:
+                        current = F.lit(None)
+                    val = F.when(ok, F.regexp_extract(src, jvm, idx)).otherwise(
+                        current
+                    )
+                    df = field_set(df, name, gated(val, current))
             elif a.action == "convert":
                 spark_type = {"int": "long", "double": "double", "string": "string"}[
                     a.converted_type or "string"

@@ -99,7 +99,13 @@ class K8sAttributes:
         return F.when(meta.isNull(), attrs).otherwise(F.map_concat(attrs, kept))
 
     def __call__(self, df: DataFrame) -> DataFrame:
-        attrs = F.col(self.attrs_col)
+        # a NULL attributes map would null the merge (map_keys(null) ->
+        # null predicate -> map_concat(null,..) -> null) and skip the
+        # ip stamp: treat it as empty, like envelope.field_set does
+        attrs = F.coalesce(
+            F.col(self.attrs_col),
+            F.from_json(F.lit("{}"), "map<string,string>"),
+        )
         # connection source stamps k8s.pod.ip when absent (processor.go:125-131)
         conn = (
             F.col(self.connection_col)

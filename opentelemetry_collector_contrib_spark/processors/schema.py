@@ -42,58 +42,10 @@ def parse_version(v: str) -> tuple[int, ...]:
     return tuple(int(p) for p in v.split("."))
 
 
-def _rename_map(attrs: Column, mapping: dict[str, str]) -> Column:
-    """AttributeChangeSet.do (migrate/attributes.go:50-84): single-step
-    key rename with rewrite-priority conflict handling (the renamed
-    entry survives; a colliding pre-existing entry is dropped; among
-    renamed collisions the last in map order wins, like PutEmpty)."""
-    if not mapping:
-        return attrs
-    table = F.create_map(*[F.lit(x) for kv in mapping.items() for x in kv])
-    entries = F.map_entries(attrs)
-    renamed = F.transform(
-        entries,
-        lambda e: F.struct(
-            F.coalesce(
-                try_element_at(table, e.getField("key")), e.getField("key")
-            ).alias("key"),
-            e.getField("value").alias("value"),
-            try_element_at(table, e.getField("key")).isNotNull().alias("ren"),
-        ),
-    )
-    kept = F.filter(
-        renamed,
-        lambda e, idx: F.when(
-            e.getField("ren"),
-            # last renamed entry with this key wins
-            ~F.exists(
-                F.slice(renamed, idx + 2, F.greatest(F.size(renamed), F.lit(1))),
-                lambda o: o.getField("ren")
-                & (o.getField("key") == e.getField("key")),
-            ),
-        ).otherwise(
-            # non-renamed entry dropped when any rename claims its key
-            ~F.exists(
-                renamed,
-                lambda o: o.getField("ren")
-                & (o.getField("key") == e.getField("key")),
-            )
-        ),
-    )
-    return F.map_from_entries(
-        F.transform(
-            kept,
-            lambda e: F.struct(
-                e.getField("key").alias("key"), e.getField("value").alias("value")
-            ),
-        )
-    )
-
-
 def _rename_map_staged(
     df: DataFrame, target_col: str, mapping: dict[str, str], cond: Column
 ) -> DataFrame:
-    """DataFrame-level twin of :func:`_rename_map` used by the
+    """Staged AttributeChangeSet.do rename used by the
     processor: the renamed-entry array and the kept-entry array are
     MATERIALIZED as staged columns so every lambda's input is a plain
     attribute reference — the sibling-chained filter-over-transform
@@ -230,7 +182,13 @@ class SchemaProcessor:
                     if target_col is None or target_col not in out.columns:
                         continue
                     cond = gate
-                    if applies and self.name_col:
+                    if applies:
+                        if not self.name_col:
+                            # conditional.go applies ONLY to the named
+                            # signals; with no name column nothing can
+                            # match — skipping (not broadening to every
+                            # row) is the faithful reading
+                            continue
                         cond = cond & F.col(self.name_col).isin(list(applies))
                     out = _rename_map_staged(out, target_col, mapping, cond)
                 rm = ch.get("rename_metrics")

@@ -71,6 +71,18 @@ def _segment_rule(pattern: str) -> list[tuple[str, str]]:
                 if pattern[j] == "\\":
                     j += 2
                     continue
+                if pattern[j] == "[":
+                    # skip character classes: a ')' inside [...] (the
+                    # common [^)] idiom) is literal, not a group close
+                    j += 1
+                    if j < n and pattern[j] == "^":
+                        j += 1
+                    if j < n and pattern[j] == "]":
+                        j += 1  # leading ] is literal inside a class
+                    while j < n and pattern[j] != "]":
+                        j += 2 if pattern[j] == "\\" else 1
+                    j += 1
+                    continue
                 if pattern[j] == "(":
                     depth += 1
                 elif pattern[j] == ")":

@@ -129,6 +129,15 @@ def regroup_events(
     ``drop_col`` contribute no event; their span still emits (with an
     empty array when nothing survives)."""
     span_cols = [c for c in spans.columns if c != events_col]
+    # resource/scope ride the exploded frame as LIVE top-level columns
+    # (the spanevent context's resource.* / instrumentation_scope paths
+    # write to them); rebuilding those from the pre-statement stash
+    # would silently discard the writes, so they aggregate from the
+    # live columns instead (one shared value per span — writes from
+    # different event rows of one span are last-writer-wins in the
+    # reference; first() here, as every surviving row carries the same
+    # projected expression)
+    live_cols = [c for c in ("resource", "scope") if c in frame.columns]
     keep = F.col("__pos__").isNotNull()
     if drop_col is not None:
         keep = keep & ~F.coalesce(drop_col, F.lit(False))
@@ -136,6 +145,7 @@ def regroup_events(
         frame.select(
             "__sid__",
             "__span_row__",
+            *live_cols,
             F.when(
                 keep,
                 F.struct(
@@ -150,6 +160,7 @@ def regroup_events(
         .agg(
             # every row in a group shares the identical stashed span row
             F.first("__span_row__").alias("__span_row__"),
+            *[F.first(c).alias(f"__live_{c}__") for c in live_cols],
             F.transform(
                 # explicit comparator: default struct ordering can't
                 # compare map-typed event attributes; __pos__ alone
@@ -165,8 +176,15 @@ def regroup_events(
             ).alias(events_col),
         )
     )
+    live = {c: f"__live_{c}__" for c in live_cols}
     return rebuilt.select(
-        *[F.col(f"__span_row__.{c}").alias(c) for c in span_cols], events_col
+        *[
+            F.col(live[c]).alias(c)
+            if c in live
+            else F.col(f"__span_row__.{c}").alias(c)
+            for c in span_cols
+        ],
+        events_col,
     )
 
 

@@ -243,7 +243,7 @@ def _encode(v) -> str:
 
 
 def translate_attrs(attrs: dict) -> dict:
-    """Python twin of the columnar ``_translated`` (translateAttributes,
+    """Python twin of the staged translate (translateAttributes,
     translate_attributes_processor.go:63-90): rename unless the target
     key already exists in the ORIGINAL map; first occurrence wins."""
     result: dict = {}
@@ -377,7 +377,7 @@ class SumoLogicProcessor:
     def _translate_staged(
         self, df: DataFrame, translations: dict[str, str] | None = None
     ) -> DataFrame:
-        """DataFrame-level twin of :meth:`_translated`: the renamed-entry
+        """Staged translateAttributes rename: the renamed-entry
         array is MATERIALIZED as a staged column so the first-wins filter's
         lambdas take a plain attribute input — sibling-chained
         filter-over-transform can misevaluate nondeterministically on
@@ -420,40 +420,6 @@ class SumoLogicProcessor:
         return df.withColumn(self.attrs_col, F.map_from_entries(firsts)).drop(
             "__sl_ren__"
         )
-
-    def _translated(self, attrs: Column, translations: dict[str, str] | None = None) -> Column:
-        table = F.create_map(
-            *[
-                F.lit(x)
-                for kv in (translations or ATTRIBUTE_TRANSLATIONS).items()
-                for x in kv
-            ]
-        )
-        entries = F.map_entries(attrs)
-        renamed = F.transform(
-            entries,
-            lambda e: F.struct(
-                F.when(
-                    try_element_at(table, e.getField("key")).isNotNull()
-                    & ~F.map_contains_key(attrs, try_element_at(table, e.getField("key"))),
-                    try_element_at(table, e.getField("key")),
-                )
-                .otherwise(e.getField("key"))
-                .alias("key"),
-                e.getField("value").alias("value"),
-            ),
-        )
-        # first occurrence wins on rename collisions (translateAttributes
-        # result.Get guard) — maps are small, the O(n^2) scan is per-row
-        # constant work inside codegen
-        firsts = F.filter(
-            renamed,
-            lambda e, idx: ~F.exists(
-                F.slice(renamed, F.lit(1), idx),
-                lambda prev: prev.getField("key") == e.getField("key"),
-            ),
-        )
-        return F.map_from_entries(firsts)
 
     def _with_log_fields(self, df: DataFrame) -> DataFrame:
         attrs = F.col(self.attrs_col)

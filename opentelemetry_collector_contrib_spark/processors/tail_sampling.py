@@ -467,10 +467,29 @@ class GroupByTrace:
             F.col(self.order_by).alias("__o__"),
             *[F.col(c).alias(c) for c in self.collect if c != self.order_by],
         )
+        # default struct ordering cannot compare map-typed collected
+        # columns (attributes) — fall back to an explicit comparator on
+        # the order field then (same fix as spanevents.regroup_events);
+        # orderable structs keep the full-struct sort (deterministic
+        # tiebreak across every collected field)
+        dtypes = dict(df.dtypes)
+        has_map = any(
+            dtypes.get(c, "").startswith("map<") for c in self.collect
+        )
+
+        def _by_order(left, right):
+            lo, ro = left.getField("__o__"), right.getField("__o__")
+            return (
+                F.when(lo < ro, -1).when(lo > ro, 1).otherwise(0).cast("int")
+            )
+
+        def _sorted(col):
+            return F.array_sort(col, _by_order) if has_map else F.sort_array(col)
+
         if self.max_trace_size is None:
             return df.groupBy(self.trace_key).agg(
                 F.count(F.lit(1)).alias("span_count"),
-                F.sort_array(F.collect_list(entry)).alias("spans"),
+                _sorted(F.collect_list(entry)).alias("spans"),
             )
         if self.max_trace_size < 1:
             raise ValueError("max_trace_size must be >= 1")
@@ -482,7 +501,7 @@ class GroupByTrace:
             ranked.groupBy(self.trace_key)
             .agg(
                 F.count(F.lit(1)).alias("span_count"),
-                F.sort_array(
+                _sorted(
                     F.collect_list(
                         F.when(F.col("__rn__") <= self.max_trace_size, entry)
                     )

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from opentelemetry_collector_contrib_spark.processors.schema import (
     SchemaProcessor,
-    _rename_map,
+    _rename_map_staged,
 )
 
 SCHEMA = "schema_url string, attributes map<string,string>, name string"
@@ -19,8 +19,12 @@ URL = "https://opentelemetry.io/schemas/"
 
 
 def rename(spark, mapping, attrs):
+    # golden helper exercises the PRODUCTION staged implementation (the
+    # Column-level twin it used to pin was dead code the processor
+    # never ran)
     df = spark.createDataFrame([(attrs,)], "attributes map<string,string>")
-    return df.select(_rename_map(F.col("attributes"), mapping).alias("a")).collect()[0].a
+    out = _rename_map_staged(df, "attributes", mapping, F.lit(True))
+    return out.collect()[0].attributes
 
 
 def run(spark, versions, target, rows, signal="log", name_col=None):

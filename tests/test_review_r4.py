@@ -51,10 +51,12 @@ def test_ottl_map_access_missing_key_ansi_on(spark):
         cond = compile_condition('attributes["k"] == "v"', df)
         rows = df.withColumn("m", cond).collect()
         assert [r.m for r in rows] == [True, None]
-        # editor path with a missing-key read in the value
+        # editor path with a missing-key read in the value: the read is
+        # nil (no ANSI throw) and set(nil) is a NO-OP (func_set.go), so
+        # the unmatched row keeps its original body
         step = compile_statement('set(body, attributes["k"])')
         out = {r.attributes.get("k"): r.body for r in step(df).collect()}
-        assert out == {"v": "v", None: None}
+        assert out == {"v": "v", None: "y"}
 
 
 def test_ottl_list_index_out_of_range_ansi_on(spark):

@@ -216,3 +216,112 @@ def test_rfc5424_multi_element_structured_data(spark):
     assert r.structured_data == '[ex a="1"][ex2 b="2"]'
     assert r.message == "hi"
     assert dict(r.structured_data_map) == {"a": "1", "b": "2"}
+
+
+def test_attributes_extract_nonmatch_keeps_current(spark):
+    from opentelemetry_collector_contrib_spark.processors.attributes import (
+        Action,
+        AttributesProcessor,
+    )
+
+    df = spark.createDataFrame(
+        [("u-7 login", "old7"), ("no match", "old8")],
+        "body string, user string",
+    )
+    proc = AttributesProcessor(
+        [Action(action="extract", key="body", pattern=r"(?P<user>u-\d+)")]
+    )
+    rows = {r.body: r.user for r in proc(df).collect()}
+    assert rows["u-7 login"] == "u-7"
+    # non-matching row keeps its pre-existing value (attraction.go
+    # extractAttributes returns without modifying)
+    assert rows["no match"] == "old8"
+
+
+def test_attributes_extract_lookbehind_pattern(spark):
+    from opentelemetry_collector_contrib_spark.processors.attributes import (
+        Action,
+        AttributesProcessor,
+    )
+
+    df = spark.createDataFrame([("id=42 rest",)], "body string")
+    proc = AttributesProcessor(
+        [Action(action="extract", key="body", pattern=r"(?<=id=)(?P<id>\d+)")]
+    )
+    assert proc(df).collect()[0].id == "42"
+
+
+def test_attributes_hash_null_boolean_stays_null(spark):
+    from opentelemetry_collector_contrib_spark.processors.attributes import (
+        sha256_typed,
+    )
+
+    df = spark.createDataFrame(
+        [(True,), (False,), (None,)], "flag boolean"
+    )
+    rows = [
+        r.h for r in df.select(sha256_typed(F.col("flag"), "boolean").alias("h")).collect()
+    ]
+    assert rows[0] is not None and rows[1] is not None
+    assert rows[0] != rows[1]
+    assert rows[2] is None  # null must NOT take the false digest
+
+
+def test_spanevent_resource_write_survives_regroup(spark):
+    from opentelemetry_collector_contrib_spark.processors.spanevents import (
+        SpanEventTransform,
+    )
+
+    spans = spark.createDataFrame(
+        [("t1", "s1", "sp", {"r": "1"}, [("boot", {"a": "1"})])],
+        "trace_id string, span_id string, name string, "
+        "resource map<string,string>, "
+        "events array<struct<name string, attributes map<string,string>>>",
+    )
+    out = SpanEventTransform(
+        ['set(resource.attributes["x"], "y")']
+    )(spans).collect()[0]
+    assert dict(out.resource) == {"r": "1", "x": "y"}
+    assert [e.name for e in out.events] == ["boot"]
+
+
+def test_k8sattributes_null_attributes_map(spark):
+    from opentelemetry_collector_contrib_spark.processors import (
+        AssociationRule,
+        AssociationSource,
+        K8sAttributes,
+    )
+
+    pods = spark.createDataFrame(
+        [("10.0.0.1", {"k8s.pod.name": "pod-a", "k8s.namespace.name": "ns1"})],
+        "pod_ip string, metadata map<string,string>",
+    )
+    rules = [
+        AssociationRule(sources=[AssociationSource("connection")], dim_keys=["pod_ip"])
+    ]
+    df = spark.createDataFrame(
+        [(1, "10.0.0.1", None)],
+        "id int, ip string, attributes map<string,string>",
+    )
+    out = K8sAttributes(pods, rules)(df).collect()[0]
+    attrs = dict(out.attributes or {})
+    # a NULL attributes map must not swallow the enrichment
+    assert attrs.get("k8s.pod.name") == "pod-a"
+
+
+def test_span_to_attributes_char_class_close_paren(spark):
+    # a ')' inside a character class is literal — the old paren scan
+    # truncated the group at [^)] and emitted an unbalanced pattern
+    from opentelemetry_collector_contrib_spark.processors.span import (
+        SpanProcessor,
+    )
+
+    df = spark.createDataFrame(
+        [("t", "s", "/api/users123", {})],
+        "trace_id string, span_id string, span_name string, "
+        "attributes map<string,string>",
+    )
+    proc = SpanProcessor(to_attributes=[r"^/api/(?P<args>[^)]+)$"])
+    r = proc(df).collect()[0]
+    assert dict(r.attributes)["args"] == "users123"
+    assert r.span_name == "/api/{args}"
