@@ -1875,16 +1875,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_derive": _q_transcripts,
         "parse_regex": _q_parse_regex,
         "parse_json": _q_parse_json,
-        "parse_csv": _q_parse_csv,
         "parse_syslog": _q_parse_syslog,
         "parse_uri": _q_parse_uri,
         "transform_ottl": _q_ottl,
         "recombine": _q_recombine,
         "count_connector": _q_counts,
-        # new in r04 — the spanevent OTTL context, never driver-checked
+        # new in r04, never driver-checked: the spanevent OTTL context
+        # and the SemDeDup query both sit inside the window (parse_csv,
+        # long-green since r02/r03, rotated out to make room)
         "transform_spanevent": _q_transform_spanevent,
         "dedup_semantic_semdedup": _q_semdedup,
         # --- end of the driver's 50-query window ---
+        "parse_csv": _q_parse_csv,
         "attributes_processor": _q_attributes,
         "parse_time_severity": _q_parse_time_severity,
         "enrich_lookup": _q_enrich,
