@@ -297,7 +297,15 @@ def _scaling(
             # CPUs — otherwise local[lo] leaks aux work onto all 32
             # and the small-cluster baseline is unrealistically fast
             cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
-        r = subprocess.run(cmd, capture_output=True, text=True, check=True)
+        r = subprocess.run(cmd, capture_output=True, text=True)
+        if r.returncode != 0:
+            # the bench contract is "ONE json line always prints": a
+            # crashed level (OOM-killed JVM, transient /tmp pressure)
+            # degrades this pair rather than killing the whole bench
+            raise RuntimeError(
+                f"level {cores} failed rc={r.returncode}: "
+                + (r.stderr or "")[-300:]
+            )
         t, s = r.stdout.strip().splitlines()[-1].split()
         return float(t), float(s)
 
@@ -316,9 +324,17 @@ def _scaling(
     reps_max = reps_max or reps
     pairs = []
     pair_secs: list[float] = []
+    failures = 0
     while len(pairs) < reps_max:
         t_pair = time.monotonic()
-        pair = {c: run_level(c) for c in (lo, hi)}
+        try:
+            pair = {c: run_level(c) for c in (lo, hi)}
+        except RuntimeError as exc:
+            failures += 1
+            print(f"bench: pair failed ({exc})", file=sys.stderr)
+            if failures > 2 or (not pairs and failures > 1) or _remaining() < 120:
+                break  # report whatever pairs exist (possibly none)
+            continue
         pair_secs.append(time.monotonic() - t_pair)
         pairs.append(pair)
         eff_so_far = max(
@@ -332,6 +348,11 @@ def _scaling(
         # a printed JSON line beats a perfect one killed by a timeout
         if len(pairs) >= reps and _remaining() < max(pair_secs) * 1.2 + 60:
             break
+    if not pairs:
+        return {
+            "cores_lo": lo, "cores_hi": hi, "error": "all pairs failed",
+            "pairs_run": 0,
+        }
     effs = [p[hi][0] / (p[lo][0] * (hi / lo)) for p in pairs]
     best = pairs[max(range(len(pairs)), key=lambda i: effs[i])]
     tps_lo, serial_lo = best[lo]
@@ -412,7 +433,7 @@ def main() -> None:
         reps_max = int(os.environ.get("SPARK_GRAFT_SCALING_REPS_MAX", "6"))
         sc = _scaling(BENCH_ROWS // 2, lo, hi, reps, reps_max=reps_max)
         result["scaling"] = sc
-        tps_best = sc["tps_hi_best"]
+        tps_best = sc.get("tps_hi_best", 0.0)
         # stress pair costs ~8-10 min (2x rows at 2x cores); only run it
         # when the global budget still has comfortable headroom
         if (
@@ -421,7 +442,7 @@ def main() -> None:
         ):
             stress = _scaling(BENCH_ROWS, max(CPUS // 8, 1), max(CPUS // 2, 2), 1)
             result["scaling_stress"] = stress
-            tps_best = max(tps_best, stress["tps_hi_best"])
+            tps_best = max(tps_best, stress.get("tps_hi_best", 0.0))
         result["throughput"] = {
             "rows": BENCH_ROWS,
             "turns_per_sec": tps_best,

@@ -27,6 +27,8 @@ with ~5% malformed rows (``on_error`` exercise,
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -68,7 +70,9 @@ TRANSCRIPTS_ORACLE_CTE = f"""
 transcripts AS (
   SELECT
     'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
-    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS turn_idx,
+    -- NULLS FIRST pins DuckDB to Spark's ASC default (Spark sorts nulls
+    -- first, DuckDB last) so a null ts/event_id cannot skew turn_idx
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST) - 1 AS INT) AS turn_idx,
     {_ROLE_CASE} AS role,
     CASE WHEN event_id % 20 = 19 THEN
       'garbled ' || event_type || ' !!'
@@ -207,9 +211,11 @@ def synth_transcripts(
         )
     )
     return df.select(
-        F.concat(F.lit("conv-"), F.lpad(F.col("conv_n").cast("string"), 6, "0")).alias(
-            "conv_id"
-        ),
+        # format_string pads to >= 6 digits but NEVER truncates — lpad
+        # would shorten a 7+-digit conv_n to its 6-char prefix, silently
+        # merging distinct conversations once n_conv > 999,999 (the
+        # bench runs ~2.4M convs at 48M rows)
+        F.format_string("conv-%06d", F.col("conv_n")).alias("conv_id"),
         "turn_idx",
         role.alias("role"),
         text.alias("text"),
@@ -256,11 +262,31 @@ role_groups AS (
 """
 
 
+# dim frames cached per session: createDataFrame costs ~0.5s of driver
+# round-trip each and TranscriptPipeline.enrich runs per invocation —
+# inside the bench's timed loop that driver work lands straight in the
+# serial fraction. Same pattern (and rationale) as parsers._SEV_DIM_CACHE:
+# WeakKeyDictionary on the session itself so entries die with it.
+_DIM_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _cached_dim(spark: SparkSession, name: str, rows: list, schema: str) -> DataFrame:
+    per_session = _DIM_CACHE.setdefault(spark, {})
+    if name not in per_session:
+        per_session[name] = spark.createDataFrame(rows, schema)
+    return per_session[name]
+
+
 def tool_catalog_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(
-        TOOL_CATALOG, "tool string, tool_category string, risk_level string"
+    return _cached_dim(
+        spark,
+        "tool_catalog",
+        TOOL_CATALOG,
+        "tool string, tool_category string, risk_level string",
     )
 
 
 def role_groups_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(ROLE_GROUPS, "role string, role_group string")
+    return _cached_dim(
+        spark, "role_groups", ROLE_GROUPS, "role string, role_group string"
+    )

@@ -103,10 +103,12 @@ def field_get(path: str) -> Column:
     parts = _split(path)
     head = parts[0]
     if head in ("attributes", "resource") and len(parts) > 1:
-        col = F.col(head)
-        for key in parts[1:]:
-            col = try_element_at(col, key) if isinstance(key, str) else col[key]
-        return col
+        if len(parts) != 2:
+            # mirror field_set: a second element_at over the map's
+            # STRING value would only die later with an opaque
+            # analysis-time datatype mismatch
+            raise ValueError(f"nested map path not supported: {path}")
+        return try_element_at(F.col(head), parts[1])
     col = F.col(head)
     for key in parts[1:]:
         col = col.getField(key)

@@ -6,6 +6,11 @@ like ``processor_filter_logs.filtered`` (filterprocessor/telemetry.go:
 60-99). Spark restatement: ``df.observe(name, exprs)`` accumulates
 per-stage counters DURING the action with zero extra passes; this
 module snapshots them into a metrics table after the run.
+
+Classic-session only: ``_get_or_none`` reads the JVM Observation's
+``getRowOrEmpty`` (the non-blocking twin of ``Observation.get``), which
+Spark Connect's ConnectObservation does not expose — under Connect the
+snapshot reports static entries only.
 """
 
 from __future__ import annotations
@@ -21,18 +26,23 @@ from pyspark.sql.observation import Observation
 @dataclass
 class MetricsCollector:
     run_id: str
-    observations: dict[str, Observation] = field(default_factory=dict)
+    # stage -> every Observation attached under that name, in order —
+    # a repeated stage (warm-up + timed run, a per-batch loop) ADDS a
+    # counter instead of silently dropping the earlier run's values
+    # (obsreport counters accumulate across operations)
+    observations: dict[str, list[Observation]] = field(default_factory=dict)
     static: list[tuple[str, str, float]] = field(default_factory=list)
 
     def observe(self, df: DataFrame, stage: str, **exprs) -> DataFrame:
         """Attach counters to a frame; exprs default to a row count."""
-        obs = Observation(f"{self.run_id}:{stage}")
+        seq = self.observations.setdefault(stage, [])
+        obs = Observation(f"{self.run_id}:{stage}#{len(seq)}")
         cols = (
             [e.alias(n) for n, e in exprs.items()]
             if exprs
             else [F.count(F.lit(1)).alias("rows")]
         )
-        self.observations[stage] = obs
+        seq.append(obs)
         return df.observe(obs, *cols)
 
     def add(self, stage: str, metric: str, value: float) -> None:
@@ -50,7 +60,7 @@ class MetricsCollector:
         """
         jo = getattr(obs, "_jo", None)
         if jo is None:
-            return None  # observe() was never attached to a frame
+            return None  # never attached, or a Connect-session Observation
         jopt = jo.getRowOrEmpty()
         if not jopt.isDefined():
             return None  # action not yet run for this frame
@@ -64,16 +74,34 @@ class MetricsCollector:
     def snapshot(self, spark: SparkSession) -> DataFrame:
         """Metrics table: run_id, stage, metric, value, ts (obsreport
         analog; one row per counter). Stages whose action never ran are
-        skipped without blocking (see ``_get_or_none``)."""
-        rows = []
+        skipped without blocking (see ``_get_or_none``). Numeric
+        counters from repeated observations of one stage SUM (counter
+        semantics); a non-numeric observed value (a max(ts), a
+        first(str)) is skipped rather than crashing the whole table —
+        observe() accepts arbitrary Columns but the metrics table is
+        ``value double`` by contract."""
+        sums: dict[tuple[str, str], float] = {}
+        order: list[tuple[str, str]] = []
+        for stage, seq in self.observations.items():
+            for obs in seq:
+                got = self._get_or_none(obs)
+                if got is None:
+                    continue
+                for metric, value in got.items():
+                    if value is None or isinstance(value, bool):
+                        continue
+                    if not isinstance(value, (int, float)):
+                        continue  # non-numeric aggregate: not a counter
+                    key = (stage, metric)
+                    if key not in sums:
+                        sums[key] = 0.0
+                        order.append(key)
+                    sums[key] += float(value)
         now = time.time()
-        for stage, obs in self.observations.items():
-            got = self._get_or_none(obs)
-            if got is None:
-                continue
-            for metric, value in got.items():
-                if value is not None:
-                    rows.append((self.run_id, stage, metric, float(value), now))
+        rows = [
+            (self.run_id, stage, metric, sums[(stage, metric)], now)
+            for stage, metric in order
+        ]
         for stage, metric, value in self.static:
             rows.append((self.run_id, stage, metric, value, now))
         return spark.createDataFrame(

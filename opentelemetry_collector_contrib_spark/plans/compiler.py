@@ -242,9 +242,30 @@ def config_from_dict(doc: dict) -> PipelineConfig:
             for s in doc["stages"]
         ]
     elif "operators" in doc:
+        # stanza configs carry id/output (DAG wiring) and `if` (guard)
+        # on every operator (pkg/stanza/operator/config.go). A compiled
+        # chain is linear: ids are honored as labels only, `output`
+        # must point at the NEXT operator (or be absent = implicit
+        # next), and `if` maps to the operators' if_expr field.
+        ops_list = list(doc["operators"])
+        ids = [op.get("id", op["type"]) for op in ops_list]
         stages = []
-        for op in doc["operators"]:
-            opts = {k: v for k, v in op.items() if k != "type"}
+        for i, op in enumerate(ops_list):
+            opts = {}
+            for k, v in op.items():
+                if k in ("type", "id"):
+                    continue
+                if k == "output":
+                    nxt = ids[i + 1] if i + 1 < len(ops_list) else None
+                    if v != nxt:
+                        raise ValueError(
+                            f"operator {ids[i]!r}: non-linear output "
+                            f"{v!r} (next stage is {nxt!r}) — the "
+                            "compiled chain is linear; use a Router "
+                            "stage for branching"
+                        )
+                    continue
+                opts["if_expr" if k == "if" else k] = v
             stages.append(StageConfig(op["type"], opts))
     else:
         raise ValueError("config needs a 'stages' or 'operators' list")
