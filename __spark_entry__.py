@@ -1762,8 +1762,14 @@ def _q_semdedup(spark, sf_dir):
     # both verdicts appear at sf0.01 (0.95 removes nothing from 500
     # synthetic vectors -> a vacuous oracle, same reasoning as
     # dedup_cosine)
+    # max_cluster=200: bounded-state guard for a degenerate cluster
+    # (same posture as _LSH_MAX_BUCKET / the cosine bucket cap); never
+    # binds at the test SFs (max cluster 152 at sf0.1), mirrored in the
+    # oracle via count(*) OVER (PARTITION BY cluster_id)
     emb = _emb(spark, sf_dir)
-    return semdedup(emb, ivf_centroids(emb, n_list=16), threshold=0.2)
+    return semdedup(
+        emb, ivf_centroids(emb, n_list=16), threshold=0.2, max_cluster=200
+    )
 
 
 def _q_cosine_bucketed(spark, sf_dir):
@@ -2662,13 +2668,14 @@ assign AS (SELECT e.vec_id, e.embedding, c.centroid_id AS cluster_id,
            QUALIFY row_number() OVER (PARTITION BY e.vec_id
                                       ORDER BY {_IVF_COS_EC} DESC, c.centroid_id) = 1)
 SELECT a.vec_id, a.cluster_id, round(a.cc, 4) AS cent_cos,
-       NOT EXISTS (
+       CASE WHEN count(*) OVER (PARTITION BY a.cluster_id) > 200 THEN TRUE
+       ELSE NOT EXISTS (
          SELECT 1 FROM assign b
          WHERE b.cluster_id = a.cluster_id AND b.vec_id <> a.vec_id
            AND round({_dot_sql('a.embedding', 'b.embedding')}
                      / ({_nrm_sql('a.embedding')} * {_nrm_sql('b.embedding')}), 4) >= 0.2
            AND (b.cc < a.cc OR (b.cc = a.cc AND b.vec_id < a.vec_id))
-       ) AS keep
+       ) END AS keep
 FROM assign a""",
         "ann_ivf_kmeans": f"""WITH {_IVF_CENT},
 a0 AS (SELECT e.vec_id, e.embedding, c.centroid_id AS list_id
