@@ -1667,6 +1667,16 @@ def _q_dedup_lsh(spark, sf_dir):
     )
 
 
+def _q_passage_dedup(spark, sf_dir):
+    # passage-window exact-substring dedup stats (Lee et al. 2021):
+    # 10-word non-overlapping passages, duplicate = occurs in 2+ docs
+    from opentelemetry_collector_contrib_spark.training import (
+        passage_dedup_stats,
+    )
+
+    return passage_dedup_stats(_docs(spark, sf_dir), words_per_passage=10)
+
+
 def _q_dedup_clusters(spark, sf_dir):
     # LSH candidate pairs -> connected components: each doc labeled with
     # the minimum reachable doc_id (the canonical representative); docs
@@ -1866,6 +1876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupbytrace": _q_groupbytrace,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_lsh,
+        "dedup_passage": _q_passage_dedup,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_embedding_cosine": _q_dedup_cosine,
@@ -1880,7 +1891,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal,
         "transcripts_derive": _q_transcripts,
         "parse_regex": _q_parse_regex,
-        "parse_json": _q_parse_json,
         "parse_syslog": _q_parse_syslog,
         "parse_uri": _q_parse_uri,
         "transform_ottl": _q_ottl,
@@ -1893,6 +1903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic_semdedup": _q_semdedup,
         # --- end of the driver's 50-query window ---
         "parse_csv": _q_parse_csv,
+        "parse_json": _q_parse_json,
         "attributes_processor": _q_attributes,
         "parse_time_severity": _q_parse_time_severity,
         "enrich_lookup": _q_enrich,
@@ -2551,6 +2562,21 @@ bands AS (SELECT doc_id, band,
           QUALIFY count(*) OVER (PARTITION BY band, bh) <= {_LSH_MAX_BUCKET})
 SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
 FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id""",
+        "dedup_passage": f"""WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+pass AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(t, i*10+1, i*10+10), ' ')) AS h
+  FROM toks, unnest(range(0, CAST(ceil(len(t) / 10.0) AS BIGINT))) AS u(i)
+),
+freq AS (SELECT h, count(DISTINCT doc_id) AS docs_with FROM pass GROUP BY h),
+agg AS (SELECT p.doc_id, count(*) AS n_passages,
+               sum(CASE WHEN f.docs_with > 1 THEN 1 ELSE 0 END) AS dup_passages
+        FROM pass p JOIN freq f USING (h) GROUP BY p.doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_passages, 0) AS BIGINT) AS n_passages,
+       CAST(coalesce(a.dup_passages, 0) AS BIGINT) AS dup_passages,
+       round(CAST(a.dup_passages AS DOUBLE) / a.n_passages, 4) AS dup_passage_frac
+FROM documents d LEFT JOIN agg a USING (doc_id)""",
         "dedup_clusters": f"""WITH RECURSIVE sigs AS (SELECT doc_id, {_SIG} AS sig FROM documents),
 bands AS (SELECT doc_id, band,
                  md5(array_to_string(list_transform(list_slice(sig, band*{_ROWS}+1, band*{_ROWS}+{_ROWS}), x -> CAST(x AS VARCHAR)), '|')) AS bh

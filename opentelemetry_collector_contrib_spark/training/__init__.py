@@ -11,6 +11,7 @@ correctness gate covers it.
 from .dedup import (
     exact_dedup,
     lsh_candidate_pairs,
+    passage_dedup_stats,
     minhash_signatures,
     ngram_jaccard_pairs,
     shingles,
@@ -64,6 +65,7 @@ __all__ = [
     "make_planes",
     "minhash_signatures",
     "ngram_jaccard_pairs",
+    "passage_dedup_stats",
     "quality_score",
     "repetition_stats",
     "gopher_quality_filter",

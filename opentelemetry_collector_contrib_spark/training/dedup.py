@@ -275,6 +275,74 @@ def ngram_jaccard_pairs(
     )
 
 
+def passage_dedup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_passage: int = 10,
+) -> DataFrame:
+    """Per-document cross-corpus duplicate-passage fraction — the
+    passage-window approximation of exact-substring dedup (Lee et al.
+    2021, "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499; C4/RefinedWeb-style pipelines drop or trim
+    documents on this signal rather than whole-doc hashes, because
+    boilerplate repeats at passage granularity).
+
+    Each document is split into consecutive NON-overlapping
+    ``words_per_passage``-word passages (same whitespace tokens as the
+    other dedup ops); a passage is a duplicate when its exact text
+    occurs in at least one OTHER document. Returns one row per input
+    document: ``(id_col, n_passages, dup_passages, dup_passage_frac)``
+    — zero-token documents keep a row with ``n_passages = 0`` and a
+    null fraction.
+
+    Scale posture (100 TB): the explode is a map-only ~n_words/k row
+    multiplier; the frequency table groups md5(passage) over DISTINCT
+    (hash, doc) pairs, so partial aggregation applies and a boilerplate
+    passage shared by millions of documents is still ONE frequency row;
+    the join back keys on the hash (shuffle hash join, no broadcast of
+    anything corpus-sized). No pairwise term anywhere — unlike the
+    LSH/jaccard ops this needs no bucket cap.
+    """
+    if words_per_passage < 1:
+        raise ValueError("words_per_passage must be >= 1")
+    k = words_per_passage
+    toks = tokens(F.col(text_col))
+    idx = F.when(
+        F.size(toks) > 0,
+        F.sequence(F.lit(0), F.ceil(F.size(toks) / k).cast("int") - 1),
+    ).otherwise(F.array().cast("array<int>"))
+    passages = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i * k + 1, k)))
+    ex = df.select(F.col(id_col), F.explode(passages).alias("__p__")).select(
+        id_col, F.md5("__p__").alias("__h__")
+    )
+    freq = (
+        ex.distinct()
+        .groupBy("__h__")
+        .agg(F.count(F.lit(1)).alias("__docs_with__"))
+    )
+    per_doc = (
+        ex.join(freq, "__h__")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_passages"),
+            F.sum((F.col("__docs_with__") > 1).cast("long")).alias("dup_passages"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_passages", F.lit(0)).cast("long").alias("n_passages"),
+            F.coalesce("dup_passages", F.lit(0)).cast("long").alias("dup_passages"),
+            F.round(F.col("dup_passages") / F.col("n_passages"), 4).alias(
+                "dup_passage_frac"
+            ),
+        )
+    )
+
+
 def connected_components(
     docs: DataFrame,
     pairs: DataFrame,

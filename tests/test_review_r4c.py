@@ -166,3 +166,54 @@ def test_dim_frames_cached_per_session(spark):
     assert role_groups_df(spark) is role_groups_df(spark)
     # cached frame still has the right content
     assert tool_catalog_df(spark).count() == 5
+
+
+def test_passage_dedup_stats_planted_duplicates(spark):
+    """Passage-window exact-substring dedup: a 10-word passage shared
+    by two documents marks it duplicate in BOTH; unique passages and
+    the trailing short passage stay clean; an empty doc keeps a row."""
+    from opentelemetry_collector_contrib_spark.training import (
+        passage_dedup_stats,
+    )
+
+    shared = " ".join(f"w{i}" for i in range(10))  # one full passage
+    uniq_a = " ".join(f"a{i}" for i in range(10))
+    uniq_b = " ".join(f"b{i}" for i in range(10))
+    rows = [
+        (1, f"{shared} {uniq_a} tail words"),   # 3 passages, 1 dup
+        (2, f"{shared} {uniq_b}"),              # 2 passages, 1 dup
+        (3, "only four words here"),            # 1 passage, clean
+        (4, ""),                                # 0 passages
+    ]
+    got = {
+        r.doc_id: r
+        for r in passage_dedup_stats(
+            spark.createDataFrame(rows, "doc_id int, text string"),
+            words_per_passage=10,
+        ).collect()
+    }
+    assert (got[1].n_passages, got[1].dup_passages) == (3, 1)
+    assert got[1].dup_passage_frac == 0.3333
+    assert (got[2].n_passages, got[2].dup_passages) == (2, 1)
+    assert (got[3].n_passages, got[3].dup_passages) == (1, 0)
+    assert (got[4].n_passages, got[4].dup_passages) == (0, 0)
+    assert got[4].dup_passage_frac is None
+
+
+def test_passage_dedup_plan_partial_aggregation(spark):
+    """The passage-frequency table must reduce via partial/final
+    HashAggregate (a boilerplate passage in millions of docs collapses
+    map-side) and never through a window or cartesian product."""
+    from opentelemetry_collector_contrib_spark.training import (
+        passage_dedup_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"t{i % 4} " * 12) for i in range(16)], "doc_id int, text string"
+    )
+    plan = (
+        passage_dedup_stats(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "HashAggregate" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
