@@ -84,6 +84,9 @@ from opentelemetry_collector_contrib_spark.training import (
     ivf_centroids,
     ivf_refine,
     ivf_topk,
+    pq_adc_topk,
+    pq_codebooks,
+    pq_encode,
     semdedup,
     lang_id,
     lsh_candidate_pairs,
@@ -317,6 +320,16 @@ def _nrm_sql(a: str) -> str:
     return (
         f"sqrt(list_reduce(list_transform({a}::DOUBLE[], x -> x*x),"
         " (p,q) -> p+q))"
+    )
+
+
+def _l2_sql(a: str, b: str) -> str:
+    """DuckDB twin of training.similarity._l2sq: squared L2 distance as
+    the same 0.0-seeded left fold (list_reduce's implicit first-element
+    seed equals 0.0 + t1 in IEEE), bit-identical."""
+    return (
+        f"list_reduce(list_transform(list_zip({a}::DOUBLE[], {b}::DOUBLE[]),"
+        " z -> (z[1]-z[2])*(z[1]-z[2])), (x,y) -> x+y)"
     )
 
 
@@ -1767,6 +1780,30 @@ def _q_ann_ivf_kmeans(spark, sf_dir):
 
 
 
+def _q_pq_encode(spark, sf_dir):
+    # PQ compression: 64 dims -> 4 codes (m=4 subspaces, ks=16 codes,
+    # codebooks = slices of the same md5-order sample the IVF quantizer
+    # uses). Exploded to (vec_id, subspace, code) rows so the oracle
+    # compares scalar cells, not engine-specific array renderings.
+    emb = _emb(spark, sf_dir)
+    enc = pq_encode(emb, pq_codebooks(emb, m=4, ks=16))
+    return enc.select(
+        "vec_id", F.posexplode("codes").alias("subspace", "code")
+    )
+
+
+def _q_pq_topk(spark, sf_dir):
+    # IVF-PQ ANN (FAISS-canonical composition): coarse probe n_probe=2
+    # of 16 lists, then asymmetric-distance scoring from the 4 codes
+    # only — the compressed-domain twin of ann_ivf_topk
+    emb = _emb(spark, sf_dir)
+    cents = ivf_centroids(emb, n_list=16)
+    books = pq_codebooks(emb, m=4, ks=16)
+    return pq_adc_topk(
+        emb, emb.filter("vec_id < 20"), books, k=5, centroids=cents, n_probe=2
+    )
+
+
 def _q_semdedup(spark, sf_dir):
     # SemDeDup: IVF-cluster-bucketed semantic dedup; threshold 0.2 so
     # both verdicts appear at sf0.01 (0.95 removes nothing from 500
@@ -1890,19 +1927,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_fingerprint,
         "multimodal_features": _q_multimodal,
         "transcripts_derive": _q_transcripts,
-        "parse_regex": _q_parse_regex,
-        "parse_syslog": _q_parse_syslog,
         "parse_uri": _q_parse_uri,
         "transform_ottl": _q_ottl,
         "recombine": _q_recombine,
         "count_connector": _q_counts,
-        # new in r04, never driver-checked: the spanevent OTTL context
-        # and the SemDeDup query both sit inside the window (parse_csv,
-        # long-green since r02/r03, rotated out to make room)
+        # new in r04, never driver-checked: the spanevent OTTL context,
+        # SemDeDup, and the IVF-PQ ANN pair all sit inside the window
+        # (parse_csv / parse_regex / parse_syslog, long-green since
+        # r02/r03, rotated out to make room)
         "transform_spanevent": _q_transform_spanevent,
         "dedup_semantic_semdedup": _q_semdedup,
+        "ann_pq_encode": _q_pq_encode,
+        "ann_pq_topk": _q_pq_topk,
         # --- end of the driver's 50-query window ---
         "parse_csv": _q_parse_csv,
+        "parse_regex": _q_parse_regex,
+        "parse_syslog": _q_parse_syslog,
         "parse_json": _q_parse_json,
         "attributes_processor": _q_attributes,
         "parse_time_severity": _q_parse_time_severity,
@@ -2687,6 +2727,41 @@ scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
 SELECT query_id, neighbor_id, rank, cos FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
   FROM scored) WHERE rank <= 5""",
+        "ann_pq_encode": f"""WITH {_IVF_CENT},
+sub AS (SELECT unnest(range(4)) AS j)
+SELECT e.vec_id, s.j AS subspace, c.centroid_id AS code
+FROM embeddings e CROSS JOIN sub s CROSS JOIN cent c
+QUALIFY row_number() OVER (PARTITION BY e.vec_id, s.j
+  ORDER BY {_l2_sql('list_slice(e.embedding, s.j*16+1, s.j*16+16)', 'list_slice(c.cemb, s.j*16+1, s.j*16+16)')}, c.centroid_id) = 1""",
+        "ann_pq_topk": f"""WITH {_IVF_CENT},
+sub AS (SELECT unnest(range(4)) AS j),
+enc AS (SELECT e.vec_id, s.j, c.centroid_id AS code
+        FROM embeddings e CROSS JOIN sub s CROSS JOIN cent c
+        QUALIFY row_number() OVER (PARTITION BY e.vec_id, s.j
+          ORDER BY {_l2_sql('list_slice(e.embedding, s.j*16+1, s.j*16+16)', 'list_slice(c.cemb, s.j*16+1, s.j*16+16)')}, c.centroid_id) = 1),
+assign AS (SELECT e.vec_id, c.centroid_id AS list_id
+           FROM embeddings e CROSS JOIN cent c
+           QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {_IVF_COS_EC} DESC, c.centroid_id) = 1),
+probe AS (SELECT e.vec_id AS query_id, e.embedding AS qemb, c.centroid_id AS list_id
+          FROM (SELECT * FROM embeddings WHERE vec_id < 20) e CROSS JOIN cent c
+          QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                                     ORDER BY {_IVF_COS_EC} DESC, c.centroid_id) <= 2),
+terms AS (SELECT p.query_id, en.vec_id AS neighbor_id, en.j,
+                 {_l2_sql('list_slice(p.qemb, en.j*16+1, en.j*16+16)', 'list_slice(c.cemb, en.j*16+1, en.j*16+16)')} AS dterm
+          FROM enc en
+          JOIN assign a ON a.vec_id = en.vec_id
+          JOIN probe p ON p.list_id = a.list_id AND p.query_id != en.vec_id
+          JOIN cent c ON c.centroid_id = en.code),
+adcs AS (SELECT query_id, neighbor_id,
+                round((((max(dterm) FILTER (WHERE j = 0)
+                         + max(dterm) FILTER (WHERE j = 1))
+                        + max(dterm) FILTER (WHERE j = 2))
+                       + max(dterm) FILTER (WHERE j = 3)), 4) AS adc
+         FROM terms GROUP BY query_id, neighbor_id)
+SELECT query_id, neighbor_id, rank, adc FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, neighbor_id) AS rank
+  FROM adcs) WHERE rank <= 5""",
         "dedup_semantic_semdedup": f"""WITH {_IVF_CENT},
 assign AS (SELECT e.vec_id, e.embedding, c.centroid_id AS cluster_id,
                   ({_IVF_COS_EC} / {_nrm_sql('e.embedding')}) AS cc

@@ -27,6 +27,9 @@ from .similarity import (
     ivf_assign,
     ivf_centroids,
     ivf_refine,
+    pq_adc_topk,
+    pq_codebooks,
+    pq_encode,
     semdedup,
     ivf_topk,
     lsh_topk,
@@ -58,6 +61,9 @@ __all__ = [
     "ivf_assign",
     "ivf_centroids",
     "ivf_refine",
+    "pq_adc_topk",
+    "pq_codebooks",
+    "pq_encode",
     "semdedup",
     "ivf_topk",
     "lang_id",

@@ -396,6 +396,174 @@ def ivf_refine(
     return centroids
 
 
+def _l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance as the same left fold as :func:`_dot`
+    (0.0-seeded, element order) so the DuckDB twin
+    (``__spark_entry__._l2_sql``) reproduces it bit-identically."""
+    diffs = F.zip_with(
+        a,
+        b,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def pq_codebooks(
+    df: DataFrame,
+    m: int = 4,
+    ks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[tuple[int, list[float]]]]:
+    """Product-quantization codebooks (Jegou, Douze, Schmid, "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): the D-dim
+    space splits into ``m`` contiguous subspaces of D/m dims, and
+    subspace ``j``'s codebook is the j-th slice of the same
+    deterministic md5-order sample :func:`ivf_centroids` uses
+    (train-by-sampling; per-subspace k-means would refine the code
+    vectors, not the index structure). Codes are positional 1..``ks``
+    and shared across subspaces — code ``c`` in every subspace comes
+    from sampled row ``c`` — which keeps the DuckDB oracle a single
+    sample CTE. Returns ``[subspace][(code, subvector)]``; the collect
+    underneath is ``ks`` rows, an index-build constant."""
+    sample = ivf_centroids(df, n_list=ks, id_col=id_col, vec_col=vec_col)
+    dim = len(sample[0][1])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    return [
+        [(cid, vec[j * d : (j + 1) * d]) for cid, vec in sample]
+        for j in range(m)
+    ]
+
+
+def _pq_code(
+    vec_col: str, book: list[tuple[int, list[float]]], start: int
+) -> Column:
+    """1-based code of the nearest (min squared-L2, ties to the smaller
+    code) codebook entry for the subvector starting at 1-based ``start``.
+    Same literal-array + single-``transform`` shape as
+    :func:`_centroid_ranking` (one sorted struct array, not ks unrolled
+    expressions); the slice is re-evaluated per codebook entry — ks x
+    D/m work per row, small by construction."""
+    d = len(book[0][1])
+    sub = F.slice(F.col(vec_col), start, d)
+    entries = [
+        F.struct(
+            F.lit(cid).alias("id"),
+            F.array(*[F.lit(float(x)) for x in cvec]).alias("v"),
+        )
+        for cid, cvec in book
+    ]
+    ranked = F.sort_array(
+        F.transform(
+            F.array(*entries),
+            lambda c: F.struct(
+                _l2sq(sub, c.getField("v")).alias("d"),
+                c.getField("id").alias("code"),
+            ),
+        )
+    )
+    return ranked[0].getField("code")
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(id, codes)``: each vector compressed to ``m`` codebook codes
+    — 64 float32 dims (256 B) become 4 small ints here, the 64x
+    compression that lets a 100 TB corpus's search structure live in a
+    fraction of the space. Zero-shuffle projection (the codebooks ship
+    as plan literals, like the IVF centroids); ``codes[j]`` indexes
+    ``codebooks[j]`` 1-based."""
+    d = len(codebooks[0][0][1])
+    codes = F.array(
+        *[
+            _pq_code(vec_col, codebooks[j], j * d + 1)
+            for j in range(len(codebooks))
+        ]
+    )
+    return df.select(F.col(id_col), codes.alias("codes"))
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    k: int = 5,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the corpus side is
+    scored from its ``m`` codes only — distance(q, x) is approximated by
+    sum_j ||q_j - codebook_j[code_j(x)]||^2, the query side staying
+    exact (Jegou et al. 2011, the ADC estimator; non-residual variant —
+    codes quantize the raw vector, not the IVF residual, so one codebook
+    set serves both the plain scan and the IVF composition).
+
+    With ``centroids`` this is IVF-PQ (the FAISS-canonical composition):
+    corpus rows carry their coarse ``list_id`` (zero-shuffle literal
+    projection, as :func:`ivf_assign`), queries probe their ``n_probe``
+    nearest lists, and candidates come from a broadcast equi-join on
+    ``list_id`` — the 100 TB path, where the scan reads m small ints per
+    row instead of the full vector. Without ``centroids`` it is the
+    compressed-domain twin of :func:`brute_force_topk` (linear ADC scan,
+    the paper's baseline). Each corpus vector lives in at most one list,
+    so no candidate dedup is needed. Returns
+    ``(query_id, neighbor_id, rank, adc)`` — rank 1 = smallest distance,
+    ties to the smaller neighbor_id."""
+    m = len(codebooks)
+    d = len(codebooks[0][0][1])
+    enc_cols = [
+        F.col(id_col).alias("neighbor_id"),
+        F.array(
+            *[_pq_code(vec_col, codebooks[j], j * d + 1) for j in range(m)]
+        ).alias("codes"),
+    ]
+    qcols = [F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")]
+    if centroids is not None:
+        ranking = _centroid_ranking(vec_col, centroids)
+        enc_cols.append(ranking[0].getField("centroid_id").alias("list_id"))
+        probed = F.transform(
+            F.slice(ranking, 1, n_probe), lambda s: s.getField("centroid_id")
+        )
+        q = queries.select(*qcols, F.explode(probed).alias("list_id"))
+        joined = corpus.select(*enc_cols).join(F.broadcast(q), "list_id")
+    else:
+        q = queries.select(*qcols)
+        joined = corpus.select(*enc_cols).crossJoin(F.broadcast(q))
+    joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
+    # one literal array-of-arrays per subspace; ADC term j looks the
+    # code's centroid up by position and folds the exact L2^2 against
+    # the query's j-th slice. Left-assoc term sum pins the IEEE order
+    # the DuckDB oracle mirrors.
+    adc: Column | None = None
+    for j in range(m):
+        cbj = F.array(
+            *[F.array(*[F.lit(float(x)) for x in cvec]) for _, cvec in codebooks[j]]
+        )
+        cent = F.element_at(cbj, F.col("codes").getItem(j))
+        term = _l2sq(F.slice(F.col("qv"), j * d + 1, d), cent)
+        adc = term if adc is None else adc + term
+    scored = joined.select(
+        "query_id", "neighbor_id", F.round(adc, 4).alias("adc")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc")
+    )
+
+
 def cosine_pairs_bucketed(
     df: DataFrame,
     id_col: str = "vec_id",

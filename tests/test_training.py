@@ -292,6 +292,131 @@ def test_ivf_topk_plan_is_broadcast(vecs):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_pq_codebooks_are_slices_of_the_ivf_sample(vecs):
+    """Subspace j's codebook is the j-th slice of the SAME md5-order
+    sample ivf_centroids draws — codes are positional and shared."""
+    from opentelemetry_collector_contrib_spark.training import (
+        ivf_centroids,
+        pq_codebooks,
+    )
+
+    books = pq_codebooks(vecs, m=2, ks=2)
+    sample = dict(ivf_centroids(vecs, n_list=2))
+    assert len(books) == 2
+    for j, book in enumerate(books):
+        assert [cid for cid, _ in book] == [1, 2]
+        for cid, sub in book:
+            assert sub == sample[cid][j * 2 : (j + 1) * 2]
+    with pytest.raises(ValueError):
+        pq_codebooks(vecs, m=3, ks=2)  # dim 4 not divisible
+
+
+def test_pq_encode_codebook_vectors_roundtrip(vecs, spark):
+    """Every row gets exactly one length-m code array with codes in
+    1..ks; on data whose sampled subvectors are distinct in EVERY
+    subspace, a vector that IS sampled row c encodes to [c]*m (zero
+    distance in each subspace). Ties (identical codebook subvectors, as
+    the shared `vecs` fixture has in its all-zero back half) go to the
+    smaller code — asserted separately below."""
+    from opentelemetry_collector_contrib_spark.training import (
+        ivf_centroids,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 3.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 5.0]),
+        (2, [2.0, 2.0, -1.0, 1.0]),
+        (3, [0.5, 0.5, 4.0, 4.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    books = pq_codebooks(df, m=2, ks=2)
+    out = {r.vec_id: list(r.codes) for r in pq_encode(df, books).collect()}
+    assert len(out) == 4
+    assert all(len(c) == 2 and set(c) <= {1, 2} for c in out.values())
+    sample = ivf_centroids(df, n_list=2)
+    by_vec = {tuple(v): cid for cid, v in sample}
+    hit = 0
+    for vid, emb in rows:
+        if tuple(emb) in by_vec:
+            hit += 1
+            assert out[vid] == [by_vec[tuple(emb)]] * 2
+    assert hit == 2
+    # tie-break: the shared fixture's subspace-2 codebook is [0,0] twice
+    # -> every second code must resolve to the SMALLER code id (1)
+    tie_books = pq_codebooks(vecs, m=2, ks=2)
+    assert tie_books[1][0][1] == tie_books[1][1][1] == [0.0, 0.0]
+    tie_out = {r.vec_id: list(r.codes) for r in pq_encode(vecs, tie_books).collect()}
+    assert all(c[1] == 1 for c in tie_out.values())
+
+
+def test_pq_adc_is_exact_on_codebook_corpus(vecs):
+    """When every corpus vector sits in the codebook, quantization error
+    is zero and the ADC distance equals the true squared L2 distance
+    (same rounding)."""
+    from opentelemetry_collector_contrib_spark.training import (
+        ivf_centroids,
+        pq_adc_topk,
+        pq_codebooks,
+    )
+
+    sample = ivf_centroids(vecs, n_list=2)
+    ids = [cid for cid, _ in sample]
+    by_id = {r.vec_id: [float(x) for x in r.embedding] for r in vecs.collect()}
+    sampled_vec_ids = [
+        vid for vid, v in by_id.items() if tuple(v) in {tuple(s) for _, s in sample}
+    ]
+    corpus = vecs.filter(F.col("vec_id").isin(sampled_vec_ids))
+    books = pq_codebooks(vecs, m=2, ks=2)
+    got = {
+        (r.query_id, r.neighbor_id): r.adc
+        for r in pq_adc_topk(corpus, vecs, books, k=len(ids)).collect()
+    }
+    assert got, "no ADC pairs produced"
+    for (qid, nid), adc in got.items():
+        exact = sum(
+            (a - b) * (a - b) for a, b in zip(by_id[qid], by_id[nid])
+        )
+        assert adc == pytest.approx(round(exact, 4), abs=1e-9)
+
+
+def test_pq_adc_topk_ivf_probe_subset_and_plan(vecs):
+    """IVF-PQ (probed) results carry the SAME adc scores as the plain
+    ADC scan — probing narrows candidates, never changes a score — and
+    the candidate join is a broadcast equi-join (no shuffle or NL join
+    of the corpus side, the 100 TB side)."""
+    import contextlib
+    import io
+
+    from opentelemetry_collector_contrib_spark.training import (
+        ivf_centroids,
+        pq_adc_topk,
+        pq_codebooks,
+    )
+
+    cents = ivf_centroids(vecs, n_list=2)
+    books = pq_codebooks(vecs, m=2, ks=2)
+    q = vecs.filter("vec_id = 0")
+    probed = pq_adc_topk(vecs, q, books, k=3, centroids=cents, n_probe=1)
+    full = {
+        (r.query_id, r.neighbor_id): r.adc
+        for r in pq_adc_topk(vecs, q, books, k=3).collect()
+    }
+    rows = probed.collect()
+    assert rows, "probed list produced no candidates"
+    for r in rows:
+        assert full[(r.query_id, r.neighbor_id)] == r.adc
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probed.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_ivf_refine_means_match_hand_computation(vecs):
     """One Lloyd iteration: each refined centroid equals the 1e-9
     fixed-point mean of its assigned vectors, bit-for-bit, regardless of
