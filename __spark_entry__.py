@@ -95,6 +95,7 @@ from opentelemetry_collector_contrib_spark.training import (
     ngram_jaccard_pairs,
     quality_score,
     simhash,
+    tfidf_topk,
     token_stats,
 )
 
@@ -1829,6 +1830,11 @@ def _q_token_stats(spark, sf_dir):
     return token_stats(_docs(spark, sf_dir))
 
 
+def _q_tfidf_topk(spark, sf_dir):
+    # top-5 salient terms per doc; one corpus shuffle + broadcast DF join
+    return tfidf_topk(_docs(spark, sf_dir), k=5)
+
+
 def _q_quality(spark, sf_dir):
     return quality_score(_docs(spark, sf_dir))
 
@@ -1927,22 +1933,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_fingerprint,
         "multimodal_features": _q_multimodal,
         "transcripts_derive": _q_transcripts,
-        "parse_uri": _q_parse_uri,
         "transform_ottl": _q_ottl,
         "recombine": _q_recombine,
         "count_connector": _q_counts,
         # new in r04, never driver-checked: the spanevent OTTL context,
-        # SemDeDup, and the IVF-PQ ANN pair all sit inside the window
-        # (parse_csv / parse_regex / parse_syslog, long-green since
-        # r02/r03, rotated out to make room)
+        # SemDeDup, the IVF-PQ ANN pair, and TF-IDF keywords all sit
+        # inside the window (parse_csv / parse_regex / parse_syslog /
+        # parse_uri, long-green since r02/r03, rotated out to make room)
         "transform_spanevent": _q_transform_spanevent,
         "dedup_semantic_semdedup": _q_semdedup,
         "ann_pq_encode": _q_pq_encode,
         "ann_pq_topk": _q_pq_topk,
+        "text_tfidf_topk": _q_tfidf_topk,
         # --- end of the driver's 50-query window ---
         "parse_csv": _q_parse_csv,
         "parse_regex": _q_parse_regex,
         "parse_syslog": _q_parse_syslog,
+        "parse_uri": _q_parse_uri,
         "parse_json": _q_parse_json,
         "attributes_processor": _q_attributes,
         "parse_time_severity": _q_parse_time_severity,
@@ -2811,6 +2818,19 @@ WHERE round({_DOT_AB.replace('b.embedding', 'c.embedding')} / ({_nrm('a')} * {_n
        round(list_reduce(list_transform({_TOKS}, t -> len(t)), (a,b) -> a+b)::DOUBLE
              / len({_TOKS}), 4) AS avg_token_len
 FROM documents""",
+        "text_tfidf_topk": f"""WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+  GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, term, tf, df, rank, tfidf FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, d.df,
+         round(tf.tf * ln(n.n_docs::DOUBLE / d.df), 4) AS tfidf,
+         row_number() OVER (PARTITION BY tf.doc_id
+           ORDER BY round(tf.tf * ln(n.n_docs::DOUBLE / d.df), 4) DESC, tf.term) AS rank
+  FROM tf JOIN dfreq d USING (term) CROSS JOIN n)
+WHERE rank <= 5""",
         "text_quality_score": f"""SELECT doc_id,
   floor((0.3 * least(len(text)::DOUBLE / 500.0, 1.0)
       + 0.4 * (len(list_distinct({_TOKS}))::DOUBLE / len({_TOKS}))

@@ -41,6 +41,7 @@ from .textstats import (
     lang_id,
     quality_score,
     repetition_stats,
+    tfidf_topk,
     token_stats,
 )
 
@@ -77,6 +78,7 @@ __all__ = [
     "gopher_quality_filter",
     "shingles",
     "simhash",
+    "tfidf_topk",
     "token_stats",
     "tokens",
     "curate",

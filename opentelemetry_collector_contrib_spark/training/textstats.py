@@ -81,6 +81,60 @@ def fingerprint(
     return df.select(F.col(id_col), fp.alias("fp"))
 
 
+def tfidf_topk(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` terms per document by TF-IDF — the classic keyword /
+    salience primitive a curation pipeline runs for topic tagging and
+    boilerplate spotting (a term every document contains scores ~0).
+    Returns ``(id, term, tf, df, rank, tfidf)`` with
+    ``tfidf = tf * ln(n_docs / df)`` rounded to 4 decimals (the rounded
+    value is also the ranking key, so cross-engine last-ulp ``ln``
+    jitter cannot reorder; ties to the lexicographically smaller term).
+
+    Execution shape (100 TB posture): the corpus is tokenized and
+    shuffled ONCE — explode to (doc, term), grouped count with map-side
+    combine, then the grouped frame is persisted (MEMORY_AND_DISK) so
+    document frequencies re-aggregate the cached frame down to
+    vocabulary size instead of re-scanning the corpus (plan-guarded:
+    one source scan, both branches read the same InMemoryRelation).
+    The df side comes back via a broadcast join, NOT a window or
+    shuffle on the raw term key — a hot stopword present in every doc
+    would make that shuffle skew-bound with no guard (the same
+    reasoning as the LSH bucket caps), while the term-keyed
+    re-aggregation gets map-side partial combine. ``n_docs`` is one
+    count job — parquet row-group metadata at scale, not a data scan.
+    The persisted frame stays cached in the session; callers looping
+    over many corpora should ``spark.catalog.clearCache()`` between
+    runs."""
+    n_docs = df.count()
+    terms = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = terms.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).persist()
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "term")
+    tfidf = F.round(
+        F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("tfidf", tfidf)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "rank", "tfidf")
+    )
+
+
 # GPT-2-style pretokenizer classes, restricted to constructs whose
 # semantics are identical in Java regex (Spark) and RE2 (DuckDB):
 # contractions, letter runs, digit runs, punctuation runs — each with

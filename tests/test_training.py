@@ -292,6 +292,62 @@ def test_ivf_topk_plan_is_broadcast(vecs):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_tfidf_topk_hand_computed(docs):
+    """TF-IDF on the 5-doc fixture: a term in every doc (ln(5/5)=0)
+    scores 0; doc 4's singleton token 'x' scores 1*ln(5/1); ranks break
+    ties lexicographically."""
+    import math
+
+    from opentelemetry_collector_contrib_spark.training import tfidf_topk
+
+    out = tfidf_topk(docs, k=3).collect()
+    by_doc: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r.doc_id, r.rank)):
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {0, 1, 2, 3, 4}
+    assert all(len(v) <= 3 for v in by_doc.values())
+    x = by_doc[4][0]
+    assert (x.term, x.tf, x.df, x.rank) == ("x", 1, 1, 1)
+    assert x.tfidf == pytest.approx(round(math.log(5.0), 4), abs=1e-9)
+    # 'dog' appears once in docs 0,1,2 -> tfidf = ln(5/3) wherever ranked
+    for rows in (by_doc[0], by_doc[2]):
+        dog = [r for r in rows if r.term == "dog"]
+        if dog:
+            assert dog[0].df == 3
+            assert dog[0].tfidf == pytest.approx(round(math.log(5 / 3), 4), abs=1e-9)
+    # identical docs 0 and 1 get identical (term, rank, tfidf) lists
+    assert [(r.term, r.rank, r.tfidf) for r in by_doc[0]] == [
+        (r.term, r.rank, r.tfidf) for r in by_doc[1]
+    ]
+    # 'the' has tf=2 in docs 0/1/2 but df=3... still positive; a term in
+    # EVERY doc would score exactly 0 — check none scores negative
+    assert all(r.tfidf >= 0 for r in out)
+
+
+def test_tfidf_topk_plan_single_pass_and_broadcasts(docs):
+    """Plan guard: the corpus is tokenized/shuffled once — document
+    frequencies re-aggregate the persisted (doc, term) frame (both
+    branches read the same InMemoryRelation; exactly one source scan in
+    the plan) and return via a broadcast join, never a shuffle of the
+    corpus on the raw term key."""
+    import contextlib
+    import io
+    import re
+
+    from opentelemetry_collector_contrib_spark.training import tfidf_topk
+
+    out = tfidf_topk(docs, k=3)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    scans = re.findall(r"^\(\d+\) (?:Scan|LocalTableScan)", plan, re.M)
+    assert len(scans) == 1, plan
+    assert "InMemoryTableScan" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_pq_codebooks_are_slices_of_the_ivf_sample(vecs):
     """Subspace j's codebook is the j-th slice of the SAME md5-order
     sample ivf_centroids draws — codes are positional and shared."""
