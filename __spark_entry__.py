@@ -2657,11 +2657,14 @@ cl AS (SELECT d.doc_id, least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster
        FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
        GROUP BY d.doc_id),
 met AS (SELECT doc_id,
+  CASE WHEN len({_TOKS}) > 0 THEN
   floor((0.3 * least(len(text)::DOUBLE / 500.0, 1.0)
       + 0.4 * (len(list_distinct({_TOKS}))::DOUBLE / len({_TOKS}))
       + 0.3 * least(4.0 * len(list_filter({_TOKS}, t -> list_contains({_STOP}, t)))::DOUBLE
-                    / len({_TOKS}), 1.0)) * 10000 + 0.5)::BIGINT AS quality_q4,
-  CASE WHEN len(list_filter({_TOKS}, t -> list_contains({_STOP}, t)))::DOUBLE
+                    / len({_TOKS}), 1.0)) * 10000 + 0.5)::BIGINT
+  ELSE 0 END AS quality_q4,
+  CASE WHEN len({_TOKS}) > 0 AND
+            len(list_filter({_TOKS}, t -> list_contains({_STOP}, t)))::DOUBLE
             / len({_TOKS}) > 0.02 THEN 'en' ELSE 'unknown' END AS pred_lang
   FROM documents),
 elig AS (SELECT m.doc_id, c.cluster_id, m.quality_q4
@@ -2814,9 +2817,11 @@ FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
 WHERE round({_DOT_AB.replace('b.embedding', 'c.embedding')} / ({_nrm('a')} * {_nrm('c')}), 4) >= 0.2""",
         "text_token_stats": f"""SELECT doc_id, len({_TOKS}) AS n_tokens,
        len(list_distinct({_TOKS})) AS n_distinct,
-       round(len(list_distinct({_TOKS}))::DOUBLE / len({_TOKS}), 4) AS distinct_ratio,
-       round(list_reduce(list_transform({_TOKS}, t -> len(t)), (a,b) -> a+b)::DOUBLE
-             / len({_TOKS}), 4) AS avg_token_len
+       CASE WHEN len({_TOKS}) > 0 THEN
+         round(len(list_distinct({_TOKS}))::DOUBLE / len({_TOKS}), 4) END AS distinct_ratio,
+       CASE WHEN len({_TOKS}) > 0 THEN
+         round(list_reduce(list_transform({_TOKS}, t -> len(t)), (a,b) -> a+b)::DOUBLE
+               / len({_TOKS}), 4) END AS avg_token_len
 FROM documents""",
         "text_tfidf_topk": f"""WITH tf AS (
   SELECT doc_id, term, count(*) AS tf
@@ -2832,13 +2837,16 @@ SELECT doc_id, term, tf, df, rank, tfidf FROM (
   FROM tf JOIN dfreq d USING (term) CROSS JOIN n)
 WHERE rank <= 5""",
         "text_quality_score": f"""SELECT doc_id,
+  CASE WHEN len({_TOKS}) > 0 THEN
   floor((0.3 * least(len(text)::DOUBLE / 500.0, 1.0)
       + 0.4 * (len(list_distinct({_TOKS}))::DOUBLE / len({_TOKS}))
       + 0.3 * least(4.0 * len(list_filter({_TOKS}, t -> list_contains({_STOP}, t)))::DOUBLE
-                    / len({_TOKS}), 1.0)) * 10000 + 0.5)::BIGINT AS quality_q4
+                    / len({_TOKS}), 1.0)) * 10000 + 0.5)::BIGINT
+  ELSE 0 END AS quality_q4
 FROM documents""",
         "text_lang_id": f"""SELECT doc_id,
-  CASE WHEN len(list_filter({_TOKS}, t -> list_contains({_STOP}, t)))::DOUBLE
+  CASE WHEN len({_TOKS}) > 0 AND
+            len(list_filter({_TOKS}, t -> list_contains({_STOP}, t)))::DOUBLE
             / len({_TOKS}) > 0.02 THEN 'en' ELSE 'unknown' END AS pred_lang
 FROM documents""",
         "doc_fingerprint": f"""SELECT doc_id,

@@ -74,7 +74,11 @@ BENCH_QUERIES = [
     "ann_lsh_buckets",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_pq_topk",
     "dedup_cosine_bucketed",
+    "dedup_semantic_semdedup",
+    "dedup_passage",
+    "text_tfidf_topk",
     "enrich_geoip",
     "exceptions_metrics",
     "tail_sampling",

@@ -36,6 +36,7 @@ from .similarity import (
     make_planes,
 )
 from .textstats import (
+    bpe_token_count,
     fingerprint,
     gopher_quality_filter,
     lang_id,
@@ -51,6 +52,7 @@ from .sampling import pack_sequences, stratified_sample  # noqa: F401
 
 __all__ = [
     "binary_table",
+    "bpe_token_count",
     "brute_force_topk",
     "cosine_pairs",
     "cosine_pairs_bucketed",

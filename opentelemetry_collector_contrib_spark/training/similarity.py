@@ -43,6 +43,15 @@ def _norm(a: Column) -> Column:
     return F.sqrt(sq)
 
 
+def _cos(a: Column, b: Column) -> Column:
+    """Cosine similarity with a null (not a crash) for zero-norm
+    vectors: driver sessions run spark.sql.ansi.enabled=true, where a
+    plain `/` THROWS on a zero divisor — try_divide restores the
+    non-ANSI null, so a padded/all-zero embedding drops out of
+    thresholded pair sets and ranks last instead of killing the job."""
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
+
+
 def cosine_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -53,9 +62,7 @@ def cosine_pairs(
     x = df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("va"))
     y = df.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("vb"))
     pairs = x.crossJoin(y).filter(F.col("a_id") < F.col("b_id"))
-    cos = _dot(F.col("va"), F.col("vb")) / (
-        _norm(F.col("va")) * _norm(F.col("vb"))
-    )
+    cos = _cos(F.col("va"), F.col("vb"))
     return (
         pairs.select("a_id", "b_id", F.round(cos, 4).alias("cos"))
         .filter(F.col("cos") >= threshold)
@@ -82,9 +89,7 @@ def brute_force_topk(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     )
     scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-    cos = _dot(F.col("qv"), F.col("cv")) / (
-        _norm(F.col("qv")) * _norm(F.col("cv"))
-    )
+    cos = _cos(F.col("qv"), F.col("cv"))
     scored = scored.select(
         "query_id", "neighbor_id", F.round(cos, 4).alias("cos")
     )
@@ -168,9 +173,7 @@ def lsh_topk(
     scored = c.join(F.broadcast(q), "bucket").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
-    cos = _dot(F.col("qv"), F.col("cv")) / (
-        _norm(F.col("qv")) * _norm(F.col("cv"))
-    )
+    cos = _cos(F.col("qv"), F.col("cv"))
     scored = scored.select(
         "query_id", "neighbor_id", F.round(cos, 4).alias("cos")
     )
@@ -248,6 +251,13 @@ def _centroid_ranking(vec_col: str, centroids: list[tuple[int, list[float]]]) ->
       folds identically to the Spark/DuckDB aggregate), and the DuckDB
       oracle ranks by the SAME dot/||c|| expression, so order and ties
       stay bit-identical across engines."""
+    # a zero-norm centroid would put a /0 literal in every row's
+    # ranking expression — under the driver's ANSI session that throws
+    # at runtime for EVERY row; fail loudly at index-build time instead
+    zero = [cid for cid, cvec in centroids if _py_norm(cvec) == 0.0]
+    if zero:
+        raise ValueError(f"zero-norm centroid(s) {zero}: refit the "
+                         "quantizer without all-zero sample vectors")
     entries = [
         F.struct(
             F.lit(cid).alias("id"),
@@ -325,8 +335,9 @@ def ivf_topk(
     scored = c.join(F.broadcast(q), "list_id").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
-    cos = _dot(F.col("qv"), F.col("cv")) / (
-        F.col("__qnrm__") * F.col("__cnrm__")
+    cos = F.try_divide(
+        _dot(F.col("qv"), F.col("cv")),
+        F.col("__qnrm__") * F.col("__cnrm__"),
     )
     scored = scored.select(
         "query_id", "neighbor_id", F.round(cos, 4).alias("cos")
@@ -518,6 +529,13 @@ def pq_adc_topk(
     so no candidate dedup is needed. Returns
     ``(query_id, neighbor_id, rank, adc)`` — rank 1 = smallest distance,
     ties to the smaller neighbor_id."""
+    # the ADC lookup is element_at(codebook_array, code) — positional —
+    # so reject codebooks whose codes aren't exactly 1..ks in order
+    # (pq_codebooks guarantees this; a filtered/renumbered book would
+    # silently score against the wrong centroids otherwise)
+    for book in codebooks:
+        if [cid for cid, _ in book] != list(range(1, len(book) + 1)):
+            raise ValueError("codebook codes must be positional 1..ks")
     m = len(codebooks)
     d = len(codebooks[0][0][1])
     enc_cols = [
@@ -623,9 +641,7 @@ def cosine_pairs_bucketed(
     pairs = buckets.select(F.explode(F.flatten(pair_arrays)).alias("p")).select(
         "p.a_id", "p.b_id", "p.va", "p.vb"
     )
-    cos = _dot(F.col("va"), F.col("vb")) / (
-        _norm(F.col("va")) * _norm(F.col("vb"))
-    )
+    cos = _cos(F.col("va"), F.col("vb"))
     return (
         pairs.select("a_id", "b_id", F.round(cos, 4).alias("cos"))
         .filter(F.col("cos") >= threshold)
@@ -669,7 +685,7 @@ def semdedup(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         ranked.getField("centroid_id").alias("cluster_id"),
-        (key / _norm(F.col(vec_col))).alias("cc"),
+        F.try_divide(key, _norm(F.col(vec_col))).alias("cc"),
     )
     clusters = staged.groupBy("cluster_id").agg(
         F.sort_array(F.collect_list(F.struct("id", "v", "cc"))).alias("items")
@@ -679,9 +695,7 @@ def semdedup(
     def _removed(x):
         def _beats(y):
             cos = F.round(
-                _dot(x.getField("v"), y.getField("v"))
-                / (_norm(x.getField("v")) * _norm(y.getField("v"))),
-                4,
+                _cos(x.getField("v"), y.getField("v")), 4
             )
             better = (y.getField("cc") < x.getField("cc")) | (
                 (y.getField("cc") == x.getField("cc"))

@@ -23,12 +23,16 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     total_len = F.aggregate(
         toks, F.lit(0), lambda acc, t: acc + F.length(t)
     )
+    # the n > 0 guard is ANSI-load-bearing, not cosmetic: driver
+    # sessions run spark.sql.ansi.enabled=true where long/long division
+    # by zero THROWS (round 3's expo crash class) — CASE branches
+    # evaluate lazily, so the ratio exprs never see an empty doc
     return df.select(
         F.col(id_col),
         n.alias("n_tokens"),
         nd.alias("n_distinct"),
-        F.round(nd / n, 4).alias("distinct_ratio"),
-        F.round(total_len / n, 4).alias("avg_token_len"),
+        F.when(n > 0, F.round(nd / n, 4)).alias("distinct_ratio"),
+        F.when(n > 0, F.round(total_len / n, 4)).alias("avg_token_len"),
     )
 
 
@@ -45,8 +49,12 @@ def quality_col(text_col: str = "text"):
     stop_ratio = F.least(F.lit(4.0) * stop / n, F.lit(1.0))
     raw = 0.3 * len_sat + 0.4 * diversity + 0.3 * stop_ratio
     # scaled-int score (0..10000): floor(x*1e4 + 0.5) is bit-deterministic
-    # across engines, unlike round(x, 4) whose boundary behavior varies
-    return F.floor(raw * 10000 + F.lit(0.5)).cast("bigint")
+    # across engines, unlike round(x, 4) whose boundary behavior varies.
+    # Zero-token docs score 0 via a lazy CASE branch — the ratio terms
+    # divide by n, which THROWS under the driver's ANSI session
+    return F.when(
+        n > 0, F.floor(raw * 10000 + F.lit(0.5)).cast("bigint")
+    ).otherwise(F.lit(0).cast("bigint"))
 
 
 def lang_col(text_col: str = "text"):
@@ -54,8 +62,12 @@ def lang_col(text_col: str = "text"):
     'en' when English function words exceed 2% of tokens."""
     toks = tokens(F.col(text_col))
     stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
-    ratio = stop / F.size(toks)
-    return F.when(ratio > 0.02, "en").otherwise("unknown")
+    # nested CASE so the ratio (ANSI-throwing on /0) only evaluates for
+    # docs that have tokens; zero-token docs are 'unknown'
+    return F.when(
+        F.size(toks) > 0,
+        F.when(stop / F.size(toks) > 0.02, F.lit("en")).otherwise("unknown"),
+    ).otherwise("unknown")
 
 
 def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

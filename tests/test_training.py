@@ -292,6 +292,89 @@ def test_ivf_topk_plan_is_broadcast(vecs):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_similarity_zero_vector_ansi_on(spark):
+    """A zero-norm embedding (padded/missing) under an ANSI session:
+    cosine ops yield a NULL score (try_divide) that ranks last /
+    drops out of thresholded pair sets — a plain `/` throws
+    DIVIDE_BY_ZERO and kills the job. Zero-norm CENTROIDS fail loudly
+    at index-build time instead of throwing per-row."""
+    from contextlib import contextmanager
+
+    from opentelemetry_collector_contrib_spark.training import (
+        brute_force_topk,
+        cosine_pairs,
+        ivf_assign,
+    )
+
+    @contextmanager
+    def _ansi():
+        old = spark.conf.get("spark.sql.ansi.enabled")
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.ansi.enabled", old)
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.01, 0.0, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),  # zero norm
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with _ansi():
+        pairs = cosine_pairs(df, threshold=0.2).collect()
+        assert {(r.a_id, r.b_id) for r in pairs} == {(0, 1)}  # 2 drops out
+        top = {
+            r.neighbor_id: (r.rank, r.cos)
+            for r in brute_force_topk(df, df.filter("vec_id = 0"), k=3).collect()
+        }
+        assert top[1][1] == pytest.approx(1.0, abs=1e-3)
+        assert top[2][1] is None and top[2][0] == 2  # null cos ranks last
+    with pytest.raises(ValueError, match="zero-norm centroid"):
+        ivf_assign(df, [(1, [0.0, 0.0, 0.0, 0.0]), (2, [1.0, 0.0, 0.0, 0.0])])
+
+
+def test_textstats_empty_docs_ansi_on(spark):
+    """Zero-token documents under an ANSI session (the driver's mode,
+    where long/long division by zero THROWS — round 3's expo crash
+    class): token_stats yields null ratios, quality scores 0, lang is
+    'unknown'. Values must be MATERIALIZED — count() prunes the
+    failing projection and proves nothing."""
+    from contextlib import contextmanager
+
+    from opentelemetry_collector_contrib_spark.training import (
+        lang_id,
+        quality_score,
+        token_stats,
+    )
+
+    @contextmanager
+    def _ansi():
+        old = spark.conf.get("spark.sql.ansi.enabled")
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.ansi.enabled", old)
+
+    df = spark.createDataFrame(
+        [(0, "the quick fox the"), (1, ""), (2, "   ")],
+        "doc_id long, text string",
+    )
+    with _ansi():
+        ts = {r.doc_id: r for r in token_stats(df).collect()}
+        q = {r.doc_id: r.quality_q4 for r in quality_score(df).collect()}
+        lg = {r.doc_id: r.pred_lang for r in lang_id(df).collect()}
+    for empty in (1, 2):
+        assert ts[empty].n_tokens == 0
+        assert ts[empty].distinct_ratio is None
+        assert ts[empty].avg_token_len is None
+        assert q[empty] == 0
+        assert lg[empty] == "unknown"
+    assert ts[0].n_tokens == 4 and ts[0].distinct_ratio == 0.75
+    assert q[0] > 0 and lg[0] == "en"
+
+
 def test_tfidf_topk_hand_computed(docs):
     """TF-IDF on the 5-doc fixture: a term in every doc (ln(5/5)=0)
     scores 0; doc 4's singleton token 'x' scores 1*ln(5/1); ranks break
@@ -471,6 +554,11 @@ def test_pq_adc_topk_ivf_probe_subset_and_plan(vecs):
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+    # non-positional codes would silently score against the wrong
+    # centroids through the positional element_at lookup — rejected
+    bad = [[(2, b[0][1]), (1, b[1][1])] for b in books]
+    with pytest.raises(ValueError):
+        pq_adc_topk(vecs, q, bad, k=3)
 
 
 def test_ivf_refine_means_match_hand_computation(vecs):
