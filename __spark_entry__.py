@@ -1835,6 +1835,60 @@ def _q_tfidf_topk(spark, sf_dir):
     return tfidf_topk(_docs(spark, sf_dir), k=5)
 
 
+def _c4_structured_docs(spark, sf_dir):
+    """documents restructured into deterministic multi-line pages so the
+    C4 rules are non-vacuous (the synthetic corpus has no newlines or
+    punctuation): words are chunked into lines of ``3 + doc_id % 4``
+    words; line ``i`` gains a trailing '.' unless ``(doc_id+i) % 4 == 0``
+    (25% of lines lack terminal punctuation), the token 'javascript'
+    when ``(doc_id+i) % 13 == 2``, and line 0 gains the page-killing
+    markers ' lorem ipsum' (``doc_id % 97 == 0``) or ' {'
+    (``doc_id % 89 == 3``). Pure projection, identically computable in
+    DuckDB — every C4 rule fires on a non-trivial slice of the corpus."""
+    toks = tokens(F.col("text"))
+    span = F.col("doc_id") % 4 + 3
+    n_lines = F.ceil(F.size(toks) / span)
+    idx = F.when(
+        F.size(toks) > 0, F.sequence(F.lit(0).cast("long"), n_lines - 1)
+    ).otherwise(F.array().cast("array<long>"))
+
+    def mk_line(i):
+        base = F.concat_ws(
+            " ", F.slice(toks, (i * span + 1).cast("int"), span.cast("int"))
+        )
+        js = F.when(
+            (F.col("doc_id") + i) % 13 == 2, F.lit(" javascript")
+        ).otherwise("")
+        lorem = F.when(
+            (i == 0) & (F.col("doc_id") % 97 == 0), F.lit(" lorem ipsum")
+        ).otherwise("")
+        brace = F.when(
+            (i == 0) & (F.col("doc_id") % 89 == 3), F.lit(" {")
+        ).otherwise("")
+        punct = F.when((F.col("doc_id") + i) % 4 != 0, F.lit(".")).otherwise("")
+        return F.concat(base, js, lorem, brace, punct)
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.array_join(F.transform(idx, mk_line), "\n").alias("text")
+    )
+
+
+def _q_lm_score(spark, sf_dir):
+    # bigram-LM cross-entropy quality scores; corpus tokenized once,
+    # model joins shuffle on the bigram key
+    from opentelemetry_collector_contrib_spark.training import lm_score
+
+    return lm_score(_docs(spark, sf_dir))
+
+
+def _q_c4_line_filter(spark, sf_dir):
+    # C4 line+page cleanup over the deterministically line-structured
+    # corpus; zero-shuffle projection + filter
+    from opentelemetry_collector_contrib_spark.training import c4_line_filter
+
+    return c4_line_filter(_c4_structured_docs(spark, sf_dir))
+
+
 def _q_quality(spark, sf_dir):
     return quality_score(_docs(spark, sf_dir))
 
@@ -1911,7 +1965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q_chunk_documents,
         "vocab_topk": _q_vocab_topk,
         "delta_to_cumulative_expo": _q_expo_cumulative,
-        "sampler_proportional": _q_sampler_proportional,
+        "text_lm_score": _q_lm_score,
         "sampler_equalizing": _q_sampler_equalizing,
         "metrics_transform": _q_metrics_transform,
         "metrics_generation": _q_metrics_generation,
@@ -1923,7 +1977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_embedding_cosine": _q_dedup_cosine,
-        "ann_bruteforce_topk": _q_ann_topk,
+        "c4_line_filter": _q_c4_line_filter,
         "ann_lsh_buckets": _q_ann_lsh,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "dedup_cosine_bucketed": _q_cosine_bucketed,
@@ -1946,6 +2000,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": _q_pq_topk,
         "text_tfidf_topk": _q_tfidf_topk,
         # --- end of the driver's 50-query window ---
+        # rotated out for the two new r04 queries (c4_line_filter,
+        # text_lm_score): ann_bruteforce_topk and sampler_proportional —
+        # both r02-green and untouched since; the ANN family keeps 5
+        # in-window rows (ivf x3 + pq x2), the sampler family keeps
+        # sampler_equalizing + the two hash samplers
+        "ann_bruteforce_topk": _q_ann_topk,
+        "sampler_proportional": _q_sampler_proportional,
         "parse_csv": _q_parse_csv,
         "parse_regex": _q_parse_regex,
         "parse_syslog": _q_parse_syslog,
@@ -2836,6 +2897,62 @@ SELECT doc_id, term, tf, df, rank, tfidf FROM (
            ORDER BY round(tf.tf * ln(n.n_docs::DOUBLE / d.df), 4) DESC, tf.term) AS rank
   FROM tf JOIN dfreq d USING (term) CROSS JOIN n)
 WHERE rank <= 5""",
+        # bigram-LM cross-entropy: add-one-smoothed corpus bigram model,
+        # per-occurrence nlp rounded to a scaled int BEFORE the per-doc
+        # sum (integer math is float-summation-order-proof), integer
+        # round-half-up mean
+        "text_lm_score": f"""WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+pairs AS (
+  SELECT doc_id, t[i + 1] AS w1, t[i + 2] AS w2
+  FROM toks, unnest(range(0, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2),
+occ AS (SELECT doc_id, w1, w2, count(*) AS occ FROM pairs GROUP BY 1, 2, 3),
+c2 AS (SELECT w1, w2, sum(occ) AS c2 FROM occ GROUP BY 1, 2),
+c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
+v AS (SELECT count(DISTINCT tok) AS v FROM toks, unnest(t) AS s(tok)),
+scored AS (
+  SELECT o.doc_id, o.occ,
+         CAST(floor(-ln((c2.c2 + 1.0) / (c1.c1 + v.v)) * 10000 + 0.5)
+              AS BIGINT) AS nlp_q4
+  FROM occ o JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
+agg AS (SELECT doc_id, sum(occ) AS n, sum(occ * nlp_q4) AS s
+        FROM scored GROUP BY 1)
+SELECT d.doc_id, CAST(coalesce(a.n, 0) AS BIGINT) AS n_bigrams,
+       CAST((2 * a.s + a.n) // (2 * a.n) AS DOUBLE) AS xent_q4
+FROM documents d LEFT JOIN agg a USING (doc_id)""",
+        # C4 line+page cleanup over the deterministically line-structured
+        # corpus (pages CTE mirrors _c4_structured_docs exactly)
+        "c4_line_filter": f"""WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+pages AS (
+  SELECT doc_id,
+    array_to_string(
+      list_transform(
+        CASE WHEN len(t) > 0
+             THEN range(0, CAST(ceil(1.0 * len(t) / (doc_id % 4 + 3)) AS BIGINT))
+             ELSE CAST([] AS BIGINT[]) END,
+        i -> array_to_string(list_slice(t, i * (doc_id % 4 + 3) + 1,
+                                        (i + 1) * (doc_id % 4 + 3)), ' ')
+             || CASE WHEN (doc_id + i) % 13 = 2 THEN ' javascript' ELSE '' END
+             || CASE WHEN i = 0 AND doc_id % 97 = 0 THEN ' lorem ipsum' ELSE '' END
+             || CASE WHEN i = 0 AND doc_id % 89 = 3 THEN ' {{' ELSE '' END
+             || CASE WHEN (doc_id + i) % 4 != 0 THEN '.' ELSE '' END),
+      chr(10)) AS text
+  FROM toks),
+lined AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM pages),
+kept AS (
+  SELECT doc_id, text, lines,
+         list_filter(lines, l ->
+           (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?')
+              OR ends_with(l, '"'))
+           AND len(list_filter(string_split(l, ' '), w -> w != '')) >= 5
+           AND NOT contains(lower(l), 'javascript')) AS kl
+  FROM lined)
+SELECT doc_id, CAST(len(lines) AS INT) AS n_lines, CAST(len(kl) AS INT) AS n_kept,
+       array_to_string(kl, chr(10)) AS clean_text
+FROM kept
+WHERE NOT contains(lower(text), 'lorem ipsum')
+  AND NOT contains(text, '{{')
+  AND len(kl) >= 3""",
         "text_quality_score": f"""SELECT doc_id,
   CASE WHEN len({_TOKS}) > 0 THEN
   floor((0.3 * least(len(text)::DOUBLE / 500.0, 1.0)

@@ -42,6 +42,8 @@ from .textstats import (
     lang_id,
     quality_score,
     repetition_stats,
+    c4_line_filter,
+    lm_score,
     tfidf_topk,
     token_stats,
 )
@@ -80,6 +82,8 @@ __all__ = [
     "gopher_quality_filter",
     "shingles",
     "simhash",
+    "c4_line_filter",
+    "lm_score",
     "tfidf_topk",
     "token_stats",
     "tokens",

@@ -374,3 +374,152 @@ def gopher_quality_filter(
         & (F.col("top2gram_frac_q4") <= q(max_top2gram_frac))
         & (F.col("dup5gram_frac_q4") <= q(max_dup5gram_frac))
     ).drop("__nd")
+
+
+# C4 terminal punctuation marks a kept line must end with (Raffel et
+# al. 2020 §2.2 — the public "Colossal Clean Crawled Corpus" rules)
+C4_TERMINALS = (".", "!", "?", '"')
+
+
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 5,
+    min_lines: int = 3,
+) -> DataFrame:
+    """C4-style line + page cleanup (Raffel et al. 2020 §2.2).
+
+    Line rules — a line survives when it (a) ends in terminal
+    punctuation (``. ! ? "``), (b) has at least ``min_words``
+    whitespace words, and (c) does not mention ``javascript``
+    (case-insensitive). Page rules — the whole document is dropped
+    when its text contains ``{`` or the phrase ``lorem ipsum``
+    (case-insensitive), or when fewer than ``min_lines`` lines
+    survive the line rules.
+
+    Returns ``(id, n_lines, n_kept, clean_text)`` for surviving pages,
+    with ``clean_text`` the kept lines re-joined by newline.
+
+    100 TB posture: one zero-shuffle projection + filter — array
+    lambdas over the split lines, no explode (exploding to a line
+    table would multiply the row count through a map-only stage for
+    nothing) and no Python. Reference analogue: filterprocessor's
+    drop-whole-signal gating (processor/filterprocessor/filter.go)
+    applied at line granularity; the rule set itself is from the
+    public C4 paper, the standard pre-dedup cleanup a training-data
+    pipeline runs before the (shuffling) MinHash stages.
+
+    DuckDB lockstep: ``list_filter(string_split(text, chr(10)), ...)``
+    with ``ends_with``/``contains`` — see ``oracle_sql()``.
+    """
+    lines = F.split(F.col(text_col), "\n")
+
+    def line_ok(line):
+        words = F.filter(F.split(line, " "), lambda w: w != "")
+        terminal = line.endswith(C4_TERMINALS[0])
+        for t in C4_TERMINALS[1:]:
+            terminal = terminal | line.endswith(t)
+        return (
+            terminal
+            & (F.size(words) >= min_words)
+            & ~F.contains(F.lower(line), F.lit("javascript"))
+        )
+
+    kept = F.filter(lines, line_ok)
+    page_bad = F.contains(
+        F.lower(F.col(text_col)), F.lit("lorem ipsum")
+    ) | F.contains(F.col(text_col), F.lit("{"))
+    return (
+        df.select(
+            F.col(id_col),
+            F.size(lines).alias("n_lines"),
+            F.size(kept).alias("n_kept"),
+            F.array_join(kept, "\n").alias("clean_text"),
+            page_bad.alias("__page_bad"),
+        )
+        .filter((~F.col("__page_bad")) & (F.col("n_kept") >= min_lines))
+        .drop("__page_bad")
+    )
+
+
+def lm_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Bigram language-model cross-entropy per document — the classic
+    KenLM-style perplexity quality filter a pretraining pipeline runs
+    (CCNet, Wenzek et al. 2020 train an LM and drop the
+    worst-perplexity tail; here the LM is the corpus's own add-one-
+    smoothed bigram model, so boilerplate scores low and
+    out-of-distribution token salads score high).
+
+    Per bigram ``(w1, w2)``: ``P(w2|w1) = (C(w1 w2) + 1) / (C(w1·) + V)``
+    with ``C(w1·)`` the bigram-prefix count and ``V`` the corpus
+    vocabulary size. Each occurrence contributes
+    ``nlp_q4 = floor(-ln P * 1e4 + 0.5)`` — rounding BEFORE the per-doc
+    sum makes the aggregate pure integer math, immune to
+    float-summation order (the repo-wide scaled-int discipline), and
+    the mean rounds half-up in integers: ``(2*sum + n) div (2*n)``.
+
+    Returns ``(id, n_bigrams, xent_q4)`` for EVERY document (left
+    join); docs with < 2 tokens get ``n_bigrams = 0`` and a null score.
+
+    100 TB posture: the corpus tokenizes ONCE into per-doc-distinct
+    bigram counts (map-side combine on the explode), which are
+    persisted and re-aggregated down to the bigram model — the model
+    derivation never re-scans the corpus (same staged shape as
+    :func:`tfidf_topk`). Model joins are shuffle hash joins on the
+    bigram key (the model is vocab-sized — too big to broadcast at
+    scale; AQE skew-split covers hot function-word bigrams), and ``V``
+    is one count-distinct job, an index constant.
+    """
+    toks = tokens(F.col(text_col))
+    idx = F.when(
+        F.size(toks) >= 2, F.sequence(F.lit(0), F.size(toks) - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    pair = F.explode(
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                F.get(toks, i).alias("w1"), F.get(toks, i + 1).alias("w2")
+            ),
+        )
+    )
+    pairs = df.select(F.col(id_col), pair.alias("bg")).select(
+        id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+    occ = (
+        pairs.groupBy(id_col, "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .persist()
+    )
+    c2 = occ.groupBy("w1", "w2").agg(F.sum("occ").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vocab = (
+        df.select(F.explode(toks).alias("tok")).agg(
+            F.countDistinct("tok")
+        ).collect()[0][0]
+    )
+    nlp = F.floor(
+        -F.log((F.col("c2") + 1.0) / (F.col("c1") + F.lit(float(vocab))))
+        * 10000
+        + 0.5
+    ).cast("bigint")
+    scored = (
+        occ.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .select(id_col, "occ", nlp.alias("nlp_q4"))
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.sum("occ").alias("__n"), F.sum(F.col("occ") * F.col("nlp_q4")).alias("__s")
+    )
+    return df.select(id_col).join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("__n"), F.lit(0)).cast("bigint").alias("n_bigrams"),
+        # the mean itself is integer round-half-up math; the DOUBLE cast
+        # is wire-format only (a NULLABLE int column round-trips through
+        # pandas as float on one engine and object on the other, breaking
+        # stringified comparison — the repo-wide rule: nullable numeric
+        # output columns are DOUBLE on both sides)
+        F.expr("(2 * __s + __n) div (2 * __n)").cast("double").alias("xent_q4"),
+    )
