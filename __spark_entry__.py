@@ -1873,6 +1873,24 @@ def _c4_structured_docs(spark, sf_dir):
     )
 
 
+# mixture-sampling fixture shared by the Spark query and its oracle:
+# weights cycle 1..4 across the 20 sources (normalized to sum 1), and
+# the token budget is absolute so the sf0.001 test exercises the
+# min(1, .) keep-everything cap while sf0.01 samples genuinely
+MIX_WEIGHTS = {f"src{i}": (i % 4 + 1) / 50 for i in range(20)}
+MIX_BUDGET_TOKENS = 10_000
+
+
+def _q_mixture_sample(spark, sf_dir):
+    # token-budget data mixing; one tiny per-source agg + broadcast
+    # rates join + zero-shuffle hash-threshold keep
+    from opentelemetry_collector_contrib_spark.training.sampling import (
+        mixture_sample,
+    )
+
+    return mixture_sample(_docs(spark, sf_dir), MIX_WEIGHTS, MIX_BUDGET_TOKENS)
+
+
 def _q_lm_score(spark, sf_dir):
     # bigram-LM cross-entropy quality scores; corpus tokenized once,
     # model joins shuffle on the bigram key
@@ -1968,7 +1986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lm_score": _q_lm_score,
         "sampler_equalizing": _q_sampler_equalizing,
         "metrics_transform": _q_metrics_transform,
-        "metrics_generation": _q_metrics_generation,
+        "mixture_sample": _q_mixture_sample,
         "tail_sampling": _q_tail_sampling,
         "groupbytrace": _q_groupbytrace,
         "dedup_exact": _q_dedup_exact,
@@ -2000,13 +2018,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": _q_pq_topk,
         "text_tfidf_topk": _q_tfidf_topk,
         # --- end of the driver's 50-query window ---
-        # rotated out for the two new r04 queries (c4_line_filter,
-        # text_lm_score): ann_bruteforce_topk and sampler_proportional —
-        # both r02-green and untouched since; the ANN family keeps 5
-        # in-window rows (ivf x3 + pq x2), the sampler family keeps
-        # sampler_equalizing + the two hash samplers
+        # rotated out for the three new r04 queries (c4_line_filter,
+        # text_lm_score, mixture_sample): ann_bruteforce_topk,
+        # sampler_proportional and metrics_generation — all r02-green
+        # and untouched since; the ANN family keeps 5 in-window rows
+        # (ivf x3 + pq x2), the sampler family keeps sampler_equalizing
+        # + the two hash samplers, metrics keep metrics_transform +
+        # transform_metric_ctx + the state trio
         "ann_bruteforce_topk": _q_ann_topk,
         "sampler_proportional": _q_sampler_proportional,
+        "metrics_generation": _q_metrics_generation,
         "parse_csv": _q_parse_csv,
         "parse_regex": _q_parse_regex,
         "parse_syslog": _q_parse_syslog,
@@ -2897,6 +2918,23 @@ SELECT doc_id, term, tf, df, rank, tfidf FROM (
            ORDER BY round(tf.tf * ln(n.n_docs::DOUBLE / d.df), 4) DESC, tf.term) AS rank
   FROM tf JOIN dfreq d USING (term) CROSS JOIN n)
 WHERE rank <= 5""",
+        # token-budget mixture sampling: per-source rates from the shared
+        # MIX_WEIGHTS fixture, md5-bucket threshold keep (parenthesization
+        # of the rate expression mirrors the Spark side exactly so the
+        # floor() boundary is bit-identical)
+        "mixture_sample": f"""WITH toks AS (
+  SELECT doc_id, source, len({_TOKS}) AS n_tokens FROM documents),
+wts(source, w) AS (VALUES {", ".join(f"('{s}', {w!r})" for s, w in MIX_WEIGHTS.items())}),
+tot AS (SELECT source, sum(n_tokens) AS tot FROM toks GROUP BY 1),
+rates AS (
+  SELECT t.source,
+         CAST(CASE WHEN t.tot > 0
+              THEN least(10000, floor(10000.0 * (w.w * {float(MIX_BUDGET_TOKENS)!r}) / t.tot))
+              ELSE 0 END AS BIGINT) AS cut
+  FROM tot t JOIN wts w USING (source))
+SELECT k.doc_id, k.source, CAST(k.n_tokens AS INT) AS n_tokens
+FROM toks k JOIN rates r USING (source)
+WHERE {_md5_bucket_sql('CAST(k.doc_id AS VARCHAR)', seed=7)} < r.cut""",
         # bigram-LM cross-entropy: add-one-smoothed corpus bigram model,
         # per-occurrence nlp rounded to a scaled int BEFORE the per-doc
         # sum (integer math is float-summation-order-proof), integer

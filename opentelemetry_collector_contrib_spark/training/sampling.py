@@ -145,3 +145,81 @@ def pack_sequences_nosplit(
 
     schema = f"{id_col} long, {tokens_col} long, shard int, pack_id long"
     return staged.groupBy("shard").applyInPandas(pack, schema)
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    total_budget_tokens: int,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 7,
+) -> DataFrame:
+    """Token-budget data mixing: draw a training mixture whose
+    per-source token mass tracks ``weights[source] *
+    total_budget_tokens`` — the mixture-table step every pretraining
+    pipeline runs (The Pile, LLaMA: so-many-% web, so-many-% books).
+
+    Rate-based, not prefix-based: each source's keep probability is
+    ``p_s = min(1, budget_s / tokens_s)`` and a document survives iff
+    its deterministic md5 bucket (the probabilistic sampler's
+    ``_bucket``, processors/sampler.py — bit-exact in DuckDB) falls
+    below ``floor(p_s * 10000)``. The budget is met in expectation,
+    ±binomial noise — the price of the formulation that scales: an
+    exact-prefix cut needs a running token sum ordered within each
+    source, and a per-source cumulative window serializes the biggest
+    source into ONE task (the same skew trap as exact_dedup's old
+    row_number plan). Here the only aggregate is a map-side-combined
+    per-source token total (one tiny row per source), the rates come
+    back via a broadcast join, and the keep decision is a zero-shuffle
+    projection — the 100 TB shape.
+
+    Sources missing from ``weights`` are dropped (budget 0). Sources
+    whose corpus is SMALLER than their budget keep everything (the
+    ``min(1, ·)`` cap) — upsampling is a training-loader concern, not
+    a filter's. Returns ``(id, source, n_tokens)`` for kept docs.
+
+    Determinism: same input + seed => the same sample on any cluster
+    size, any partitioning — the hash is per-row content, never
+    rand()/monotonically_increasing_id.
+    """
+    from ..processors.sampler import _bucket
+    from .dedup import tokens
+
+    n_tok = F.size(tokens(F.col(text_col)))
+    totals = (
+        df.select(F.col(source_col), n_tok.alias("__t"))
+        .groupBy(source_col)
+        .agg(F.sum("__t").alias("__tot"))
+    )
+    entries: list = []
+    for s, w in weights.items():
+        entries += [F.lit(s), F.lit(float(w))]
+    wmap = F.create_map(*entries)
+    # try_element_at: a source absent from the map must never raise an
+    # ANSI MAP_KEY error under driver sessions; the coalesce to 0.0 is
+    # load-bearing — least() SKIPS nulls, so a null budget reaching
+    # least(10000, floor(null)) would read as keep-everything
+    budget = F.coalesce(
+        F.try_element_at(wmap, F.col(source_col)), F.lit(0.0)
+    ) * F.lit(float(total_budget_tokens))
+    rates = totals.select(
+        source_col,
+        F.when(
+            F.col("__tot") > 0,
+            F.least(F.lit(10000), F.floor(10000.0 * budget / F.col("__tot"))),
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("__cut"),
+    )
+    keep = _bucket(
+        F.col(id_col).cast("string"), seed, "md5"
+    ) < F.col("__cut")
+    return (
+        df.select(F.col(id_col), F.col(source_col), n_tok.alias("n_tokens"))
+        .join(F.broadcast(rates), source_col)
+        .filter(keep)
+        .select(id_col, source_col, "n_tokens")
+    )
