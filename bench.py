@@ -79,6 +79,9 @@ BENCH_QUERIES = [
     "dedup_semantic_semdedup",
     "dedup_passage",
     "text_tfidf_topk",
+    "c4_line_filter",
+    "text_lm_score",
+    "mixture_sample",
     "enrich_geoip",
     "exceptions_metrics",
     "tail_sampling",
