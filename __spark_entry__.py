@@ -87,6 +87,8 @@ from opentelemetry_collector_contrib_spark.training import (
     pq_adc_topk,
     pq_codebooks,
     pq_encode,
+    rotate_vectors,
+    rotation_masks as _rotation_masks,
     semdedup,
     lang_id,
     lsh_candidate_pairs,
@@ -1805,6 +1807,18 @@ def _q_pq_topk(spark, sf_dir):
     )
 
 
+def _q_opq_topk(spark, sf_dir):
+    # OPQ-rotated IVF-PQ (Ge et al. 2013 rotation posture, structured
+    # FJLT pick): the identical PQ composition over the rotated corpus —
+    # rotation is a zero-shuffle literal-matrix projection
+    emb = rotate_vectors(_emb(spark, sf_dir))
+    cents = ivf_centroids(emb, n_list=16)
+    books = pq_codebooks(emb, m=4, ks=16)
+    return pq_adc_topk(
+        emb, emb.filter("vec_id < 20"), books, k=5, centroids=cents, n_probe=2
+    )
+
+
 def _q_semdedup(spark, sf_dir):
     # SemDeDup: IVF-cluster-bucketed semantic dedup; threshold 0.2 so
     # both verdicts appear at sf0.01 (0.95 removes nothing from 500
@@ -1988,7 +2002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_transform": _q_metrics_transform,
         "mixture_sample": _q_mixture_sample,
         "tail_sampling": _q_tail_sampling,
-        "groupbytrace": _q_groupbytrace,
+        "ann_opq_topk": _q_opq_topk,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_lsh,
         "dedup_passage": _q_passage_dedup,
@@ -2018,16 +2032,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": _q_pq_topk,
         "text_tfidf_topk": _q_tfidf_topk,
         # --- end of the driver's 50-query window ---
-        # rotated out for the three new r04 queries (c4_line_filter,
-        # text_lm_score, mixture_sample): ann_bruteforce_topk,
-        # sampler_proportional and metrics_generation — all r02-green
-        # and untouched since; the ANN family keeps 5 in-window rows
-        # (ivf x3 + pq x2), the sampler family keeps sampler_equalizing
-        # + the two hash samplers, metrics keep metrics_transform +
-        # transform_metric_ctx + the state trio
+        # rotated out for the four new r04 queries (c4_line_filter,
+        # text_lm_score, mixture_sample, ann_opq_topk):
+        # ann_bruteforce_topk, sampler_proportional, metrics_generation
+        # and groupbytrace — all r02-green and untouched since; the ANN
+        # family keeps 6 in-window rows (ivf x3 + pq x2 + opq), the
+        # sampler family keeps sampler_equalizing + the two hash
+        # samplers, metrics keep metrics_transform + transform_metric_ctx
+        # + the state trio, traces keep tail_sampling + its two policies
         "ann_bruteforce_topk": _q_ann_topk,
         "sampler_proportional": _q_sampler_proportional,
         "metrics_generation": _q_metrics_generation,
+        "groupbytrace": _q_groupbytrace,
         "parse_csv": _q_parse_csv,
         "parse_regex": _q_parse_regex,
         "parse_syslog": _q_parse_syslog,
@@ -2084,7 +2100,7 @@ SELECT 'log.error.count' AS metric_name, route, NULL AS role,
        sum(CASE WHEN severity_number >= 17 THEN 1 ELSE 0 END)::BIGINT AS count
 FROM routed GROUP BY route
 HAVING sum(CASE WHEN severity_number >= 17 THEN 1 ELSE 0 END) > 0"""
-    return {
+    sqls = {
         "flagship": counts_sql,
         "count_connector": counts_sql,
         "transcripts_derive": f"WITH {TRANSCRIPTS_ORACLE_CTE.strip()} SELECT * FROM transcripts",
@@ -3055,3 +3071,30 @@ SELECT doc_id, 'raw' AS format, n_bytes, checksum,
        0::BIGINT AS mean_q3
 FROM c""",
     }
+    # OPQ-rotated IVF-PQ: the exact ann_pq_topk pipeline run over the
+    # rotated corpus — prepend the rotation CTEs (sign masks shared with
+    # training.similarity.rotation_masks; list_reduce replays the Spark
+    # left-fold addition order bit-exactly, and the trailing + 0.0
+    # mirrors the fold's 0.0 init so an all-zero row's -0.0 normalizes
+    # the same way) and point every embeddings reference at remb.
+    # MATERIALIZED: remb is referenced by three CTEs; inlined, DuckDB
+    # would recompute the 4k-flop rotation inside the 16-way centroid
+    # cross joins.
+    import re as _re
+
+    masks = ", ".join(str(m) for m in _rotation_masks(64))
+    rot = (
+        "rmat AS (SELECT list_transform([" + masks + "], "
+        "m -> list_transform(range(0, 64), j -> CASE WHEN (m >> CAST(j AS INT)) & 1 = 1 "
+        "THEN CAST(-0.125 AS DOUBLE) ELSE CAST(0.125 AS DOUBLE) END)) AS rws), "
+        "remb AS MATERIALIZED (SELECT e.vec_id, list_transform(range(0, 64), "
+        "i -> list_reduce(list_transform(list_zip(r.rws[CAST(i AS INT) + 1], e.embedding), "
+        "s -> s[1] * s[2]), (a, x) -> a + x) + CAST(0.0 AS DOUBLE)) AS embedding "
+        "FROM embeddings e CROSS JOIN rmat r)"
+    )
+    pq = sqls["ann_pq_topk"]
+    assert pq.startswith("WITH ")
+    sqls["ann_opq_topk"] = "WITH " + rot + ", " + _re.sub(
+        r"\bembeddings\b", "remb", pq[len("WITH "):]
+    )
+    return sqls

@@ -30,6 +30,9 @@ from .similarity import (
     pq_adc_topk,
     pq_codebooks,
     pq_encode,
+    rotate_vectors,
+    rotation_masks,
+    rotation_matrix,
     semdedup,
     ivf_topk,
     lsh_topk,
@@ -67,6 +70,9 @@ __all__ = [
     "ivf_centroids",
     "ivf_refine",
     "pq_adc_topk",
+    "rotate_vectors",
+    "rotation_masks",
+    "rotation_matrix",
     "pq_codebooks",
     "pq_encode",
     "semdedup",

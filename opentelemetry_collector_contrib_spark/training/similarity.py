@@ -731,3 +731,86 @@ def semdedup(
             F.col("m.keep").alias("keep"),
         )
     )
+
+
+def rotation_masks(dim: int, sign_period: int = 3) -> list[int]:
+    """Sign masks of the structured orthogonal rotation
+    ``R = H_dim * diag(s) / sqrt(dim)``: bit ``j`` of mask ``i`` is 1
+    iff ``R[i][j] < 0``. ``H`` is the Sylvester-Hadamard matrix
+    (``H[i][j] = (-1)^popcount(i & j)``) and ``s_j = -1`` iff
+    ``j % sign_period == 0`` (the deterministic sign-flip diagonal that
+    makes the transform a fixed instance of the FJLT/SRHT family,
+    Ailon & Chazelle 2009). Masks are returned as SIGNED 64-bit ints so
+    the identical literals parse in DuckDB; bit extraction
+    ``(m >> j) & 1`` reads the same bits under arithmetic shift in
+    Python, Spark, and DuckDB."""
+    if dim <= 0 or dim & (dim - 1) or dim > 64:
+        raise ValueError("dim must be a power of 2 in 1..64")
+    out = []
+    for i in range(dim):
+        m = 0
+        for j in range(dim):
+            neg = (bin(i & j).count("1") & 1) ^ (1 if j % sign_period == 0 else 0)
+            if neg:
+                m |= 1 << j
+        if m >= 1 << 63:
+            m -= 1 << 64
+        out.append(m)
+    return out
+
+
+def rotation_matrix(dim: int, sign_period: int = 3) -> list[list[float]]:
+    """Dense rows of the rotation encoded by :func:`rotation_masks`.
+    Every entry is ``±1/sqrt(dim)`` — for power-of-4 dims (16, 64) the
+    scale is a negative power of two, so the rotation's multiplies are
+    EXACT in binary floating point and the only rounding in a rotated
+    dot product is the additions."""
+    import math
+
+    scale = 1.0 / math.sqrt(dim)
+    return [
+        [-scale if (m >> j) & 1 else scale for j in range(dim)]
+        for m in rotation_masks(dim, sign_period)
+    ]
+
+
+def rotate_vectors(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    sign_period: int = 3,
+    out_col: str | None = None,
+) -> DataFrame:
+    """OPQ-style rotation before product quantization (Ge, He, Ke, Sun,
+    "Optimized Product Quantization", CVPR 2013 — rotating the space
+    decorrelates the subspaces PQ quantizes independently; this is the
+    data-independent structured pick rather than the learned-R
+    alternating minimization, so runs and the DuckDB oracle reproduce
+    bit-identically with no training state).
+
+    Zero-shuffle projection: the rotation ships as a literal
+    ``dim x dim`` matrix (two distinct values, ``±1/sqrt(dim)``) and
+    each output coordinate is a left-fold dot product —
+    ``aggregate(zip_with(row, v, *), 0.0, +)`` — whose addition order
+    DuckDB's ``list_reduce`` replays exactly.
+
+    100 TB posture: rotation is ``dim^2`` flops per row of
+    whole-stage-codegen arithmetic (for dim=64: 4k flops — reading the
+    vector from parquet costs more). When the rotated frame feeds the
+    PQ encoder directly in ONE plan, Catalyst's CollapseProject will
+    inline this expression into every codebook-distance term — fine at
+    probe sizes, but a pipeline encoding a full corpus should
+    checkpoint the rotated column (write it, or ``persist()``) so the
+    rotation is evaluated once per row, exactly as a production OPQ
+    index build materializes rotated vectors before training."""
+    R = rotation_matrix(dim, sign_period)
+    rmat = F.array(*[F.array(*[F.lit(x) for x in row]) for row in R])
+    rotated = F.transform(
+        rmat,
+        lambda r: F.aggregate(
+            F.zip_with(r, F.col(vec_col), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return df.withColumn(out_col or vec_col, rotated)
