@@ -1905,6 +1905,37 @@ def _q_mixture_sample(spark, sf_dir):
     return mixture_sample(_docs(spark, sf_dir), MIX_WEIGHTS, MIX_BUDGET_TOKENS)
 
 
+def _q_curation_funnel(spark, sf_dir):
+    """End-to-end curation funnel — the composition a training-data
+    pipeline actually runs, as ONE plan: Gopher quality gate ∩ bigram-LM
+    cross-entropy threshold ∩ token-budget mixture draw. Each stage is
+    the same operator its standalone query verifies; the funnel proves
+    they compose (shared scans, no materialization boundaries between
+    stages)."""
+    from opentelemetry_collector_contrib_spark.training import lm_score
+    from opentelemetry_collector_contrib_spark.training.sampling import (
+        mixture_sample,
+    )
+    from opentelemetry_collector_contrib_spark.training.textstats import (
+        gopher_quality_filter,
+    )
+
+    docs = _docs(spark, sf_dir)
+    # min_words=20 mirrors _q_gopher_gate (the oracle CTE is that
+    # query's SQL verbatim; the paper's 50-word floor would reject most
+    # of the short fixture docs)
+    gated = gopher_quality_filter(docs, min_words=20).select("doc_id", "n_words")
+    scored = lm_score(docs).filter("xent_q4 <= 34000")
+    mixed = mixture_sample(docs, MIX_WEIGHTS, MIX_BUDGET_TOKENS)
+    return (
+        gated.join(scored, "doc_id")
+        .join(mixed, "doc_id")
+        .select(
+            "doc_id", "source", "n_words", "n_bigrams", "xent_q4", "n_tokens"
+        )
+    )
+
+
 def _q_lm_score(spark, sf_dir):
     # bigram-LM cross-entropy quality scores; corpus tokenized once,
     # model joins shuffle on the bigram key
@@ -2006,7 +2037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_lsh,
         "dedup_passage": _q_passage_dedup,
-        "dedup_simhash": _q_dedup_simhash,
+        "curation_funnel": _q_curation_funnel,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_embedding_cosine": _q_dedup_cosine,
         "c4_line_filter": _q_c4_line_filter,
@@ -2044,6 +2075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampler_proportional": _q_sampler_proportional,
         "metrics_generation": _q_metrics_generation,
         "groupbytrace": _q_groupbytrace,
+        "dedup_simhash": _q_dedup_simhash,
         "parse_csv": _q_parse_csv,
         "parse_regex": _q_parse_regex,
         "parse_syslog": _q_parse_syslog,
@@ -3097,4 +3129,13 @@ FROM c""",
     sqls["ann_opq_topk"] = "WITH " + rot + ", " + _re.sub(
         r"\bembeddings\b", "remb", pq[len("WITH "):]
     )
+    # curation funnel: literal composition of the three stage oracles
+    # (each a full statement, nested-CTE-wrapped) joined on doc_id — the
+    # SQL twin of the one-plan Spark funnel
+    sqls["curation_funnel"] = f"""WITH gate AS ({sqls['quality_gate_gopher']}),
+lm AS ({sqls['text_lm_score']}),
+mixed AS ({sqls['mixture_sample']})
+SELECT g.doc_id, m.source, g.n_words, l.n_bigrams, l.xent_q4, m.n_tokens
+FROM gate g JOIN lm l USING (doc_id) JOIN mixed m USING (doc_id)
+WHERE l.xent_q4 <= 34000"""
     return sqls

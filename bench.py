@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "c4_line_filter",
     "text_lm_score",
     "mixture_sample",
+    "curation_funnel",
     "enrich_geoip",
     "exceptions_metrics",
     "tail_sampling",
