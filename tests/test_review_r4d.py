@@ -13,19 +13,17 @@ import pytest
 
 
 @pytest.fixture(scope="module")
-def ansi_spark():
-    from pyspark.sql import SparkSession
-
-    s = (
-        SparkSession.builder.master("local[4]")
-        .appName("review-r4d-ansi")
-        .config("spark.sql.ansi.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.showConsoleProgress", "false")
-        .getOrCreate()
-    )
-    yield s
-    s.stop()
+def ansi_spark(spark):
+    # flip ANSI on the SHARED session and restore it — the repo-wide
+    # pattern (test_review_r4.py). Never builder.getOrCreate()+stop():
+    # getOrCreate returns the session-scoped singleton, so stop() would
+    # kill the SparkContext under every later test module.
+    old = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        yield spark
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)
 
 
 def _degenerate_docs(s):
