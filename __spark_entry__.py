@@ -275,6 +275,34 @@ _H15 = "(" + "+".join(
 ) + f") % {_MINHASH_P}"
 
 
+def _hex15_of(expr: str) -> str:
+    """DuckDB twin of training.sketches._hex15 over an arbitrary SQL
+    expression: first 15 hex chars of md5(expr) nibble-parsed to a
+    60-bit non-negative BIGINT (DuckDB has no hex->int cast)."""
+    h = f"md5({expr})"
+    return "(" + "+".join(
+        f"(ascii(substring({h},{i},1)) - CASE WHEN ascii(substring({h},{i},1)) >= 97 THEN 87 ELSE 48 END)::BIGINT * {16 ** (15 - i)}"
+        for i in range(1, 16)
+    ) + ")"
+
+
+# sketch-family constants — lockstep with training/sketches.py defaults
+_BLOOM_K, _BLOOM_M = 4, 4096
+_CMS_D, _CMS_W = 4, 1024
+_HLL_M, _HLL_REST_BITS, _HLL_ALPHA = 64, 54, 0.709
+# the SAME Python float on both sides: Spark embeds it via F.lit in
+# hll_estimate, the oracle embeds repr() (round-trips exactly)
+_HLL_NUMER = _HLL_ALPHA * _HLL_M * _HLL_M * float(2**60)
+
+
+def _bloom_arg(j: int) -> str:
+    return f"'bloom{j}:' || text"
+
+
+def _cms_arg(j: int) -> str:
+    return f"'cms{j}:' || tok"
+
+
 def _minhash_params(n: int) -> list[tuple[int, int]]:
     return [
         ((j * 2 + 1) * 40503 % _MINHASH_P, (j * 7919 + 13) % _MINHASH_P)
@@ -2002,6 +2030,101 @@ def _q_multimodal(spark, sf_dir):
     return extract_features(binary_table(_docs(spark, sf_dir)))
 
 
+def _q_sketch_bloom(spark, sf_dir):
+    """Bloom membership: build over the even-doc_id half of the corpus
+    ("already trained"), probe every doc — evens are guaranteed hits
+    (no false negatives), odds surface only as (m,k,n)-rate false
+    positives."""
+    from opentelemetry_collector_contrib_spark.training import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    docs = _docs(spark, sf_dir)
+    bits = bloom_build(
+        docs.filter(F.col("doc_id") % 2 == 0), n_hashes=_BLOOM_K, m_bits=_BLOOM_M
+    )
+    return bloom_probe(docs, bits, n_hashes=_BLOOM_K, m_bits=_BLOOM_M)
+
+
+def _q_sketch_cms(spark, sf_dir):
+    """Count-min frequency estimates for the 20 true-top tokens, next
+    to the exact counts (CM guarantee: estimate >= truth, overshoot
+    bounded by the d x w sizing)."""
+    from opentelemetry_collector_contrib_spark.training import (
+        cms_build,
+        cms_estimate,
+    )
+    from opentelemetry_collector_contrib_spark.training.dedup import tokens
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    sketch = cms_build(toks, "tok", depth=_CMS_D, width=_CMS_W)
+    cand = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .orderBy(F.desc("true_count"), "tok")
+        .limit(20)
+    )
+    est = cms_estimate(cand, sketch, "tok", depth=_CMS_D, width=_CMS_W)
+    return cand.join(est, "tok").select("tok", "true_count", "cms_est")
+
+
+def _q_sketch_hll(spark, sf_dir):
+    """HyperLogLog distinct-3-shingle estimate (the sizing signal for
+    shingle-based dedup) next to the exact count."""
+    from opentelemetry_collector_contrib_spark.training import corpus_distinct_hll
+
+    return corpus_distinct_hll(_docs(spark, sf_dir), m=_HLL_M, k_shingle=3)
+
+
+def _q_join_asof(spark, sf_dir):
+    """As-of join: every purchase event gains the user's most recent
+    at-or-before click (ref_*), or nulls when no click precedes it.
+    The click timeline is pre-aggregated to one row per (user_id, ts)
+    — max event_id wins — so "most recent" is total-ordered; the
+    DuckDB twin is a native ASOF LEFT JOIN over the same deduped
+    timeline."""
+    from opentelemetry_collector_contrib_spark.operators import join_asof
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    timeline = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("event_id"),
+            F.max_by("value", "event_id").alias("value"),
+        )
+    )
+    return join_asof(left, timeline, "user_id", "ts", ["event_id", "value"])
+
+
+def _q_hypertable_rollup(spark, sf_dir):
+    """Continuous aggregate: hourly AND daily per-event-type counts +
+    value sums from ONE scan (GROUPING SETS). sum(value) is scaled-int
+    before the sum (value is 2-dp) so the aggregate is
+    partition-order-proof; one float division at the end."""
+    from opentelemetry_collector_contrib_spark.operators import hypertable_rollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return hypertable_rollup(
+        ev,
+        "ts",
+        [("1h", "hour"), ("1d", "day")],
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.round(F.col("value") * 100).cast("bigint")) / F.lit(100.0)).alias(
+                "sum_value"
+            ),
+        ],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Order matters: the driver verifies the FIRST 50 entries against
@@ -2029,8 +2152,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": _q_vocab_topk,
         "delta_to_cumulative_expo": _q_expo_cumulative,
         "text_lm_score": _q_lm_score,
-        "sampler_equalizing": _q_sampler_equalizing,
-        "metrics_transform": _q_metrics_transform,
+        # new in r04 (late): temporal custom operators the brief names
+        # (as-of join, hypertable rollup); sampler_equalizing and
+        # metrics_transform (both pass-r3) rotate out to make room
+        "join_asof": _q_join_asof,
+        "hypertable_rollup": _q_hypertable_rollup,
         "mixture_sample": _q_mixture_sample,
         "tail_sampling": _q_tail_sampling,
         "ann_opq_topk": _q_opq_topk,
@@ -2049,9 +2175,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": _q_lang_id,
         "doc_fingerprint": _q_fingerprint,
         "multimodal_features": _q_multimodal,
-        "transcripts_derive": _q_transcripts,
-        "transform_ottl": _q_ottl,
-        "recombine": _q_recombine,
+        # new in r04 (late): the probabilistic-sketch family — fixed-size
+        # summaries of corpus-sized questions (membership / frequency /
+        # cardinality); transcripts_derive, transform_ottl and recombine
+        # (all pass-r3) rotate out to keep these inside the window
+        "sketch_bloom": _q_sketch_bloom,
+        "sketch_cms_topk": _q_sketch_cms,
+        "sketch_hll_shingles": _q_sketch_hll,
         "count_connector": _q_counts,
         # new in r04, never driver-checked: the spanevent OTTL context,
         # SemDeDup, the IVF-PQ ANN pair, and TF-IDF keywords all sit
@@ -2063,6 +2193,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": _q_pq_topk,
         "text_tfidf_topk": _q_tfidf_topk,
         # --- end of the driver's 50-query window ---
+        # rotated out for the two temporal queries (both pass-r3 green):
+        "sampler_equalizing": _q_sampler_equalizing,
+        "metrics_transform": _q_metrics_transform,
+        # rotated out for the three sketch queries (all pass-r3 green):
+        "transcripts_derive": _q_transcripts,
+        "transform_ottl": _q_ottl,
+        "recombine": _q_recombine,
         # rotated out for the four new r04 queries (c4_line_filter,
         # text_lm_score, mixture_sample, ann_opq_topk):
         # ann_bruteforce_topk, sampler_proportional, metrics_generation
@@ -3039,6 +3176,64 @@ FROM kept
 WHERE NOT contains(lower(text), 'lorem ipsum')
   AND NOT contains(text, '{{')
   AND len(kl) >= 3""",
+        "join_asof": """WITH l AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+t AS (
+  SELECT user_id, ts, max(event_id) AS event_id, max_by(value, event_id) AS value
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+SELECT l.event_id, l.user_id, l.ts, l.value,
+       t.ts AS ref_ts, t.event_id AS ref_event_id, t.value AS ref_value
+FROM l ASOF LEFT JOIN t ON l.user_id = t.user_id AND l.ts >= t.ts""",
+        "hypertable_rollup": """WITH b AS (
+  SELECT event_type, value, date_trunc('hour', ts) AS b1h, date_trunc('day', ts) AS b1d
+  FROM events)
+SELECT '1h' AS grain, b1h AS bucket, event_type,
+       count(*)::BIGINT AS n_events,
+       (sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0)::DOUBLE AS sum_value
+FROM b GROUP BY b1h, event_type
+UNION ALL
+SELECT '1d', b1d, event_type, count(*)::BIGINT,
+       (sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0)::DOUBLE
+FROM b GROUP BY b1d, event_type""",
+        "sketch_bloom": f"""WITH bits AS (
+  SELECT DISTINCT unnest([{", ".join(f"({_hex15_of(_bloom_arg(j))} % {_BLOOM_M})" for j in range(_BLOOM_K))}]) AS bit
+  FROM documents WHERE doc_id % 2 = 0),
+probe AS (
+  SELECT doc_id,
+         unnest([{", ".join(f"({_hex15_of(_bloom_arg(j))} % {_BLOOM_M})" for j in range(_BLOOM_K))}]) AS bit
+  FROM documents),
+hits AS (
+  SELECT p.doc_id, count(*) AS n_hits
+  FROM probe p JOIN bits b ON p.bit = b.bit GROUP BY p.doc_id)
+SELECT d.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       coalesce(h.n_hits, 0) = {_BLOOM_K} AS maybe_member
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id""",
+        "sketch_cms_topk": f"""WITH toks AS (SELECT unnest({_TOKS}) AS tok FROM documents),
+cells AS (
+  {" UNION ALL ".join(f"SELECT {j} AS d, ({_hex15_of(_cms_arg(j))} % {_CMS_W}) AS pos FROM toks" for j in range(_CMS_D))}),
+sketch AS (SELECT d, pos, count(*) AS c FROM cells GROUP BY d, pos),
+cand AS (SELECT tok, count(*) AS true_count FROM toks GROUP BY tok
+         ORDER BY true_count DESC, tok LIMIT 20),
+cprobe AS (
+  {" UNION ALL ".join(f"SELECT tok, true_count, {j} AS d, ({_hex15_of(_cms_arg(j))} % {_CMS_W}) AS pos FROM cand" for j in range(_CMS_D))})
+SELECT p.tok, p.true_count, min(s.c) AS cms_est
+FROM cprobe p JOIN sketch s ON p.d = s.d AND p.pos = s.pos
+GROUP BY p.tok, p.true_count""",
+        "sketch_hll_shingles": f"""WITH sh AS (SELECT unnest({_SH3}) AS s FROM documents),
+hr AS (SELECT (h % {_HLL_M}) AS bucket,
+              ({_HLL_REST_BITS} - length(ltrim(bin(h // {_HLL_M}), '0')) + 1) AS rank
+       FROM (SELECT {_hex15_of("s")} AS h FROM sh)),
+regs AS (SELECT bucket, max(rank) AS reg FROM hr GROUP BY bucket),
+agg AS (SELECT count(*) AS nz,
+               coalesce(sum((1::BIGINT << (60 - reg))::HUGEINT), 0::HUGEINT) AS sum_nz
+        FROM regs)
+SELECT {_HLL_M} AS m,
+       (SELECT count(DISTINCT s) FROM sh) AS true_distinct,
+       nz::BIGINT AS nonzero_registers,
+       round({_HLL_NUMER!r} /
+             (sum_nz + (({_HLL_M} - nz)::HUGEINT * ((1::BIGINT << 60)::HUGEINT)))::DOUBLE,
+             4) AS hll_estimate
+FROM agg""",
         "text_quality_score": f"""SELECT doc_id,
   CASE WHEN len({_TOKS}) > 0 THEN
   floor((0.3 * least(len(text)::DOUBLE / 500.0, 1.0)

@@ -84,6 +84,11 @@ BENCH_QUERIES = [
     "text_lm_score",
     "mixture_sample",
     "curation_funnel",
+    "sketch_bloom",
+    "sketch_cms_topk",
+    "sketch_hll_shingles",
+    "join_asof",
+    "hypertable_rollup",
     "enrich_geoip",
     "exceptions_metrics",
     "tail_sampling",

@@ -54,6 +54,15 @@ from .textstats import (
 from .chunking import chunk_documents, vocab_topk  # noqa: F401
 from .curation import curate  # noqa: F401
 from .sampling import pack_sequences, stratified_sample  # noqa: F401
+from .sketches import (  # noqa: F401
+    bloom_build,
+    bloom_probe,
+    cms_build,
+    cms_estimate,
+    corpus_distinct_hll,
+    hll_estimate,
+    hll_registers,
+)
 
 __all__ = [
     "binary_table",
@@ -98,4 +107,11 @@ __all__ = [
     "vocab_topk",
     "pack_sequences",
     "stratified_sample",
+    "bloom_build",
+    "bloom_probe",
+    "cms_build",
+    "cms_estimate",
+    "corpus_distinct_hll",
+    "hll_estimate",
+    "hll_registers",
 ]
