@@ -2103,6 +2103,27 @@ def _q_join_asof(spark, sf_dir):
     return join_asof(left, timeline, "user_id", "ts", ["event_id", "value"])
 
 
+def _q_join_range(spark, sf_dir):
+    """Range join: purchases inside the half-open hour after a signup
+    by the same user (a purchase inside k overlapping windows emits k
+    rows). Bucketized equi-join on (user_id, hour-bucket) + exact
+    containment — never the naive inequality join (quadratic per hot
+    key); the DuckDB twin IS the naive inequality join."""
+    from opentelemetry_collector_contrib_spark.operators import join_range
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    ivs = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end_ts"),
+        F.col("event_id").alias("signup_event_id"),
+    )
+    return join_range(facts, ivs, "user_id", "ts", "start_ts", "end_ts", 3600)
+
+
 def _q_hypertable_rollup(spark, sf_dir):
     """Continuous aggregate: hourly AND daily per-event-type counts +
     value sums from ONE scan (GROUPING SETS). sum(value) is scaled-int
@@ -2156,6 +2177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (as-of join, hypertable rollup); sampler_equalizing and
         # metrics_transform (both pass-r3) rotate out to make room
         "join_asof": _q_join_asof,
+        "join_range": _q_join_range,
         "hypertable_rollup": _q_hypertable_rollup,
         "mixture_sample": _q_mixture_sample,
         "tail_sampling": _q_tail_sampling,
@@ -2182,7 +2204,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_bloom": _q_sketch_bloom,
         "sketch_cms_topk": _q_sketch_cms,
         "sketch_hll_shingles": _q_sketch_hll,
-        "count_connector": _q_counts,
         # new in r04, never driver-checked: the spanevent OTTL context,
         # SemDeDup, the IVF-PQ ANN pair, and TF-IDF keywords all sit
         # inside the window (parse_csv / parse_regex / parse_syslog /
@@ -2193,7 +2214,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": _q_pq_topk,
         "text_tfidf_topk": _q_tfidf_topk,
         # --- end of the driver's 50-query window ---
-        # rotated out for the two temporal queries (both pass-r3 green):
+        # rotated out for the three temporal queries (all pass-r3 green):
+        "count_connector": _q_counts,
         "sampler_equalizing": _q_sampler_equalizing,
         "metrics_transform": _q_metrics_transform,
         # rotated out for the three sketch queries (all pass-r3 green):
@@ -3184,6 +3206,16 @@ t AS (
 SELECT l.event_id, l.user_id, l.ts, l.value,
        t.ts AS ref_ts, t.event_id AS ref_event_id, t.value AS ref_value
 FROM l ASOF LEFT JOIN t ON l.user_id = t.user_id AND l.ts >= t.ts""",
+        "join_range": """WITH f AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+s AS (
+  SELECT user_id, ts AS start_ts, ts + INTERVAL 1 HOUR AS end_ts,
+         event_id AS signup_event_id
+  FROM events WHERE event_type = 'signup')
+SELECT f.event_id, f.user_id, f.ts, f.value,
+       s.start_ts, s.end_ts, s.signup_event_id
+FROM f JOIN s ON f.user_id = s.user_id
+             AND f.ts >= s.start_ts AND f.ts < s.end_ts""",
         "hypertable_rollup": """WITH b AS (
   SELECT event_type, value, date_trunc('hour', ts) AS b1h, date_trunc('day', ts) AS b1d
   FROM events)

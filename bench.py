@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "sketch_cms_topk",
     "sketch_hll_shingles",
     "join_asof",
+    "join_range",
     "hypertable_rollup",
     "enrich_geoip",
     "exceptions_metrics",

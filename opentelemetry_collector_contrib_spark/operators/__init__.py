@@ -14,7 +14,7 @@ from .parsers import (  # noqa: F401
     UriParser,
 )
 from .recombine import Recombine  # noqa: F401
-from .temporal import hypertable_rollup, join_asof  # noqa: F401
+from .temporal import hypertable_rollup, join_asof, join_range  # noqa: F401
 from .transformers import (  # noqa: F401
     Add,
     AssignKeys,

@@ -132,6 +132,83 @@ def _row_struct_type(df: DataFrame):
     return StructType([df.schema[c] for c in df.columns])
 
 
+def join_range(
+    facts: DataFrame,
+    intervals: DataFrame,
+    key_col: str,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    granularity_seconds: int = 3600,
+    max_buckets_per_interval: int = 4096,
+) -> DataFrame:
+    """Range (interval) join: every ``facts`` row paired with every
+    ``intervals`` row of the same ``key_col`` whose half-open window
+    ``[start_col, end_col)`` contains the fact's ``ts_col``. Output =
+    all fact columns + all non-key interval columns (inner join: facts
+    in no interval drop; a fact inside k overlapping intervals emits k
+    rows).
+
+    Spark has no interval-join primitive; the naive
+    ``ON l.key = r.key AND l.ts >= r.start AND l.ts < r.end`` plans as
+    a key-equi join whose per-key intermediate is |facts_k| x
+    |intervals_k| — quadratic on a hot key. This one is the bucketize
+    trick (the same one ``processors/enrich.py`` uses for CIDR
+    ranges): quantize time into ``granularity_seconds`` buckets,
+    explode each interval into the buckets it covers, equi-join on
+    (key, bucket) — a plain shuffled/broadcast hash join Catalyst and
+    AQE handle like any other — then apply the exact containment
+    predicate. A fact has exactly ONE bucket, so no post-join dedup is
+    needed. Pick the granularity near the typical interval length:
+    cost = facts + intervals x (length/granularity) exploded rows.
+
+    Guardrails (same posture as the LSH ``max_bucket`` cap):
+
+    * degenerate ``end <= start`` intervals match nothing and are
+      dropped BEFORE the explode (Spark's ``sequence(a, b)`` counts
+      DOWN when b < a — it would fabricate buckets).
+    * an interval longer than ``max_buckets_per_interval`` x
+      granularity is dropped (a year-long interval at 1 s granularity
+      would explode to 31 M rows); at 100 TB pick the granularity so
+      real intervals stay well under the cap. Null start/end/key
+      intervals and null ts/key facts never match (bucket/containment
+      predicates are null), mirroring the SQL inequality-join twin.
+    """
+    g = int(granularity_seconds)
+
+    def _bucket(c: str) -> Column:
+        # cast("timestamp") first: parquet may surface TIMESTAMP_NTZ and
+        # unix_timestamp wants TimestampType (the cast is a session-tz
+        # reinterpretation, ANSI-legal; a no-op for TimestampType)
+        return F.floor(F.unix_timestamp(F.col(c).cast("timestamp")) / g)
+
+    f_bucket = _bucket(ts_col)
+    lo = _bucket(start_col)
+    hi = _bucket(end_col)
+    value_cols = [c for c in intervals.columns if c != key_col]
+    iv = (
+        intervals.filter(
+            (F.col(end_col) > F.col(start_col))
+            & ((hi - lo) < max_buckets_per_interval)
+        )
+        .select(
+            F.col(key_col),
+            F.explode(F.sequence(lo, hi)).alias("__bucket"),
+            *[F.col(c).alias(f"__iv_{c}") for c in value_cols],
+        )
+    )
+    out = facts.withColumn("__bucket", f_bucket).join(
+        iv, [key_col, "__bucket"]
+    )
+    contained = (F.col(ts_col) >= F.col(f"__iv_{start_col}")) & (
+        F.col(ts_col) < F.col(f"__iv_{end_col}")
+    )
+    return out.filter(contained).select(
+        *facts.columns,
+        *[F.col(f"__iv_{c}").alias(c) for c in value_cols],
+    )
+
+
 def hypertable_rollup(
     df: DataFrame,
     ts_col: str,

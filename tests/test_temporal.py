@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from opentelemetry_collector_contrib_spark.operators import (
     hypertable_rollup,
     join_asof,
+    join_range,
 )
 
 from tests.conftest import assert_frames_equal
@@ -148,6 +149,108 @@ def test_asof_oracle_parity(spark, sf_dir, duck):
         SELECT l.event_id, l.user_id, l.ts, l.value, t.ts AS ref_ts,
                t.event_id AS ref_event_id, t.value AS ref_value
         FROM l ASOF LEFT JOIN t ON l.user_id = t.user_id AND l.ts >= t.ts
+        """
+    )
+    assert_frames_equal(out, rel)
+
+
+# ------------------------------------------------------------ range join
+
+
+@pytest.fixture()
+def range_frames(spark):
+    facts = spark.createDataFrame(
+        [
+            (1, "a", _ts("2024-01-01 01:00:00")),  # == start: inclusive
+            (2, "a", _ts("2024-01-01 01:30:00")),  # inside
+            (3, "a", _ts("2024-01-01 02:00:00")),  # == end: exclusive
+            (4, "a", _ts("2024-01-01 05:00:00")),  # inside no window
+            (5, "b", _ts("2024-01-01 01:30:00")),  # key without intervals
+            (6, "a", _ts("2024-01-03 00:30:00")),  # inside the long window
+        ],
+        "event_id long, user_id string, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [
+            ("a", _ts("2024-01-01 01:00:00"), _ts("2024-01-01 02:00:00"), 10),
+            # overlaps the first window: fact 2 matches both
+            ("a", _ts("2024-01-01 01:15:00"), _ts("2024-01-01 01:45:00"), 11),
+            # degenerate end <= start: matches nothing
+            ("a", _ts("2024-01-01 03:00:00"), _ts("2024-01-01 03:00:00"), 12),
+            # spans many granularity buckets (2024-01-02 .. 2024-01-04)
+            ("a", _ts("2024-01-02 00:00:00"), _ts("2024-01-04 00:00:00"), 13),
+        ],
+        "user_id string, start_ts timestamp, end_ts timestamp, win_id long",
+    )
+    return facts, intervals
+
+
+def test_range_join_containment(spark, range_frames):
+    facts, intervals = range_frames
+    out = join_range(
+        facts, intervals, "user_id", "ts", "start_ts", "end_ts", 3600
+    )
+    pairs = sorted((r["event_id"], r["win_id"]) for r in out.collect())
+    # 1: inclusive start; 2: both overlapping windows; 3: exclusive end;
+    # 4/5: no window; 6: the multi-bucket window
+    assert pairs == [(1, 10), (2, 10), (2, 11), (6, 13)]
+    # fact columns pass through, interval payload columns appended
+    assert set(out.columns) == {
+        "event_id", "user_id", "ts", "start_ts", "end_ts", "win_id"
+    }
+
+
+def test_range_join_bucket_cap_drops_monster_interval(spark, range_frames):
+    facts, intervals = range_frames
+    out = join_range(
+        facts,
+        intervals,
+        "user_id",
+        "ts",
+        "start_ts",
+        "end_ts",
+        3600,
+        max_buckets_per_interval=24,  # the 48h window explodes past this
+    )
+    pairs = sorted((r["event_id"], r["win_id"]) for r in out.collect())
+    assert pairs == [(1, 10), (2, 10), (2, 11)]
+
+
+def test_range_join_plan_no_inequality_join(spark, range_frames):
+    facts, intervals = range_frames
+    plan = (
+        join_range(facts, intervals, "user_id", "ts", "start_ts", "end_ts", 3600)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_range_join_oracle_parity(spark, sf_dir, duck):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    ivs = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end_ts"),
+        F.col("event_id").alias("signup_event_id"),
+    )
+    out = join_range(facts, ivs, "user_id", "ts", "start_ts", "end_ts", 3600)
+    rel = duck.sql(
+        """
+        WITH f AS (SELECT event_id, user_id, ts, value FROM events
+                   WHERE event_type = 'purchase'),
+        s AS (SELECT user_id, ts AS start_ts, ts + INTERVAL 1 HOUR AS end_ts,
+                     event_id AS signup_event_id
+              FROM events WHERE event_type = 'signup')
+        SELECT f.event_id, f.user_id, f.ts, f.value,
+               s.start_ts, s.end_ts, s.signup_event_id
+        FROM f JOIN s ON f.user_id = s.user_id
+                     AND f.ts >= s.start_ts AND f.ts < s.end_ts
         """
     )
     assert_frames_equal(out, rel)
