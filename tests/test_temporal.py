@@ -256,6 +256,99 @@ def test_range_join_oracle_parity(spark, sf_dir, duck):
     assert_frames_equal(out, rel)
 
 
+# ------------------------------------------------- property tests
+
+
+from datetime import timedelta
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SET = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+_BASE = _ts("2024-01-01 00:00:00")
+
+
+@given(
+    facts=st.lists(
+        st.tuples(st.sampled_from("ab"), st.integers(0, 50_000)),
+        min_size=1,
+        max_size=12,
+    ),
+    ivs=st.lists(
+        st.tuples(
+            st.sampled_from("ab"), st.integers(0, 50_000), st.integers(-10, 20_000)
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    gran=st.sampled_from([7, 60, 3600]),
+)
+@_SET
+def test_range_join_matches_naive_reference(spark, facts, ivs, gran):
+    """join_range == the literal nested-loop containment scan, for any
+    bucket granularity (bucket boundaries can't add or lose matches)."""
+    fdf = spark.createDataFrame(
+        [(i, k, _BASE + timedelta(seconds=o)) for i, (k, o) in enumerate(facts)],
+        "event_id long, k string, ts timestamp",
+    )
+    idf = spark.createDataFrame(
+        [
+            (j, k, _BASE + timedelta(seconds=s), _BASE + timedelta(seconds=s + ln))
+            for j, (k, s, ln) in enumerate(ivs)
+        ],
+        "win_id long, k string, start_ts timestamp, end_ts timestamp",
+    )
+    got = sorted(
+        (r["event_id"], r["win_id"])
+        for r in join_range(fdf, idf, "k", "ts", "start_ts", "end_ts", gran).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, (fk, fo) in enumerate(facts)
+        for j, (ik, s, ln) in enumerate(ivs)
+        if fk == ik and s <= fo < s + ln
+    )
+    assert got == want
+
+
+@given(
+    facts=st.lists(
+        st.tuples(st.sampled_from("ab"), st.integers(0, 1000)),
+        min_size=1,
+        max_size=10,
+    ),
+    timeline=st.lists(
+        st.tuples(st.sampled_from("ab"), st.integers(0, 1000)),
+        min_size=1,
+        max_size=10,
+        unique=True,  # one row per (key, ts): the op's documented contract
+    ),
+)
+@_SET
+def test_asof_matches_naive_reference(spark, facts, timeline):
+    """join_asof == 'the greatest timeline ts <= fact ts per key'."""
+    fdf = spark.createDataFrame(
+        [(i, k, _BASE + timedelta(seconds=o)) for i, (k, o) in enumerate(facts)],
+        "event_id long, k string, ts timestamp",
+    )
+    tdf = spark.createDataFrame(
+        [(k, _BASE + timedelta(seconds=o), 100 + j) for j, (k, o) in enumerate(timeline)],
+        "k string, ts timestamp, ref_id long",
+    )
+    got = {
+        r["event_id"]: r["ref_ref_id"]
+        for r in join_asof(fdf, tdf, "k", "ts", ["ref_id"]).collect()
+    }
+    for i, (fk, fo) in enumerate(facts):
+        cands = [(o, 100 + j) for j, (k, o) in enumerate(timeline) if k == fk and o <= fo]
+        want = max(cands)[1] if cands else None
+        assert got[i] == want, (i, fk, fo, cands)
+
+
 # ---------------------------------------------------------------- rollup
 
 
