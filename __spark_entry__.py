@@ -2079,6 +2079,17 @@ def _q_sketch_hll(spark, sf_dir):
     return corpus_distinct_hll(_docs(spark, sf_dir), m=_HLL_M, k_shingle=3)
 
 
+def _q_sketch_hist(spark, sf_dir):
+    """Histogram-sketch quantiles of document length (p50/p90/p99 of
+    n_chars from fixed 128-bucket state — the 'p99 doc length over
+    100 TB' question without a full-column sort)."""
+    from opentelemetry_collector_contrib_spark.training import hist_quantile_sketch
+
+    return hist_quantile_sketch(
+        _docs(spark, sf_dir), "n_chars", 128, (0.5, 0.9, 0.99)
+    )
+
+
 def _q_join_asof(spark, sf_dir):
     """As-of join: every purchase event gains the user's most recent
     at-or-before click (ref_*), or nulls when no click precedes it.
@@ -2180,7 +2191,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_range": _q_join_range,
         "hypertable_rollup": _q_hypertable_rollup,
         "mixture_sample": _q_mixture_sample,
-        "tail_sampling": _q_tail_sampling,
         "ann_opq_topk": _q_opq_topk,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_lsh,
@@ -2204,6 +2214,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_bloom": _q_sketch_bloom,
         "sketch_cms_topk": _q_sketch_cms,
         "sketch_hll_shingles": _q_sketch_hll,
+        # tail_sampling (pass-r3) rotates out for the quantile sketch
+        "sketch_hist_quantiles": _q_sketch_hist,
         # new in r04, never driver-checked: the spanevent OTTL context,
         # SemDeDup, the IVF-PQ ANN pair, and TF-IDF keywords all sit
         # inside the window (parse_csv / parse_regex / parse_syslog /
@@ -2214,7 +2226,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": _q_pq_topk,
         "text_tfidf_topk": _q_tfidf_topk,
         # --- end of the driver's 50-query window ---
-        # rotated out for the three temporal queries (all pass-r3 green):
+        # rotated out for the temporal + quantile-sketch queries (all
+        # pass-r3 green):
+        "tail_sampling": _q_tail_sampling,
         "count_connector": _q_counts,
         "sampler_equalizing": _q_sampler_equalizing,
         "metrics_transform": _q_metrics_transform,
@@ -3198,6 +3212,27 @@ FROM kept
 WHERE NOT contains(lower(text), 'lorem ipsum')
   AND NOT contains(text, '{{')
   AND len(kl) >= 3""",
+        "sketch_hist_quantiles": """WITH vals AS (
+  SELECT n_chars::BIGINT AS v FROM documents WHERE n_chars IS NOT NULL),
+stats AS (
+  SELECT min(v) AS vmin, max(v) AS vmax, count(*) AS n,
+         ((max(v) - min(v)) // 128) + 1 AS width
+  FROM vals HAVING count(*) > 0),
+counts AS (
+  SELECT (v - vmin) // width AS bucket, count(*) AS c
+  FROM vals CROSS JOIN stats GROUP BY 1),
+cum AS (
+  SELECT bucket, sum(c) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum
+  FROM counts),
+hit AS (
+  SELECT p_pct, n, vmin, width, bucket
+  FROM cum CROSS JOIN stats
+       CROSS JOIN (SELECT unnest([50, 90, 99]) AS p_pct) ps
+  WHERE cum * 100 >= p_pct * n)
+SELECT (p_pct / 100.0)::DOUBLE AS p, n::BIGINT AS n,
+       min(bucket)::BIGINT AS bucket,
+       (vmin + (min(bucket) + 1) * width - 1)::BIGINT AS est
+FROM hit GROUP BY p_pct, n, vmin, width""",
         "join_asof": """WITH l AS (
   SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
 t AS (

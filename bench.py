@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "sketch_bloom",
     "sketch_cms_topk",
     "sketch_hll_shingles",
+    "sketch_hist_quantiles",
     "join_asof",
     "join_range",
     "hypertable_rollup",

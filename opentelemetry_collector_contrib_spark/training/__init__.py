@@ -60,6 +60,7 @@ from .sketches import (  # noqa: F401
     cms_build,
     cms_estimate,
     corpus_distinct_hll,
+    hist_quantile_sketch,
     hll_estimate,
     hll_registers,
 )
@@ -112,6 +113,7 @@ __all__ = [
     "cms_build",
     "cms_estimate",
     "corpus_distinct_hll",
+    "hist_quantile_sketch",
     "hll_estimate",
     "hll_registers",
 ]

@@ -201,6 +201,90 @@ def cms_estimate(
     )
 
 
+# ------------------------------------------------------ histogram quantiles
+
+def hist_quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int = 128,
+    ps: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Quantile estimates for an INTEGER column from a fixed-size
+    equi-width histogram: ``(p, n, bucket, est)`` — one row per
+    requested quantile, ``est`` = the upper bound of the first bucket
+    whose cumulative count reaches ``ceil(p * n)``.
+
+    The exact formulation (sort / percentile_disc) is a full shuffle of
+    the column; the sketch is two bounded aggregations: a 1-row
+    (min, max, n) pass, then a <= ``n_buckets``-row bucket-count hash
+    agg (map-side combine caps each partition's shuffle output at
+    ``n_buckets`` rows) and a cumulative window over those few rows.
+    Error is bounded by the bucket width ``(max-min)/n_buckets`` —
+    the right trade for "p99 document length over 100 TB".
+
+    Everything before the output row is INTEGER math (width =
+    R div B + 1; bucket = (v - min) div width; the CDF test is
+    ``cum * 100 >= p_pct * n`` with ps quantized to whole percents —
+    exactly "cum reaches ceil(p*n)" without ever computing a float),
+    so Spark and DuckDB agree bit-for-bit — same posture as the HLL
+    scaled-integer harmonic sum. Null values are excluded (SQL
+    aggregate semantics); an all-null/empty input returns zero rows.
+    """
+    vals = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("long").alias("v")
+    )
+    stats = (
+        vals.agg(
+            F.min("v").alias("vmin"),
+            F.max("v").alias("vmax"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("n") > 0)
+        # width = R div B + 1 guarantees bucket = (v - vmin) div width
+        # lands in [0, B-1]; pure integer division, no float rounding
+        .withColumn("width", F.expr(f"((vmax - vmin) div {int(n_buckets)}) + 1"))
+    )
+    counts = (
+        vals.crossJoin(F.broadcast(stats))
+        .select(F.expr("(v - vmin) div width").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from pyspark.sql.window import Window
+
+    cum = counts.withColumn(
+        "cum",
+        F.sum("c").over(
+            Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    # CDF inversion for every requested p in ONE tiny pass over the
+    # <= n_buckets cumulative rows: explode the quantile list, keep
+    # buckets whose cum reaches the exact scaled-integer target
+    # (cum * 100 >= p_pct * n — ps quantized to whole percents so both
+    # engines compare integers), min bucket per p.
+    p_pct = F.explode(
+        F.array(*[F.lit(int(round(p * 100))) for p in ps])
+    ).alias("p_pct")
+    hit = (
+        cum.crossJoin(F.broadcast(stats))
+        .select("*", p_pct)
+        .filter(F.col("cum") * 100 >= F.col("p_pct") * F.col("n"))
+    )
+    return (
+        hit.groupBy("p_pct", "n", "vmin", "width")
+        .agg(F.min("bucket").alias("bucket"))
+        .select(
+            (F.col("p_pct") / 100.0).alias("p"),
+            F.col("n").cast("long").alias("n"),
+            F.col("bucket").cast("long").alias("bucket"),
+            (F.col("vmin") + (F.col("bucket") + 1) * F.col("width") - 1)
+            .cast("long")
+            .alias("est"),
+        )
+    )
+
+
 # ----------------------------------------------------------- HyperLogLog
 
 HLL_M = 64          # registers (p = 6 index bits)

@@ -19,6 +19,7 @@ from opentelemetry_collector_contrib_spark.training import (
     cms_build,
     cms_estimate,
     corpus_distinct_hll,
+    hist_quantile_sketch,
     hll_estimate,
     hll_registers,
 )
@@ -119,3 +120,37 @@ def test_corpus_hll_on_documents(spark, sf_dir):
     row = corpus_distinct_hll(docs).collect()[0]
     assert row.true_distinct > 0
     assert 0.6 * row.true_distinct < row.hll_estimate < 1.4 * row.true_distinct
+
+
+def test_hist_quantiles_within_one_bucket_width(spark):
+    # deterministic skewed values: exact inverted-CDF quantile must sit
+    # within the estimate's bucket, i.e. est - width < exact <= est
+    vals = [((i * i) % 997,) for i in range(500)]
+    df = spark.createDataFrame(vals, "v long")
+    xs = sorted(x for (x,) in vals)
+    n, b = len(xs), 64
+    width = (max(xs) - min(xs)) // b + 1
+    out = {r.p: r for r in hist_quantile_sketch(df, "v", b, (0.5, 0.9, 0.99)).collect()}
+    for p in (0.5, 0.9, 0.99):
+        exact = xs[-(-int(p * 100) * n // 100) - 1]  # ceil(p*n)-th value
+        r = out[p]
+        assert r.n == n and 0 <= r.bucket < b
+        assert r.est - width < exact <= r.est, (p, exact, r)
+
+
+def test_hist_quantiles_constant_and_degenerate(spark):
+    const = spark.createDataFrame([(7,)] * 5, "v long")
+    rows = hist_quantile_sketch(const, "v").collect()
+    # constant column: every quantile is exactly the constant
+    assert len(rows) == 3 and all(r.est == 7 and r.bucket == 0 for r in rows)
+    empty = spark.createDataFrame([], "v long")
+    assert hist_quantile_sketch(empty, "v").count() == 0
+    nulls = spark.createDataFrame([(None,), (None,)], "v long")
+    assert hist_quantile_sketch(nulls, "v").count() == 0
+
+
+def test_hist_quantiles_deterministic_across_partitioning(spark):
+    df = spark.createDataFrame([(i % 313,) for i in range(1000)], "v long")
+    a = sorted(map(tuple, hist_quantile_sketch(df, "v").collect()))
+    b = sorted(map(tuple, hist_quantile_sketch(df.repartition(13), "v").collect()))
+    assert a == b
