@@ -407,6 +407,25 @@ def test_rollup_single_scan_plan(spark, rollup_frame):
     assert "Join" not in plan
 
 
+def test_rollup_null_dim_is_its_own_group(spark):
+    # a null dim value is a real group in every grain (SQL GROUP BY
+    # semantics), distinct from any non-null group
+    df = spark.createDataFrame(
+        [
+            (_ts("2024-01-01 01:10:00"), None, 1.0),
+            (_ts("2024-01-01 01:20:00"), None, 2.0),
+            (_ts("2024-01-01 01:30:00"), "click", 4.0),
+        ],
+        "ts timestamp, event_type string, value double",
+    )
+    out = hypertable_rollup(df, "ts", GRAINS, ["event_type"], AGGS())
+    rows = {
+        (r["grain"], r["event_type"]): r["n_events"] for r in out.collect()
+    }
+    assert rows[("1h", None)] == 2 and rows[("1h", "click")] == 1
+    assert rows[("1d", None)] == 2 and rows[("1d", "click")] == 1
+
+
 def test_rollup_oracle_parity(spark, sf_dir, duck):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     out = hypertable_rollup(ev, "ts", GRAINS, ["event_type"], AGGS())
