@@ -11,7 +11,9 @@ writes.
 
 from .pipeline import (
     session_recombine,
+    read_rollup,
     streaming_dedup_exact,
+    streaming_rollup,
     streaming_pipeline,
     windowed_counts,
     write_routed_stream,
@@ -25,7 +27,9 @@ __all__ = [
     "socket_stream",
     "stateful_delta_to_cumulative",
     "session_recombine",
+    "read_rollup",
     "streaming_dedup_exact",
+    "streaming_rollup",
     "streaming_pipeline",
     "windowed_counts",
     "write_routed_stream",

@@ -22,6 +22,14 @@ unchanged. Stateful stages get streaming-native forms:
 - ``write_routed_stream``: per-sink fan-out from ONE tagged stream via
   ``foreachBatch`` + ``partitionBy(route)`` — single pass per
   micro-batch, the streaming twin of the routing connector write.
+- ``streaming_rollup`` / ``read_rollup``: the continuous-aggregate
+  pattern (TimescaleDB caggs) for the multi-grain hypertable rollup:
+  each micro-batch appends its own ADDITIVE partial aggregates (a few
+  rows per grain x bucket x dims), the reader view merges by summing.
+  No cross-batch state store at all — state IS the partial table, so
+  a 10^12-row stream carries rollup state sized by (time range x
+  grain), never by row count, and replays stay idempotent by
+  overwriting their own batch directory.
 """
 
 from __future__ import annotations
@@ -179,3 +187,63 @@ def write_routed_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_rollup(
+    stream: DataFrame,
+    ts_col: str,
+    grains,
+    dims,
+    aggs_factory,
+    base_path: str,
+    checkpoint: str,
+    trigger_available_now: bool = False,
+):
+    """Continuous aggregate: maintain the multi-grain hypertable rollup
+    over a stream by appending each micro-batch's PARTIAL rollup
+    (``operators.temporal.hypertable_rollup`` of just that batch) and
+    merging at read time (``read_rollup``).
+
+    ``aggs_factory`` returns fresh agg Columns per batch and MUST be
+    additive (counts, integer/scaled sums) — merge is a plain SUM over
+    batches, exactly the partial/final split Spark itself uses inside
+    one aggregation, lifted across micro-batches. Non-additive finals
+    (averages, rates) belong in the reader view, derived from additive
+    parts. This needs NO streaming state store: per-batch output is
+    bounded by (buckets-in-batch x dims x grains), and a replayed batch
+    (same batch_id, uncommitted checkpoint) overwrites its own
+    directory — the same exactly-once contract as
+    ``write_routed_stream``.
+    """
+    from ..operators.temporal import hypertable_rollup
+
+    def sink_batch(batch: DataFrame, batch_id: int) -> None:
+        partial = hypertable_rollup(batch, ts_col, grains, dims, aggs_factory())
+        (
+            partial.coalesce(1)  # a handful of rows per batch
+            .write.mode("overwrite")
+            .save(os.path.join(base_path, f"batch_id={batch_id}"))
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_rollup(spark, base_path: str, dims) -> DataFrame:
+    """Merge view over a ``streaming_rollup`` directory: sum every
+    additive partial column grouped by (grain, bucket, *dims). Output
+    schema matches the batch ``hypertable_rollup`` of the full data
+    when the aggs are additive."""
+    # batch dirs are named batch_id=N, so plain partition discovery
+    # reads them all and surfaces batch_id as a (dropped) partition col
+    parts = spark.read.parquet(base_path)
+    keys = ["grain", "bucket", *dims]
+    measure_cols = [c for c in parts.columns if c not in keys and c != "batch_id"]
+    return parts.groupBy(*keys).agg(
+        *[F.sum(c).alias(c) for c in measure_cols]
+    )

@@ -16,9 +16,11 @@ from opentelemetry_collector_contrib_spark.data import synth_transcripts
 from opentelemetry_collector_contrib_spark.pipeline import TranscriptPipeline
 from opentelemetry_collector_contrib_spark.streaming import (
     file_stream,
+    read_rollup,
     session_recombine,
     streaming_dedup_exact,
     streaming_pipeline,
+    streaming_rollup,
     windowed_counts,
     write_routed_stream,
 )
@@ -301,3 +303,45 @@ def test_socket_stream_octet_framing_stream_batch_parity(spark, tmp_path):
     }
     assert got == want
     assert {b for _, b, _ in got} == {"hello", "world again", "stream"}
+
+
+def test_streaming_rollup_merges_to_batch_rollup(spark, stream_dir, tmp_path):
+    """Continuous aggregate parity: per-micro-batch additive partials,
+    summed at read time, equal the one-shot batch hypertable_rollup —
+    with maxFilesPerTrigger=1 forcing MULTIPLE micro-batches so the
+    cross-batch merge is actually exercised."""
+    from opentelemetry_collector_contrib_spark.operators import hypertable_rollup
+
+    grains = [("1h", "hour"), ("1d", "day")]
+    aggs = lambda: [  # noqa: E731 — additive partials only
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.length("text")).alias("chars"),
+    ]
+    out = str(tmp_path / "rollup_parts")
+    q = streaming_rollup(
+        file_stream(spark, stream_dir, max_files_per_trigger=1),
+        "ts",
+        grains,
+        ["role"],
+        aggs,
+        out,
+        str(tmp_path / "ck_rollup"),
+        trigger_available_now=True,
+    )
+    _drain(q)
+    import glob as _glob
+    import os as _os
+
+    n_batches = len(_glob.glob(_os.path.join(out, "batch_id=*")))
+    assert n_batches > 1, "expected several micro-batches to merge"
+    got = {
+        (r["grain"], r["bucket"], r["role"]): (r["n_turns"], r["chars"])
+        for r in read_rollup(spark, out, ["role"]).collect()
+    }
+    want = {
+        (r["grain"], r["bucket"], r["role"]): (r["n_turns"], r["chars"])
+        for r in hypertable_rollup(
+            spark.read.parquet(stream_dir), "ts", grains, ["role"], aggs()
+        ).collect()
+    }
+    assert got == want
