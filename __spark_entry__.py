@@ -2079,6 +2079,44 @@ def _q_sketch_hll(spark, sf_dir):
     return corpus_distinct_hll(_docs(spark, sf_dir), m=_HLL_M, k_shingle=3)
 
 
+def _q_pii_scrub(spark, sf_dir):
+    """PII scrub over a deterministically PII-seeded corpus (the
+    synthetic documents carry no natural identifiers, so both engines
+    append the same email / IPv4 per doc_id residue — the in-query
+    derivation pattern c4_line_filter uses): per-doc match counts +
+    masked text."""
+    from opentelemetry_collector_contrib_spark.training import pii_scrub
+
+    d = F.col("doc_id")
+    seeded = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                d.cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            d % 3 == 1,
+            F.concat(
+                F.col("text"),
+                F.lit(" server at 10."),
+                (d % 256).cast("string"),
+                F.lit("."),
+                (d % 200).cast("string"),
+                F.lit("."),
+                (d % 250).cast("string"),
+                F.lit(" up"),
+            ),
+        )
+        .otherwise(F.col("text")),
+    )
+    return pii_scrub(seeded).select("doc_id", "n_email", "n_ipv4", "scrubbed")
+
+
 def _q_sketch_hist(spark, sf_dir):
     """Histogram-sketch quantiles of document length (p50/p90/p99 of
     n_chars from fixed 128-bucket state — the 'p99 doc length over
@@ -2199,10 +2237,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_embedding_cosine": _q_dedup_cosine,
         "c4_line_filter": _q_c4_line_filter,
+        # text_token_stats (pass-r3) rotates out for the PII scrub
+        "pii_scrub": _q_pii_scrub,
         "ann_lsh_buckets": _q_ann_lsh,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "dedup_cosine_bucketed": _q_cosine_bucketed,
-        "text_token_stats": _q_token_stats,
         "text_quality_score": _q_quality,
         "text_lang_id": _q_lang_id,
         "doc_fingerprint": _q_fingerprint,
@@ -2226,8 +2265,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": _q_pq_topk,
         "text_tfidf_topk": _q_tfidf_topk,
         # --- end of the driver's 50-query window ---
-        # rotated out for the temporal + quantile-sketch queries (all
-        # pass-r3 green):
+        # rotated out for the temporal / quantile-sketch / pii-scrub
+        # queries (all pass-r3 green):
+        "text_token_stats": _q_token_stats,
         "tail_sampling": _q_tail_sampling,
         "count_connector": _q_counts,
         "sampler_equalizing": _q_sampler_equalizing,
@@ -3212,6 +3252,28 @@ FROM kept
 WHERE NOT contains(lower(text), 'lorem ipsum')
   AND NOT contains(text, '{{')
   AND len(kl) >= 3""",
+        "pii_scrub": r"""WITH seeded AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN
+                text || ' contact user' || doc_id::VARCHAR || '@example.com now'
+              WHEN doc_id % 3 = 1 THEN
+                text || ' server at 10.' || (doc_id % 256)::VARCHAR || '.'
+                     || (doc_id % 200)::VARCHAR || '.'
+                     || (doc_id % 250)::VARCHAR || ' up'
+              ELSE text END AS text
+  FROM documents)
+SELECT doc_id,
+  (CASE WHEN text IS NULL THEN 0 ELSE
+     len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+   END)::BIGINT AS n_email,
+  (CASE WHEN text IS NULL THEN 0 ELSE
+     len(regexp_extract_all(text, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b'))
+   END)::BIGINT AS n_ipv4,
+  regexp_replace(
+    regexp_replace(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IPV4>', 'g') AS scrubbed
+FROM seeded""",
         "sketch_hist_quantiles": """WITH vals AS (
   SELECT n_chars::BIGINT AS v FROM documents WHERE n_chars IS NOT NULL),
 stats AS (

@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "dedup_passage",
     "text_tfidf_topk",
     "c4_line_filter",
+    "pii_scrub",
     "text_lm_score",
     "mixture_sample",
     "curation_funnel",

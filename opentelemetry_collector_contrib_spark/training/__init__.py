@@ -54,6 +54,7 @@ from .textstats import (
 from .chunking import chunk_documents, vocab_topk  # noqa: F401
 from .curation import curate  # noqa: F401
 from .sampling import pack_sequences, stratified_sample  # noqa: F401
+from .privacy import PII_PATTERNS, pii_scrub  # noqa: F401
 from .sketches import (  # noqa: F401
     bloom_build,
     bloom_probe,
@@ -114,6 +115,8 @@ __all__ = [
     "cms_estimate",
     "corpus_distinct_hll",
     "hist_quantile_sketch",
+    "pii_scrub",
+    "PII_PATTERNS",
     "hll_estimate",
     "hll_registers",
 ]
