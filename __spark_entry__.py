@@ -1837,9 +1837,15 @@ def _q_pq_topk(spark, sf_dir):
 
 def _q_opq_topk(spark, sf_dir):
     # OPQ-rotated IVF-PQ (Ge et al. 2013 rotation posture, structured
-    # FJLT pick): the identical PQ composition over the rotated corpus —
-    # rotation is a zero-shuffle literal-matrix projection
-    emb = rotate_vectors(_emb(spark, sf_dir))
+    # FJLT pick): the identical PQ composition over the rotated corpus.
+    # The rotation is materialized ONCE (localCheckpoint — the local-mode
+    # analog of writing the rotated column, which rotate_vectors's
+    # docstring prescribes for index builds): inlined, CollapseProject
+    # copies the dim^2-literal rotation tree into every codebook/centroid
+    # reference and plan analysis + codegen dominate (~15 s flat across
+    # SFs, measured; materialized it is ~3.5 s, same values bit-for-bit
+    # because evaluation order is unchanged)
+    emb = rotate_vectors(_emb(spark, sf_dir)).localCheckpoint()
     cents = ivf_centroids(emb, n_list=16)
     books = pq_codebooks(emb, m=4, ks=16)
     return pq_adc_topk(
