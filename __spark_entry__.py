@@ -1939,6 +1939,27 @@ def _q_mixture_sample(spark, sf_dir):
     return mixture_sample(_docs(spark, sf_dir), MIX_WEIGHTS, MIX_BUDGET_TOKENS)
 
 
+def _q_dsir_sample(spark, sf_dir):
+    # DSIR importance resampling (Xie et al. 2023): hashed-unigram
+    # importance weights vs the lang='en' target slice, Gumbel top-k
+    # draw; scaled-int weights so every aggregate is order-proof
+    from opentelemetry_collector_contrib_spark.training import dsir_sample
+
+    return dsir_sample(
+        _docs(spark, sf_dir), F.col("lang") == "en", k=100, n_buckets=256
+    )
+
+
+def _q_domain_quota(spark, sf_dir):
+    # RefinedWeb-style domain curation: blocklist + per-domain quota of
+    # the 5 best-quality docs, via the skew-safe salted two-phase top-k
+    from opentelemetry_collector_contrib_spark.training import domain_quota
+
+    return domain_quota(
+        _docs(spark, sf_dir), max_per_domain=5, blocklist=("src0", "src13")
+    )
+
+
 def _q_curation_funnel(spark, sf_dir):
     """End-to-end curation funnel — the composition a training-data
     pipeline actually runs, as ONE plan: Gopher quality gate ∩ bigram-LM
@@ -2240,7 +2261,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_lsh,
         "dedup_passage": _q_passage_dedup,
         "curation_funnel": _q_curation_funnel,
-        "dedup_ngram_jaccard": _q_dedup_jaccard,
+        # new in this session, never driver-checked: DSIR importance
+        # resampling and the per-domain quota (skew-safe salted top-k);
+        # dedup_ngram_jaccard and multimodal_features (both r02-green,
+        # operators untouched since) rotate out to make room
+        "dsir_sample": _q_dsir_sample,
+        "domain_quota": _q_domain_quota,
         "dedup_embedding_cosine": _q_dedup_cosine,
         "c4_line_filter": _q_c4_line_filter,
         # text_token_stats (pass-r3) rotates out for the PII scrub
@@ -2251,7 +2277,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_score": _q_quality,
         "text_lang_id": _q_lang_id,
         "doc_fingerprint": _q_fingerprint,
-        "multimodal_features": _q_multimodal,
         # new in r04 (late): the probabilistic-sketch family — fixed-size
         # summaries of corpus-sized questions (membership / frequency /
         # cardinality); transcripts_derive, transform_ottl and recombine
@@ -2272,7 +2297,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_topk": _q_tfidf_topk,
         # --- end of the driver's 50-query window ---
         # rotated out for the temporal / quantile-sketch / pii-scrub
-        # queries (all pass-r3 green):
+        # queries (all pass-r3 green), plus dedup_ngram_jaccard and
+        # multimodal_features (r02-green, untouched) for the DSIR and
+        # domain-quota queries:
+        "dedup_ngram_jaccard": _q_dedup_jaccard,
+        "multimodal_features": _q_multimodal,
         "text_token_stats": _q_token_stats,
         "tail_sampling": _q_tail_sampling,
         "count_connector": _q_counts,
@@ -3164,6 +3193,45 @@ SELECT a.vec_id AS a_id, c.vec_id AS b_id,
        round({_DOT_AB.replace('b.embedding', 'c.embedding')} / ({_nrm('a')} * {_nrm('c')}), 4) AS cos
 FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
 WHERE round({_DOT_AB.replace('b.embedding', 'c.embedding')} / ({_nrm('a')} * {_nrm('c')}), 4) >= 0.2""",
+        # training.sampling.dsir_sample: hashed-unigram importance
+        # weights vs the lang='en' target, add-one smoothing over 256
+        # buckets, per-bucket log-ratio and per-doc Gumbel quantized to
+        # 1e-4 units BEFORE any sum (pure-integer aggregates both sides)
+        "dsir_sample": f"""WITH feats AS (
+  SELECT doc_id, tgt, ({_hex15_of('tok')}) % 256 AS b
+  FROM (SELECT doc_id, (lang = 'en') AS tgt, unnest({_TOKS}) AS tok FROM documents)),
+counts AS (SELECT b, count(*) AS raw_c,
+                  sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS tgt_c
+           FROM feats GROUP BY b),
+tot AS (SELECT sum(raw_c) AS raw_t, sum(tgt_c) AS tgt_t FROM counts),
+model AS (SELECT b,
+  CAST(floor((ln((tgt_c + 1.0) / (tgt_t + 256)) - ln((raw_c + 1.0) / (raw_t + 256)))
+             * 10000 + 0.5) AS BIGINT) AS lr_q4
+  FROM counts, tot),
+w AS (SELECT doc_id, CAST(sum(lr_q4) AS BIGINT) AS dsir_w_q4
+      FROM feats JOIN model USING (b) GROUP BY doc_id),
+g AS (SELECT doc_id, dsir_w_q4,
+  CAST(floor(-ln(-ln((({_md5_bucket_sql('doc_id::VARCHAR', 29)}) + 0.5) / 10000.0))
+             * 10000 + 0.5) AS BIGINT) AS gumbel_q4 FROM w)
+SELECT doc_id, dsir_w_q4, gumbel_q4, dsir_w_q4 + gumbel_q4 AS score_q4
+FROM g ORDER BY score_q4 DESC, doc_id LIMIT 100""",
+        # training.curation.domain_quota: blocklist + per-domain quota of
+        # the 5 best-quality docs; the oracle is the PLAIN one-window
+        # rank — the salted two-phase plan is provably equal under the
+        # (quality DESC, doc_id) total order, which is the point
+        "domain_quota": f"""SELECT doc_id, source, quality_q4, rank FROM (
+  SELECT doc_id, source, quality_q4,
+         row_number() OVER (PARTITION BY source
+           ORDER BY quality_q4 DESC, doc_id) AS rank
+  FROM (SELECT doc_id, source,
+    CASE WHEN len({_TOKS}) > 0 THEN
+    floor((0.3 * least(len(text)::DOUBLE / 500.0, 1.0)
+        + 0.4 * (len(list_distinct({_TOKS}))::DOUBLE / len({_TOKS}))
+        + 0.3 * least(4.0 * len(list_filter({_TOKS}, t -> list_contains({_STOP}, t)))::DOUBLE
+                      / len({_TOKS}), 1.0)) * 10000 + 0.5)::BIGINT
+    ELSE 0 END AS quality_q4
+  FROM documents WHERE source NOT IN ('src0', 'src13')))
+WHERE rank <= 5""",
         "text_token_stats": f"""SELECT doc_id, len({_TOKS}) AS n_tokens,
        len(list_distinct({_TOKS})) AS n_distinct,
        CASE WHEN len({_TOKS}) > 0 THEN

@@ -84,6 +84,8 @@ BENCH_QUERIES = [
     "pii_scrub",
     "text_lm_score",
     "mixture_sample",
+    "dsir_sample",
+    "domain_quota",
     "curation_funnel",
     "sketch_bloom",
     "sketch_cms_topk",

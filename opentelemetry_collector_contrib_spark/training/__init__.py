@@ -52,8 +52,8 @@ from .textstats import (
 )
 
 from .chunking import chunk_documents, vocab_topk  # noqa: F401
-from .curation import curate  # noqa: F401
-from .sampling import pack_sequences, stratified_sample  # noqa: F401
+from .curation import curate, domain_quota, topk_per_key  # noqa: F401
+from .sampling import dsir_sample, pack_sequences, stratified_sample  # noqa: F401
 from .privacy import PII_PATTERNS, pii_scrub  # noqa: F401
 from .sketches import (  # noqa: F401
     bloom_build,
@@ -105,9 +105,12 @@ __all__ = [
     "token_stats",
     "tokens",
     "curate",
+    "domain_quota",
+    "dsir_sample",
     "chunk_documents",
     "vocab_topk",
     "pack_sequences",
+    "topk_per_key",
     "stratified_sample",
     "bloom_build",
     "bloom_probe",

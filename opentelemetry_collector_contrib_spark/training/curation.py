@@ -74,3 +74,96 @@ def curate(
         .filter(F.col("__rn__") == 1)
         .drop("__rn__")
     )
+
+
+def topk_per_key(
+    df: DataFrame,
+    key_cols: list[str],
+    order_by: list,
+    k: int,
+    salt_col,
+    n_salts: int = 32,
+) -> DataFrame:
+    """Skew-safe per-key top-k: the hot-key-proof replacement for the
+    one-window ``row_number() <= k`` plan (the same trap exact_dedup's
+    round-3 rewrite removed — a window partition is ONE task, so a
+    viral key serializes on one core and AQE's skew split does not
+    apply to windows).
+
+    Two phases: (1) rank within ``(key, salt)`` — a hot key's rows
+    spread over ``n_salts`` independent tasks, each keeping its own
+    top ``k``; (2) rank the surviving ``<= n_salts * k`` rows per key.
+    EXACTLY equal to the single-window result whenever ``order_by`` is
+    a TOTAL order (ties broken, e.g. ending in the row id): each key's
+    true top-k rows each rank ``<= k`` inside whatever salt partition
+    they land in, so phase 1 never drops one, and phase 2 ranks a
+    superset of the answer with the same comparator. Because of that
+    equality the salt does NOT need a portable hash —
+    ``xxhash64 % n_salts`` (JVM-cheapest) is fine, and the DuckDB twin
+    is the plain one-window SQL.
+
+    Adds a ``rank`` column (1..k per key). Phase-2's exchange carries
+    at most ``n_salts * k`` rows per key regardless of input skew.
+    """
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(salt_col), F.lit(n_salts))
+    )
+    w1 = Window.partitionBy(*key_cols, "__salt").orderBy(*order_by)
+    survivors = (
+        salted.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k)
+        .drop("__r1", "__salt")
+    )
+    w2 = Window.partitionBy(*key_cols).orderBy(*order_by)
+    return survivors.withColumn("rank", F.row_number().over(w2)).filter(
+        F.col("rank") <= k
+    )
+
+
+def domain_quota(
+    docs: DataFrame,
+    max_per_domain: int = 5,
+    blocklist: tuple[str, ...] = (),
+    domain_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_salts: int = 32,
+) -> DataFrame:
+    """Domain-level curation (RefinedWeb, Penedo et al. 2023 §3.1 /
+    CCNet's per-domain caps): drop blocklisted domains outright, then
+    cap every surviving domain at its ``max_per_domain`` best documents
+    so no single domain dominates the training mixture — the
+    "URL filtering + per-domain quota" stage web-scale pipelines run
+    before any expensive processing.
+
+    "Best" = highest :func:`quality_col` score, ties to the smaller id
+    (a total order, which is what makes the salted two-phase
+    :func:`topk_per_key` EXACTLY equal to the naive one-window rank).
+    The blocklist is a literal ``isin`` — predicate-pushdown-friendly,
+    and at real scale a broadcast anti-join against a blocklist table
+    is the same shape. Returns
+    ``(id, domain, quality_q4, rank)``, rank 1 = best kept doc.
+
+    100 TB posture: quality scoring is a zero-shuffle projection fused
+    into the scan; the per-domain cap runs through the salted top-k, so
+    a viral domain (the exact situation the quota exists for) spreads
+    over ``n_salts`` tasks instead of serializing one window partition.
+    """
+    from .textstats import quality_col
+
+    scored = docs
+    if blocklist:
+        scored = scored.filter(~F.col(domain_col).isin(*blocklist))
+    scored = scored.select(
+        F.col(id_col),
+        F.col(domain_col),
+        quality_col(text_col).alias("quality_q4"),
+    )
+    return topk_per_key(
+        scored,
+        [domain_col],
+        [F.col("quality_q4").desc(), F.col(id_col).asc()],
+        k=max_per_domain,
+        salt_col=F.col(id_col),
+        n_salts=n_salts,
+    )

@@ -223,3 +223,98 @@ def mixture_sample(
         .filter(keep)
         .select(id_col, source_col, "n_tokens")
     )
+
+
+def dsir_sample(
+    df: DataFrame,
+    target,
+    k: int = 100,
+    n_buckets: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 29,
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie, Santurkar,
+    Ma, Liang, NeurIPS 2023): pick the ``k`` raw documents that look
+    most like a small TARGET corpus, by importance weights computed in
+    a hashed n-gram feature space.
+
+    ``target`` is a boolean Column marking the target rows inside
+    ``df`` (e.g. ``F.col("lang") == "en"`` — the paper's target is any
+    trusted high-quality slice). Features are unigram occurrences
+    hashed into ``n_buckets`` buckets (md5 nibble-parse, the repo's
+    portable hash); bucket distributions are add-one smoothed, and a
+    document's log importance weight is the sum over its token
+    occurrences of ``ln p_target(b) - ln p_raw(b)``. Resampling is
+    Gumbel top-k (the paper's without-replacement sampler): each doc
+    adds a deterministic standard-Gumbel draw ``-ln(-ln(u))`` with
+    ``u`` from the md5 sampler bucket, and the top ``k`` by perturbed
+    weight are kept.
+
+    Scaled-int discipline (the repo-wide float rule): the per-BUCKET
+    log-ratio and the per-DOC Gumbel draw are quantized to 1e-4 units
+    BEFORE the per-doc sum, so every aggregate and the final ordering
+    are pure integer math — immune to float-summation order, bit-equal
+    in the DuckDB twin. Returns
+    ``(id, dsir_w_q4, gumbel_q4, score_q4)`` for the selected docs;
+    documents with zero tokens have no features and are never selected
+    (an empty doc carries no evidence it resembles the target).
+
+    100 TB posture: the corpus tokenizes ONCE (map-only explode with
+    map-side combine into per-bucket partials — the model aggregate
+    ships ``n_buckets`` rows per partition, not per token); the
+    ``n_buckets``-row log-ratio model comes back via a broadcast join
+    (zero shuffle); the per-doc weight sum is ONE exchange keyed by
+    doc id; and the final selection is ``orderBy(...).limit(k)`` =
+    ``TakeOrderedAndProject`` — a per-partition k-heap merged on the
+    driver, never a full sort shuffle. Nothing is quadratic; the only
+    all-corpus state is 2 x ``n_buckets`` counts.
+    """
+    from .dedup import tokens
+
+    tok = F.explode(tokens(F.col(text_col)))
+    feats = df.select(
+        F.col(id_col), target.alias("__tgt"), tok.alias("__tok")
+    ).select(
+        id_col,
+        "__tgt",
+        (
+            F.conv(F.substring(F.md5("__tok"), 1, 15), 16, 10).cast("bigint")
+            % n_buckets
+        ).alias("__b"),
+    )
+    counts = feats.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__raw_c"),
+        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("__tgt_c"),
+    )
+    totals = counts.agg(
+        F.sum("__raw_c").alias("__raw_t"), F.sum("__tgt_c").alias("__tgt_t")
+    )
+    lr = (
+        F.log((F.col("__tgt_c") + 1.0) / (F.col("__tgt_t") + n_buckets))
+        - F.log((F.col("__raw_c") + 1.0) / (F.col("__raw_t") + n_buckets))
+    )
+    model = counts.crossJoin(F.broadcast(totals)).select(
+        "__b", F.floor(lr * 10000 + 0.5).cast("bigint").alias("__lr_q4")
+    )
+    weights = (
+        feats.join(F.broadcast(model), "__b")
+        .groupBy(id_col)
+        .agg(F.sum("__lr_q4").alias("dsir_w_q4"))
+    )
+    # u in (0, 1) strictly — (bucket + 0.5) / 10000 never hits either
+    # endpoint, so both ln() arguments stay positive under ANSI
+    from ..processors.sampler import _bucket
+
+    u = (_bucket(F.col(id_col).cast("string"), seed, "md5") + 0.5) / 10000.0
+    g_q4 = F.floor(-F.log(-F.log(u)) * 10000 + 0.5).cast("bigint")
+    return (
+        weights.select(
+            id_col,
+            "dsir_w_q4",
+            g_q4.alias("gumbel_q4"),
+            (F.col("dsir_w_q4") + g_q4).alias("score_q4"),
+        )
+        .orderBy(F.col("score_q4").desc(), F.col(id_col))
+        .limit(k)
+    )
