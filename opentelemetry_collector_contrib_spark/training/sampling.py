@@ -260,9 +260,12 @@ def dsir_sample(
     documents with zero tokens have no features and are never selected
     (an empty doc carries no evidence it resembles the target).
 
-    100 TB posture: the corpus tokenizes ONCE (map-only explode with
-    map-side combine into per-bucket partials — the model aggregate
-    ships ``n_buckets`` rows per partition, not per token); the
+    100 TB posture: the corpus tokenizes exactly TWICE — the fit pass
+    (map-only explode with map-side combine into per-bucket partials —
+    the model aggregate ships ``n_buckets`` rows per partition, not per
+    token; the count table is then checkpointed so its two derivations
+    don't re-run the pass) and the score pass, the same two passes the
+    DSIR estimator inherently needs; the
     ``n_buckets``-row log-ratio model comes back via a broadcast join
     (zero shuffle); the per-doc weight sum is ONE exchange keyed by
     doc id; and the final selection is ``orderBy(...).limit(k)`` =
@@ -283,10 +286,14 @@ def dsir_sample(
             % n_buckets
         ).alias("__b"),
     )
+    # materialize the <= n_buckets-row count table ONCE: both `totals`
+    # and `model` derive from it, and without the checkpoint each
+    # derivation re-runs the corpus tokenize+aggregate from the scan
+    # (a third full pass — measured as an extra exchange in the plan)
     counts = feats.groupBy("__b").agg(
         F.count(F.lit(1)).alias("__raw_c"),
         F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("__tgt_c"),
-    )
+    ).localCheckpoint()
     totals = counts.agg(
         F.sum("__raw_c").alias("__raw_t"), F.sum("__tgt_c").alias("__tgt_t")
     )
