@@ -61,6 +61,11 @@ def join_asof(
       the timeline up front. Left rows with a null ``ts_col`` match
       nothing and come through with null refs (DuckDB: ``l.ts >= r.ts``
       is never true for null).
+    * right rows with a null ``key_col`` never match either: SQL's
+      ``l.key = r.key`` is never true for null, but a window
+      ``partitionBy`` groups null WITH null — so null-key timeline
+      rows are dropped up front, and a null-key fact row comes through
+      with null refs (its partition holds no timeline rows).
     * duplicate right rows at the same (key, ts) would make "the most
       recent row" ambiguous (DuckDB picks arbitrarily); callers must
       pre-aggregate the timeline to one row per (key, ts) — e.g.
@@ -81,7 +86,9 @@ def join_asof(
     payload = F.struct(
         F.col(ts_col).alias("ts"), *[F.col(c).alias(c) for c in value_cols]
     )
-    timeline = right.filter(F.col(ts_col).isNotNull()).select(
+    timeline = right.filter(
+        F.col(ts_col).isNotNull() & F.col(key_col).isNotNull()
+    ).select(
         F.col(key_col),
         F.col(ts_col).alias("__ts"),
         F.lit(0).alias("__side"),

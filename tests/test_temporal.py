@@ -444,3 +444,33 @@ def test_rollup_oracle_parity(spark, sf_dir, duck):
         """
     )
     assert_frames_equal(out, rel)
+
+
+def test_asof_null_key_never_matches(spark):
+    # SQL's l.key = r.key is never true for null, but a window
+    # partitionBy groups null WITH null — the operator must drop
+    # null-key timeline rows so a null-key fact gets null refs
+    from opentelemetry_collector_contrib_spark.operators import join_asof
+
+    left = spark.createDataFrame(
+        [
+            (1, None, _ts("2024-01-01 02:00:00"), 1.0),
+            (2, "a", _ts("2024-01-01 02:00:00"), 2.0),
+        ],
+        "event_id long, user_id string, ts timestamp, value double",
+    )
+    right = spark.createDataFrame(
+        [
+            (None, _ts("2024-01-01 01:00:00"), 900, 9.0),
+            ("a", _ts("2024-01-01 01:00:00"), 100, 1.5),
+        ],
+        "user_id string, ts timestamp, event_id long, value double",
+    )
+    out = {
+        r.event_id: r.ref_event_id
+        for r in join_asof(
+            left, right, "user_id", "ts", ["event_id", "value"]
+        ).collect()
+    }
+    assert out[1] is None  # null-key fact: no match, row preserved
+    assert out[2] == 100
