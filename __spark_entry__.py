@@ -90,6 +90,7 @@ from opentelemetry_collector_contrib_spark.training import (
     rotate_vectors,
     rotation_masks as _rotation_masks,
     semdedup,
+    jaccard_verify_pairs,
     lang_id,
     lsh_candidate_pairs,
     make_planes,
@@ -1711,6 +1712,28 @@ def _q_dedup_lsh(spark, sf_dir):
     )
 
 
+def _q_bpe_merges(spark, sf_dir):
+    # BPE tokenizer induction (Sennrich et al. 2016): the first 8
+    # merges learned from the corpus word-frequency table — the
+    # iterative checkpointed-loop posture (one corpus scan, then
+    # vocab-sized rounds, one argmax row to the driver per round)
+    from opentelemetry_collector_contrib_spark.training.bpe import bpe_learn
+
+    return bpe_learn(_docs(spark, sf_dir), n_merges=8)
+
+
+def _q_lsh_verified(spark, sf_dir):
+    # the production fuzzy-dedup composition: banded-LSH candidates ->
+    # exact-Jaccard verify on candidates ONLY (per-pair array_intersect,
+    # zero explode — verify cost proportional to |candidates|)
+    docs = _docs(spark, sf_dir)
+    sigs = minhash_signatures(docs, n_hashes=_MINHASH_N)
+    pairs = lsh_candidate_pairs(
+        sigs, bands=_BANDS, rows_per_band=_ROWS, max_bucket=_LSH_MAX_BUCKET
+    )
+    return jaccard_verify_pairs(docs, pairs, threshold=0.8)
+
+
 def _q_passage_dedup(spark, sf_dir):
     # passage-window exact-substring dedup stats (Lee et al. 2021):
     # 10-word non-overlapping passages, duplicate = occurs in 2+ docs
@@ -2259,6 +2282,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_opq_topk": _q_opq_topk,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_lsh,
+        # new in this session, never driver-checked: the LSH->exact-
+        # Jaccard verify composition (doc_fingerprint, r02+r03 green,
+        # operator untouched this round, rotates out to make room)
+        "dedup_lsh_verified": _q_lsh_verified,
         "dedup_passage": _q_passage_dedup,
         "curation_funnel": _q_curation_funnel,
         # new in this session, never driver-checked: DSIR importance
@@ -2271,12 +2298,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_line_filter": _q_c4_line_filter,
         # text_token_stats (pass-r3) rotates out for the PII scrub
         "pii_scrub": _q_pii_scrub,
-        "ann_lsh_buckets": _q_ann_lsh,
+        # new in this session, never driver-checked: BPE merge learning
+        # (ann_lsh_buckets, r02-green, operator untouched, rotates out)
+        "bpe_merges": _q_bpe_merges,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "dedup_cosine_bucketed": _q_cosine_bucketed,
         "text_quality_score": _q_quality,
         "text_lang_id": _q_lang_id,
-        "doc_fingerprint": _q_fingerprint,
         # new in r04 (late): the probabilistic-sketch family — fixed-size
         # summaries of corpus-sized questions (membership / frequency /
         # cardinality); transcripts_derive, transform_ottl and recombine
@@ -2302,6 +2330,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # domain-quota queries:
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "multimodal_features": _q_multimodal,
+        "doc_fingerprint": _q_fingerprint,
+        "ann_lsh_buckets": _q_ann_lsh,
         "text_token_stats": _q_token_stats,
         "tail_sampling": _q_tail_sampling,
         "count_connector": _q_counts,
@@ -3536,4 +3566,58 @@ mixed AS ({sqls['mixture_sample']})
 SELECT g.doc_id, m.source, g.n_words, l.n_bigrams, l.xent_q4, m.n_tokens
 FROM gate g JOIN lm l USING (doc_id) JOIN mixed m USING (doc_id)
 WHERE l.xent_q4 <= 34000"""
+    # LSH -> exact-Jaccard verify: the candidate CTE is the literal
+    # dedup_minhash_lsh oracle (nested-CTE-wrapped); the verify is a
+    # per-pair list_intersect over per-doc distinct shingle sets —
+    # identical set math to Spark's array_intersect (order-free: only
+    # set SIZES enter the score)
+    sqls["dedup_lsh_verified"] = f"""WITH cand AS ({sqls['dedup_minhash_lsh']}),
+sh AS (SELECT doc_id, list_distinct({_SH3}) AS sh FROM documents)
+SELECT a_id, b_id, jaccard FROM (
+  SELECT c.a_id, c.b_id,
+         round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+               (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+               4) AS jaccard
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.a_id
+  JOIN sh b ON b.doc_id = c.b_id)
+WHERE jaccard >= 0.8"""
+    # BPE merge learning: a generated n-round CTE chain — round r counts
+    # weighted adjacent symbol pairs over the vocab state w{r-1}, takes
+    # the (count desc, a, b) argmax, and applies the merge via the same
+    # wrapped-string literal replace() Spark uses (left-to-right
+    # non-overlapping in BOTH engines, so every round is bit-identical)
+    sqls["bpe_merges"] = _bpe_oracle_sql(8)
     return sqls
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    sep, dsep = "chr(31)", "chr(31)||chr(31)"
+    ctes = [
+        f"ws AS (SELECT w, count(*) AS freq FROM (SELECT unnest({_TOKS}) AS w"
+        f" FROM documents) WHERE NOT contains(w, chr(31)) GROUP BY w)",
+        f"w0 AS (SELECT substr(x, 1, length(x)-1) AS s, freq FROM ("
+        f"SELECT {sep}||regexp_replace(w, '(?s)(.)', '\\1'||{dsep}, 'g') AS x,"
+        f" freq FROM ws))",
+    ]
+    for r in range(1, n_merges + 1):
+        ctes.append(
+            f"p{r} AS (SELECT syms[i+1] AS a, syms[i+2] AS b, freq FROM ("
+            f"SELECT string_split(regexp_replace(s, '^'||{sep}||'|'||{sep}||'$',"
+            f" '', 'g'), {dsep}) AS syms, freq FROM w{r - 1}) t,"
+            f" unnest(range(0, greatest(len(syms)-1, 0))) AS u(i))"
+        )
+        ctes.append(
+            f"t{r} AS (SELECT a, b, cnt FROM (SELECT a, b, sum(freq) AS cnt"
+            f" FROM p{r} GROUP BY a, b) ORDER BY cnt DESC, a, b LIMIT 1)"
+        )
+        ctes.append(
+            f"w{r} AS (SELECT replace(s, {sep}||a||{dsep}||b||{sep},"
+            f" {sep}||a||b||{sep}) AS s, freq FROM w{r - 1}, t{r})"
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT {r} AS merge_rank, a AS left_sym, b AS right_sym,"
+        f" CAST(cnt AS BIGINT) AS pair_count FROM t{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + finals

@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "recombine",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_lsh_verified",
     "dedup_simhash",
     "ann_lsh_buckets",
     "ann_lsh_topk",
@@ -84,6 +85,7 @@ BENCH_QUERIES = [
     "pii_scrub",
     "text_lm_score",
     "mixture_sample",
+    "bpe_merges",
     "dsir_sample",
     "domain_quota",
     "curation_funnel",

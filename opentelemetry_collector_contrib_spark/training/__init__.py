@@ -10,6 +10,7 @@ correctness gate covers it.
 
 from .dedup import (
     exact_dedup,
+    jaccard_verify_pairs,
     lsh_candidate_pairs,
     passage_dedup_stats,
     minhash_signatures,
@@ -74,6 +75,7 @@ __all__ = [
     "cosine_pairs_bucketed",
     "lsh_topk",
     "exact_dedup",
+    "jaccard_verify_pairs",
     "extract_features",
     "fingerprint",
     "hyperplane_buckets",

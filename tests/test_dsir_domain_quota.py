@@ -161,3 +161,55 @@ def test_domain_quota_empty_blocklist(spark):
         for r in domain_quota(docs, max_per_domain=1).select("source").collect()
     }
     assert len(srcs) == docs.select("source").distinct().count()
+
+
+# ------------------------------------------- LSH -> Jaccard verify
+
+
+def test_jaccard_verify_matches_exact_on_candidates(spark):
+    from opentelemetry_collector_contrib_spark.training import (
+        jaccard_verify_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = lsh_candidate_pairs(
+        minhash_signatures(docs, n_hashes=8), bands=4, rows_per_band=2,
+        max_bucket=200,
+    )
+    got = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in jaccard_verify_pairs(docs, pairs, threshold=0.3).collect()
+    }
+    # verify == corpus-wide exact baseline restricted to the candidates
+    cand = {(r.a_id, r.b_id) for r in pairs.collect()}
+    exact = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()
+        if (r.a_id, r.b_id) in cand
+    }
+    assert got == exact
+
+
+def test_jaccard_verify_false_positive_dropped(spark):
+    from pyspark.sql import Row
+
+    from opentelemetry_collector_contrib_spark.training import (
+        jaccard_verify_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c d e f"),
+            Row(doc_id=2, text="a b c d e f"),
+            Row(doc_id=3, text="x y z p q r"),
+        ]
+    )
+    pairs = spark.createDataFrame(
+        [Row(a_id=1, b_id=2), Row(a_id=1, b_id=3)]  # (1,3) is a false positive
+    )
+    out = {(r.a_id, r.b_id): r.jaccard for r in
+           jaccard_verify_pairs(docs, pairs, threshold=0.5).collect()}
+    assert out == {(1, 2): 1.0}
