@@ -2066,6 +2066,18 @@ def _q_quality(spark, sf_dir):
     return quality_score(_docs(spark, sf_dir))
 
 
+def _q_quality_linear(spark, sf_dir):
+    # model-based filtering (fastText/CCNet posture): hashed-BoW linear
+    # classifier as ONE zero-shuffle projection; the weight table is a
+    # plan literal both engines derive from the same three integers
+    from opentelemetry_collector_contrib_spark.training.classify import (
+        hashed_logit_score,
+        pseudo_weights_q4,
+    )
+
+    return hashed_logit_score(_docs(spark, sf_dir), pseudo_weights_q4())
+
+
 def _q_lang_id(spark, sf_dir):
     return lang_id(_docs(spark, sf_dir))
 
@@ -2338,8 +2350,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokenize": _q_bpe_tokenize,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "dedup_cosine_bucketed": _q_cosine_bucketed,
-        "text_quality_score": _q_quality,
-        "text_lang_id": _q_lang_id,
+        # new in r04 (this session), never driver-checked: the hashed
+        # linear classifier — model-based filtering joins the heuristic /
+        # rule / LM-perplexity filter families (text_quality_score and
+        # text_lang_id, both r02-green on untouched operators, rotate
+        # out to make room)
+        "quality_linear_logit": _q_quality_linear,
         # new in r04 (late): the probabilistic-sketch family — fixed-size
         # summaries of corpus-sized questions (membership / frequency /
         # cardinality); transcripts_derive, transform_ottl and recombine
@@ -2363,6 +2379,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # queries (all pass-r3 green), plus dedup_ngram_jaccard and
         # multimodal_features (r02-green, untouched) for the DSIR and
         # domain-quota queries:
+        "text_quality_score": _q_quality,
+        "text_lang_id": _q_lang_id,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "multimodal_features": _q_multimodal,
         "doc_fingerprint": _q_fingerprint,
@@ -3503,6 +3521,23 @@ SELECT {_HLL_M} AS m,
              (sum_nz + (({_HLL_M} - nz)::HUGEINT * ((1::BIGINT << 60)::HUGEINT)))::DOUBLE,
              4) AS hll_estimate
 FROM agg""",
+        # training.classify.hashed_logit_score: fastText-posture hashed
+        # bag-of-words linear classifier. Weights derive arithmetically
+        # from the bucket id on BOTH sides (pseudo_weights_q4's three
+        # integers), so no 256-row VALUES table; integer sum, round-
+        # half-away mean via the floor((2|s|+n)/(2n)) identity
+        "quality_linear_logit": f"""WITH bw AS (
+  SELECT doc_id, list_transform({_TOKS},
+    t -> ((({_hex15_of('t')}) % 256) * 2654435761) % 20001 - 10000) AS bs
+  FROM documents),
+s AS (SELECT doc_id, len(bs) AS n_tokens, list_sum(bs)::BIGINT AS sum_w_q4 FROM bw),
+l AS (SELECT doc_id, n_tokens, CASE WHEN n_tokens > 0 THEN sum_w_q4 END AS sum_w_q4,
+  CASE WHEN n_tokens > 0 THEN
+    (CASE WHEN sum_w_q4 >= 0 THEN floor((2*sum_w_q4 + n_tokens)::DOUBLE/(2*n_tokens))
+          ELSE -floor((2*(-sum_w_q4) + n_tokens)::DOUBLE/(2*n_tokens)) END)::BIGINT
+  END AS logit_q4 FROM s)
+SELECT doc_id, n_tokens, sum_w_q4, logit_q4,
+       coalesce(logit_q4 >= 0, false) AS keep FROM l""",
         "text_quality_score": f"""SELECT doc_id,
   CASE WHEN len({_TOKS}) > 0 THEN
   floor((0.3 * least(len(text)::DOUBLE / 500.0, 1.0)

@@ -53,6 +53,7 @@ from .textstats import (
 )
 
 from .chunking import chunk_documents, vocab_topk  # noqa: F401
+from .classify import hashed_logit_score, pseudo_weights_q4  # noqa: F401
 from .curation import curate, domain_quota, topk_per_key  # noqa: F401
 from .sampling import dsir_sample, pack_sequences, stratified_sample  # noqa: F401
 from .privacy import PII_PATTERNS, pii_scrub  # noqa: F401
@@ -108,6 +109,8 @@ __all__ = [
     "tokens",
     "curate",
     "domain_quota",
+    "hashed_logit_score",
+    "pseudo_weights_q4",
     "dsir_sample",
     "chunk_documents",
     "vocab_topk",
