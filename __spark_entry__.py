@@ -1766,6 +1766,37 @@ def _q_lsh_verified(spark, sf_dir):
     return jaccard_verify_pairs(docs, pairs, threshold=0.8)
 
 
+def _q_fuzzy_dedup_funnel(spark, sf_dir):
+    # the COMPLETE production fuzzy-dedup pipeline in one Spark plan
+    # (BigCode/Dolma posture): minhash -> banded LSH (capped buckets) ->
+    # exact-Jaccard verify on candidates only -> connected components
+    # over VERIFIED edges -> one canonical doc per cluster. Differs from
+    # dedup_clusters exactly by the verify stage: a band-collision false
+    # positive cannot merge two clusters. Member counts come from a
+    # groupBy + join (map-side combine; a count window over cluster_id
+    # would put a viral cluster on one task — the exact_dedup lesson).
+    from opentelemetry_collector_contrib_spark.training.dedup import (
+        connected_components,
+    )
+
+    docs = _docs(spark, sf_dir)
+    sigs = minhash_signatures(docs, n_hashes=_MINHASH_N)
+    cand = lsh_candidate_pairs(
+        sigs, bands=_BANDS, rows_per_band=_ROWS, max_bucket=_LSH_MAX_BUCKET
+    )
+    verified = jaccard_verify_pairs(docs, cand, threshold=0.8).select(
+        "a_id", "b_id"
+    )
+    cl = connected_components(docs, verified)
+    counts = cl.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
+    return cl.join(counts, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "n_members",
+        (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+    )
+
+
 def _q_passage_dedup(spark, sf_dir):
     # passage-window exact-substring dedup stats (Lee et al. 2021):
     # 10-word non-overlapping passages, duplicate = occurs in 2+ docs
@@ -2329,6 +2360,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Jaccard verify composition (doc_fingerprint, r02+r03 green,
         # operator untouched this round, rotates out to make room)
         "dedup_lsh_verified": _q_lsh_verified,
+        # new in r04 (this session), never driver-checked: the COMPLETE
+        # verified fuzzy-dedup funnel (dedup_embedding_cosine, r02-green
+        # on an untouched operator, rotates out to make room)
+        "fuzzy_dedup_funnel": _q_fuzzy_dedup_funnel,
         "dedup_passage": _q_passage_dedup,
         "curation_funnel": _q_curation_funnel,
         # new in this session, never driver-checked: DSIR importance
@@ -2337,7 +2372,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # operators untouched since) rotate out to make room
         "dsir_sample": _q_dsir_sample,
         "domain_quota": _q_domain_quota,
-        "dedup_embedding_cosine": _q_dedup_cosine,
         "c4_line_filter": _q_c4_line_filter,
         # text_token_stats (pass-r3) rotates out for the PII scrub
         "pii_scrub": _q_pii_scrub,
@@ -2374,13 +2408,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_encode": _q_pq_encode,
         "ann_pq_topk": _q_pq_topk,
         "text_tfidf_topk": _q_tfidf_topk,
+        # slot 50: r02-green filler — earns a fresh driver row while the
+        # three operators it made room for sit higher in the window
+        "text_quality_score": _q_quality,
         # --- end of the driver's 50-query window ---
         # rotated out for the temporal / quantile-sketch / pii-scrub
         # queries (all pass-r3 green), plus dedup_ngram_jaccard and
         # multimodal_features (r02-green, untouched) for the DSIR and
         # domain-quota queries:
-        "text_quality_score": _q_quality,
         "text_lang_id": _q_lang_id,
+        "dedup_embedding_cosine": _q_dedup_cosine,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "multimodal_features": _q_multimodal,
         "doc_fingerprint": _q_fingerprint,
@@ -3653,6 +3690,23 @@ SELECT a_id, b_id, jaccard FROM (
   JOIN sh a ON a.doc_id = c.a_id
   JOIN sh b ON b.doc_id = c.b_id)
 WHERE jaccard >= 0.8"""
+    # end-to-end verified fuzzy dedup: the closure runs over VERIFIED
+    # edges only (the dedup_clusters closure runs over raw LSH
+    # candidates — the difference IS the verify stage, so a band-
+    # collision false positive must not merge two clusters here)
+    sqls["fuzzy_dedup_funnel"] = f"""WITH RECURSIVE verified AS ({sqls['dedup_lsh_verified']}),
+edges AS (SELECT a_id AS src, b_id AS dst FROM verified
+          UNION SELECT b_id AS src, a_id AS dst FROM verified),
+reach(a, b) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+cl AS (SELECT d.doc_id, least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+       FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+       GROUP BY d.doc_id),
+cnt AS (SELECT cluster_id, count(*) AS n_members FROM cl GROUP BY cluster_id)
+SELECT c.doc_id, c.cluster_id, n.n_members, (c.doc_id = c.cluster_id) AS keep
+FROM cl c JOIN cnt n USING (cluster_id)"""
     # BPE merge learning: a generated n-round CTE chain — round r counts
     # weighted adjacent symbol pairs over the vocab state w{r-1}, takes
     # the (count desc, a, b) argmax, and applies the merge via the same
