@@ -2113,6 +2113,17 @@ def _q_lang_id(spark, sf_dir):
     return lang_id(_docs(spark, sf_dir))
 
 
+def _q_source_kl(spark, sf_dir):
+    # mixture diagnostics: per-source hashed-unigram KL vs the corpus
+    # blend (the monitoring twin of mixture_sample/dsir_sample) — one
+    # corpus pass, everything after runs on a sources x 256 count table
+    from opentelemetry_collector_contrib_spark.training.sampling import (
+        source_kl_divergence,
+    )
+
+    return source_kl_divergence(_docs(spark, sf_dir))
+
+
 def _q_fingerprint(spark, sf_dir):
     return fingerprint(_docs(spark, sf_dir))
 
@@ -2372,6 +2383,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # operators untouched since) rotate out to make room
         "dsir_sample": _q_dsir_sample,
         "domain_quota": _q_domain_quota,
+        # new in r04 (this session), never driver-checked: per-source
+        # KL mixture diagnostics (text_lang_id, r02-green on an
+        # untouched operator, rotates out to make room)
+        "source_kl_divergence": _q_source_kl,
         "c4_line_filter": _q_c4_line_filter,
         # text_token_stats (pass-r3) rotates out for the PII scrub
         "pii_scrub": _q_pii_scrub,
@@ -2408,10 +2423,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_encode": _q_pq_encode,
         "ann_pq_topk": _q_pq_topk,
         "text_tfidf_topk": _q_tfidf_topk,
-        # slot 50: r02-green filler — earns a fresh driver row while the
-        # three operators it made room for sit higher in the window
-        "text_quality_score": _q_quality,
         # --- end of the driver's 50-query window ---
+        # (text_quality_score / text_lang_id / dedup_embedding_cosine,
+        # all r02-green on untouched operators, rotated out for the
+        # three new r04 ops: quality_linear_logit, fuzzy_dedup_funnel,
+        # source_kl_divergence)
+        "text_quality_score": _q_quality,
         # rotated out for the temporal / quantile-sketch / pii-scrub
         # queries (all pass-r3 green), plus dedup_ngram_jaccard and
         # multimodal_features (r02-green, untouched) for the DSIR and
@@ -3336,6 +3353,31 @@ g AS (SELECT doc_id, dsir_w_q4,
              * 10000 + 0.5) AS BIGINT) AS gumbel_q4 FROM w)
 SELECT doc_id, dsir_w_q4, gumbel_q4, dsir_w_q4 + gumbel_q4 AS score_q4
 FROM g ORDER BY score_q4 DESC, doc_id LIMIT 100""",
+        # training.sampling.source_kl_divergence: per-source hashed-
+        # unigram KL vs the corpus, add-one smoothed over ALL 256
+        # buckets; each term ln-then-quantized to 1e-8 units before the
+        # per-source integer sum (the DSIR discipline)
+        "source_kl_divergence": f"""WITH feats AS (
+  SELECT source, ({_hex15_of('tok')}) % 256 AS b
+  FROM (SELECT source, unnest({_TOKS}) AS tok FROM documents)),
+counts AS (SELECT source, b, count(*) AS c FROM feats GROUP BY source, b),
+ns AS (SELECT source, sum(c) AS n_s FROM counts GROUP BY source),
+cb AS (SELECT b, sum(c) AS c_b FROM counts GROUP BY b),
+tot AS (SELECT sum(c) AS n FROM counts),
+grid AS (SELECT ns.source, ns.n_s, g.b FROM ns
+         CROSS JOIN (SELECT unnest(range(0, 256)) AS b) g),
+terms AS (SELECT grid.source, grid.n_s,
+  CAST(floor(
+    ((coalesce(c.c, 0) + 1.0) / (grid.n_s + 256))
+    * (ln((coalesce(c.c, 0) + 1.0) / (grid.n_s + 256))
+       - ln((coalesce(cb.c_b, 0) + 1.0) / (tot.n + 256)))
+    * 100000000 + 0.5) AS BIGINT) AS tq
+  FROM grid
+  LEFT JOIN counts c ON c.source = grid.source AND c.b = grid.b
+  LEFT JOIN cb ON cb.b = grid.b
+  CROSS JOIN tot)
+SELECT source, CAST(n_s AS BIGINT) AS n_tokens, CAST(sum(tq) AS BIGINT) AS kl_q8
+FROM terms GROUP BY source, n_s""",
         # training.curation.domain_quota: blocklist + per-domain quota of
         # the 5 best-quality docs; the oracle is the PLAIN one-window
         # rank — the salted two-phase plan is provably equal under the

@@ -55,7 +55,12 @@ from .textstats import (
 from .chunking import chunk_documents, vocab_topk  # noqa: F401
 from .classify import hashed_logit_score, pseudo_weights_q4  # noqa: F401
 from .curation import curate, domain_quota, topk_per_key  # noqa: F401
-from .sampling import dsir_sample, pack_sequences, stratified_sample  # noqa: F401
+from .sampling import (  # noqa: F401
+    dsir_sample,
+    pack_sequences,
+    source_kl_divergence,
+    stratified_sample,
+)
 from .privacy import PII_PATTERNS, pii_scrub  # noqa: F401
 from .sketches import (  # noqa: F401
     bloom_build,
@@ -111,6 +116,7 @@ __all__ = [
     "domain_quota",
     "hashed_logit_score",
     "pseudo_weights_q4",
+    "source_kl_divergence",
     "dsir_sample",
     "chunk_documents",
     "vocab_topk",

@@ -325,3 +325,87 @@ def dsir_sample(
         .orderBy(F.col("score_q4").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def source_kl_divergence(
+    df: DataFrame,
+    n_buckets: int = 256,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Mixture diagnostics: per-source KL divergence of the hashed
+    unigram distribution vs the whole corpus — "which sources look
+    least like the blend I'm training on?" (the monitoring twin of
+    ``mixture_sample``/``dsir_sample``: mixing tables set the weights,
+    this measures the drift those weights produce).
+
+    Features are the DSIR feature space verbatim: unigrams hashed to
+    ``n_buckets`` md5 buckets, add-one smoothing. For each source ``s``
+    with bucket counts ``c_sb`` (total ``n_s``) against corpus bucket
+    totals ``c_b`` (total ``n``),
+
+        KL(s || corpus) = sum_b p_s(b) * (ln p_s(b) - ln p_c(b)),
+        p_s(b) = (c_sb + 1)/(n_s + B),   p_c(b) = (c_b + 1)/(n + B)
+
+    summed over ALL B buckets (smoothing makes every term finite).
+    Returns ``(source, n_tokens, kl_q8)`` with the divergence in 1e-8
+    units: each per-bucket term is quantized BEFORE the per-source sum
+    (the DSIR ln-then-quantize discipline), so the aggregate is pure
+    integer math — float-order-proof and DuckDB-lockstep.
+
+    100 TB posture: ONE corpus pass (map-only explode into a
+    groupBy(source, bucket) whose map-side combine caps each
+    partition's shuffle output at sources x B rows); the count table is
+    localCheckpoint-ed once and every later step — per-source totals,
+    per-bucket corpus totals, the dense sources x B grid, the term
+    projection — runs on that tiny table with broadcast joins. Zero
+    second passes, nothing proportional to corpus size after the first
+    aggregate. Sources with no tokens have no distribution and emit no
+    row (the DSIR empty-doc rule).
+    """
+    from .dedup import tokens
+
+    tok = F.explode(tokens(F.col(text_col)))
+    feats = df.select(F.col(source_col).alias("source"), tok.alias("__tok")).select(
+        "source",
+        (
+            F.conv(F.substring(F.md5("__tok"), 1, 15), 16, 10).cast("bigint")
+            % n_buckets
+        ).alias("__b"),
+    )
+    counts = (
+        feats.groupBy("source", "__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint()
+    )
+    ns = counts.groupBy("source").agg(F.sum("__c").alias("__n_s"))
+    cb = counts.groupBy("__b").agg(F.sum("__c").alias("__c_b"))
+    tot = counts.agg(F.sum("__c").alias("__n"))
+    grid = (
+        ns.select("source", "__n_s")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "__n_s",
+            "__n",
+            F.explode(F.sequence(F.lit(0), F.lit(n_buckets - 1))).alias("__b"),
+        )
+    )
+    joined = grid.join(F.broadcast(counts), ["source", "__b"], "left").join(
+        F.broadcast(cb), "__b", "left"
+    )
+    p_s = (F.coalesce(F.col("__c"), F.lit(0)) + 1.0) / (
+        F.col("__n_s") + F.lit(n_buckets)
+    )
+    p_c = (F.coalesce(F.col("__c_b"), F.lit(0)) + 1.0) / (
+        F.col("__n") + F.lit(n_buckets)
+    )
+    term_q8 = F.floor(p_s * (F.log(p_s) - F.log(p_c)) * 1e8 + 0.5).cast("bigint")
+    return (
+        joined.select("source", "__n_s", term_q8.alias("__t"))
+        .groupBy("source")
+        .agg(
+            F.first("__n_s").alias("n_tokens"),
+            F.sum("__t").alias("kl_q8"),
+        )
+    )
