@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_lsh_verified",
+    "fuzzy_dedup_funnel",
     "dedup_simhash",
     "ann_lsh_buckets",
     "ann_lsh_topk",
@@ -84,7 +85,9 @@ BENCH_QUERIES = [
     "c4_line_filter",
     "pii_scrub",
     "text_lm_score",
+    "quality_linear_logit",
     "mixture_sample",
+    "source_kl_divergence",
     "bpe_merges",
     "dsir_sample",
     "domain_quota",

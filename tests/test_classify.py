@@ -138,3 +138,34 @@ def test_pseudo_weights_deterministic():
     assert all(-10000 <= x <= 10000 for x in w)
     assert w == pseudo_weights_q4()
     assert len(set(w)) > 200  # spread, not constant
+
+
+def test_stream_batch_parity(spark, tmp_path):
+    # the scorer is a pure projection, so it must run UNCHANGED on a
+    # stream (the model-gate-at-ingest deployment) and agree with batch
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{i % 3} filler") for i in range(40)],
+        "doc_id int, text string",
+    )
+    d = str(tmp_path / "docs_in")
+    docs.write.mode("overwrite").parquet(d)
+    w = pseudo_weights_q4(32)
+    stream = spark.readStream.schema("doc_id int, text string").parquet(d)
+    q = (
+        hashed_logit_score(stream, w)
+        .writeStream.format("memory")
+        .queryName("hls_mem")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck_hls"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["doc_id"], r["logit_q4"], r["keep"])
+        for r in spark.sql("SELECT * FROM hls_mem").collect()
+    }
+    want = {
+        (r["doc_id"], r["logit_q4"], r["keep"])
+        for r in hashed_logit_score(spark.read.parquet(d), w).collect()
+    }
+    assert got == want and len(got) == 40
