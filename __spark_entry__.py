@@ -2085,6 +2085,36 @@ def _q_lm_score(spark, sf_dir):
     return lm_score(_docs(spark, sf_dir))
 
 
+def _q_ccnet_buckets(spark, sf_dir):
+    # the CCNet head/middle/tail split (Wenzek et al. 2020 §4.3): LM
+    # perplexity tertiles assign each doc a quality bucket. Thresholds
+    # come from the integer quantile SKETCH (never a full sort — the
+    # p33/p66 of 100 TB of scores from <= 128 histogram rows); the
+    # score table is localCheckpoint-ed once (doc-count-sized — the
+    # write-then-label posture of a real pipeline), the 1-row threshold
+    # frame broadcasts back, labeling is a zero-shuffle projection.
+    from opentelemetry_collector_contrib_spark.training import lm_score
+    from opentelemetry_collector_contrib_spark.training.sketches import (
+        hist_quantile_sketch,
+    )
+
+    scored = lm_score(_docs(spark, sf_dir)).localCheckpoint()
+    sk = hist_quantile_sketch(scored, "xent_q4", ps=(0.33, 0.66))
+    thr = sk.agg(
+        F.min(F.when(F.col("p") < 0.5, F.col("est"))).alias("t33"),
+        F.min(F.when(F.col("p") >= 0.5, F.col("est"))).alias("t66"),
+    )
+    lab = (
+        F.when(F.col("xent_q4").isNull(), F.lit("unscored"))
+        .when(F.col("xent_q4") <= F.col("t33"), F.lit("head"))
+        .when(F.col("xent_q4") <= F.col("t66"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return scored.crossJoin(F.broadcast(thr)).select(
+        "doc_id", "n_bigrams", "xent_q4", lab.alias("ppl_bucket")
+    )
+
+
 def _q_c4_line_filter(spark, sf_dir):
     # C4 line+page cleanup over the deterministically line-structured
     # corpus; zero-shuffle projection + filter
@@ -2397,7 +2427,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # judge-r3-verified MATCH, operator untouched since — rotates
         # out to keep both BPE ends inside the window)
         "bpe_tokenize": _q_bpe_tokenize,
-        "ann_lsh_topk": _q_ann_lsh_topk,
+        # new in r04 (this session), never driver-checked: the CCNet
+        # perplexity-tertile split (ann_lsh_topk, r02-green on an
+        # untouched operator, rotates out to make room)
+        "ccnet_ppl_buckets": _q_ccnet_buckets,
         "dedup_cosine_bucketed": _q_cosine_bucketed,
         # new in r04 (this session), never driver-checked: the hashed
         # linear classifier — model-based filtering joins the heuristic /
@@ -2435,6 +2468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # domain-quota queries:
         "text_lang_id": _q_lang_id,
         "dedup_embedding_cosine": _q_dedup_cosine,
+        "ann_lsh_topk": _q_ann_lsh_topk,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "multimodal_features": _q_multimodal,
         "doc_fingerprint": _q_fingerprint,
@@ -3749,6 +3783,37 @@ cl AS (SELECT d.doc_id, least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster
 cnt AS (SELECT cluster_id, count(*) AS n_members FROM cl GROUP BY cluster_id)
 SELECT c.doc_id, c.cluster_id, n.n_members, (c.doc_id = c.cluster_id) AS keep
 FROM cl c JOIN cnt n USING (cluster_id)"""
+    # CCNet head/middle/tail perplexity tertiles: the scores CTE is the
+    # literal text_lm_score oracle; thresholds replay the integer
+    # quantile-sketch CTE chain (sketch_hist_quantiles) over the score
+    # column; labeling is CASE over the two pivoted thresholds
+    sqls["ccnet_ppl_buckets"] = f"""WITH scores AS ({sqls['text_lm_score']}),
+vals AS (SELECT xent_q4::BIGINT AS v FROM scores WHERE xent_q4 IS NOT NULL),
+stats AS (
+  SELECT min(v) AS vmin, max(v) AS vmax, count(*) AS n,
+         ((max(v) - min(v)) // 128) + 1 AS width
+  FROM vals HAVING count(*) > 0),
+counts AS (
+  SELECT (v - vmin) // width AS bucket, count(*) AS c
+  FROM vals CROSS JOIN stats GROUP BY 1),
+cum AS (
+  SELECT bucket, sum(c) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum
+  FROM counts),
+hit AS (
+  SELECT p_pct, vmin, width, min(bucket) AS bucket
+  FROM cum CROSS JOIN stats
+       CROSS JOIN (SELECT unnest([33, 66]) AS p_pct) ps
+  WHERE cum * 100 >= p_pct * n
+  GROUP BY p_pct, vmin, width),
+est AS (SELECT p_pct, vmin + (bucket + 1) * width - 1 AS est FROM hit),
+thr AS (SELECT min(CASE WHEN p_pct = 33 THEN est END) AS t33,
+               min(CASE WHEN p_pct = 66 THEN est END) AS t66 FROM est)
+SELECT s.doc_id, s.n_bigrams, s.xent_q4,
+       CASE WHEN s.xent_q4 IS NULL THEN 'unscored'
+            WHEN s.xent_q4 <= t33 THEN 'head'
+            WHEN s.xent_q4 <= t66 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM scores s CROSS JOIN thr"""
     # BPE merge learning: a generated n-round CTE chain — round r counts
     # weighted adjacent symbol pairs over the vocab state w{r-1}, takes
     # the (count desc, a, b) argmax, and applies the merge via the same

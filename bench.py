@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "c4_line_filter",
     "pii_scrub",
     "text_lm_score",
+    "ccnet_ppl_buckets",
     "quality_linear_logit",
     "mixture_sample",
     "source_kl_divergence",
