@@ -1921,6 +1921,21 @@ def _q_pq_topk(spark, sf_dir):
     )
 
 
+def _q_pq_rerank(spark, sf_dir):
+    # the FAISS refine composition: IVF-PQ ADC shortlist (k'=20, 4x the
+    # final k) -> exact cosine rescoring of just those candidates — the
+    # production ANN search shape (compressed scan, exact answer quality)
+    from opentelemetry_collector_contrib_spark.training import pq_rerank_topk
+
+    emb = _emb(spark, sf_dir)
+    cents = ivf_centroids(emb, n_list=16)
+    books = pq_codebooks(emb, m=4, ks=16)
+    short = pq_adc_topk(
+        emb, emb.filter("vec_id < 20"), books, k=20, centroids=cents, n_probe=2
+    )
+    return pq_rerank_topk(emb, emb.filter("vec_id < 20"), short, k=5)
+
+
 def _q_opq_topk(spark, sf_dir):
     # OPQ-rotated IVF-PQ (Ge et al. 2013 rotation posture, structured
     # FJLT pick): the identical PQ composition over the rotated corpus.
@@ -2455,12 +2470,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic_semdedup": _q_semdedup,
         "ann_pq_encode": _q_pq_encode,
         "ann_pq_topk": _q_pq_topk,
-        "text_tfidf_topk": _q_tfidf_topk,
+        # new in r04 (this session), never driver-checked: the FAISS
+        # refine stage (text_tfidf_topk — judge-audited green this
+        # round via the sweep; its operator is untouched — rotates out)
+        "ann_pq_rerank": _q_pq_rerank,
         # --- end of the driver's 50-query window ---
         # (text_quality_score / text_lang_id / dedup_embedding_cosine,
         # all r02-green on untouched operators, rotated out for the
         # three new r04 ops: quality_linear_logit, fuzzy_dedup_funnel,
         # source_kl_divergence)
+        "text_tfidf_topk": _q_tfidf_topk,
         "text_quality_score": _q_quality,
         # rotated out for the temporal / quantile-sketch / pii-scrub
         # queries (all pass-r3 green), plus dedup_ngram_jaccard and
@@ -3741,6 +3760,22 @@ FROM c""",
     sqls["ann_opq_topk"] = "WITH " + rot + ", " + _re.sub(
         r"\bembeddings\b", "remb", pq[len("WITH "):]
     )
+    # FAISS refine stage (IndexRefineFlat): the shortlist CTE is the
+    # literal ann_pq_topk oracle widened to k'=20 (nested-CTE-wrapped,
+    # same pattern as dedup_lsh_verified); the rescore is the exact
+    # brute-force cosine over just those (query, neighbor) pairs, ranked
+    # with brute_force_topk's conventions (cos desc, neighbor_id asc)
+    shortk = pq.replace("WHERE rank <= 5", "WHERE rank <= 20")
+    sqls["ann_pq_rerank"] = f"""WITH short AS ({shortk}),
+ex AS (SELECT s.query_id, s.neighbor_id,
+              round({_dot_sql('q.embedding', 'n.embedding')}
+                    / ({_nrm_sql('q.embedding')} * {_nrm_sql('n.embedding')}), 4) AS cos
+       FROM short s
+       JOIN embeddings q ON q.vec_id = s.query_id
+       JOIN embeddings n ON n.vec_id = s.neighbor_id)
+SELECT query_id, neighbor_id, rank, cos FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM ex) WHERE rank <= 5"""
     # curation funnel: literal composition of the three stage oracles
     # (each a full statement, nested-CTE-wrapped) joined on doc_id — the
     # SQL twin of the one-plan Spark funnel

@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_pq_topk",
+    "ann_pq_rerank",
     "ann_opq_topk",
     "dedup_cosine_bucketed",
     "dedup_semantic_semdedup",

@@ -29,6 +29,7 @@ from .similarity import (
     ivf_centroids,
     ivf_refine,
     pq_adc_topk,
+    pq_rerank_topk,
     pq_codebooks,
     pq_encode,
     rotate_vectors,
@@ -89,6 +90,7 @@ __all__ = [
     "ivf_centroids",
     "ivf_refine",
     "pq_adc_topk",
+    "pq_rerank_topk",
     "rotate_vectors",
     "rotation_masks",
     "rotation_matrix",

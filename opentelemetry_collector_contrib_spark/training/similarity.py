@@ -814,3 +814,54 @@ def rotate_vectors(
         ),
     )
     return df.withColumn(out_col or vec_col, rotated)
+
+
+def pq_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    shortlist: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The FAISS refine stage (IndexRefineFlat): exact re-ranking of a
+    compressed-domain shortlist. ``pq_adc_topk`` ranks by the lossy ADC
+    estimate; production ANN search takes a LARGER-than-k ADC shortlist
+    and rescores just those candidates against the TRUE vectors, giving
+    near-exact recall while the full corpus is still only ever read as
+    m small codes. ``shortlist`` is any frame with (query_id,
+    neighbor_id) — normally ``pq_adc_topk(..., k=k')`` with k' ~ 4k.
+
+    Returns ``(query_id, neighbor_id, rank, cos)`` with
+    :func:`brute_force_topk`'s exact conventions (rounded cosine, ties
+    to the smaller neighbor id), so a shortlist that contains the true
+    top-k re-ranks to EXACTLY the brute-force answer.
+
+    100 TB posture: shortlist x queries is |Q| x k' rows — it broadcasts;
+    the only corpus touch is ONE broadcast-hash-join probe fetching the
+    |Q| x k' true vectors (at deployment scale that's the point lookup
+    the refine paper assumes), and the final rank is a window over
+    |Q| x k' rows. No corpus shuffle anywhere.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    s = shortlist.select("query_id", "neighbor_id").join(
+        F.broadcast(q), "query_id"
+    )
+    scored = c.join(F.broadcast(s), "neighbor_id").select(
+        "query_id",
+        "neighbor_id",
+        F.round(_cos(F.col("qv"), F.col("cv")), 4).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )

@@ -561,6 +561,47 @@ def test_pq_adc_topk_ivf_probe_subset_and_plan(vecs):
         pq_adc_topk(vecs, q, bad, k=3)
 
 
+def test_pq_rerank_recovers_exact_topk(vecs):
+    """The FAISS refine stage: an ADC shortlist that contains the true
+    top-k re-ranks to EXACTLY the brute-force answer (same rank, same
+    rounded cos, same tie conventions), and the plan never shuffles the
+    corpus — shortlist and queries broadcast into one hash-join probe."""
+    import contextlib
+    import io
+
+    from opentelemetry_collector_contrib_spark.training import (
+        pq_codebooks,
+        pq_adc_topk,
+        pq_rerank_topk,
+    )
+
+    books = pq_codebooks(vecs, m=2, ks=2)
+    # k' = 3 covers every non-self candidate in the 4-vector corpus, so
+    # the shortlist provably contains the true top-2
+    short = pq_adc_topk(vecs, vecs, books, k=3)
+    out = pq_rerank_topk(vecs, vecs, short, k=2)
+    exact = brute_force_topk(vecs, vecs, k=2)
+    key = lambda r: (r.query_id, r.rank)
+    got = {key(r): (r.neighbor_id, r.cos) for r in out.collect()}
+    want = {key(r): (r.neighbor_id, r.cos) for r in exact.collect()}
+    assert got == want and got
+    # plan audit on the rerank stage alone (a full-scan ADC shortlist is
+    # a broadcast cross join by design — not what's under test here):
+    # with a literal shortlist, the only corpus touch must be one
+    # broadcast hash-join probe
+    lit_short = vecs.sparkSession.createDataFrame(
+        [(0, 1), (0, 2), (1, 0)], "query_id long, neighbor_id long"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pq_rerank_topk(vecs, vecs, lit_short, k=2).explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_ivf_refine_means_match_hand_computation(vecs):
     """One Lloyd iteration: each refined centroid equals the 1e-9
     fixed-point mean of its assigned vectors, bit-for-bit, regardless of
