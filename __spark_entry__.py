@@ -1936,6 +1936,42 @@ def _q_pq_rerank(spark, sf_dir):
     return pq_rerank_topk(emb, emb.filter("vec_id < 20"), short, k=5)
 
 
+def _q_ann_recall(spark, sf_dir):
+    # recall@5 of every ANN index vs exact brute force over the same
+    # 20-query probe set, each index at its headline-query config — the
+    # tuning metric (FAISS/ann-benchmarks posture) a pipeline runs
+    # before trusting an index config at corpus scale; also pins the
+    # refine contract: pq_rerank recall >= pq_adc recall by construction
+    from opentelemetry_collector_contrib_spark.training import (
+        ann_recall,
+        pq_rerank_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter("vec_id < 20")
+    exact = brute_force_topk(emb, q, k=5)
+    cents = ivf_centroids(emb, n_list=16)
+    books = pq_codebooks(emb, m=4, ks=16)
+    adc = pq_adc_topk(emb, q, books, k=5, centroids=cents, n_probe=2)
+    short = pq_adc_topk(emb, q, books, k=20, centroids=cents, n_probe=2)
+    methods = [
+        ("lsh", lsh_topk(emb, q, k=5, n_planes=4)),
+        ("ivf", ivf_topk(emb, q, cents, k=5, n_probe=2)),
+        ("pq_adc", adc),
+        ("pq_rerank", pq_rerank_topk(emb, q, short, k=5)),
+    ]
+    parts = [
+        ann_recall(exact, approx).select(
+            F.lit(name).alias("method"), "recall", "n_pairs"
+        )
+        for name, approx in methods
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _q_opq_topk(spark, sf_dir):
     # OPQ-rotated IVF-PQ (Ge et al. 2013 rotation posture, structured
     # FJLT pick): the identical PQ composition over the rotated corpus.
@@ -2479,6 +2515,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # all r02-green on untouched operators, rotated out for the
         # three new r04 ops: quality_linear_logit, fuzzy_dedup_funnel,
         # source_kl_divergence)
+        # new in r04 but past the window (sweep-verified ANSI-on; the
+        # window is full of never-driver-checked entries — rotates in
+        # next round): the ANN recall@k tuning metric
+        "ann_recall": _q_ann_recall,
         "text_tfidf_topk": _q_tfidf_topk,
         "text_quality_score": _q_quality,
         # rotated out for the temporal / quantile-sketch / pii-scrub
@@ -3776,6 +3816,36 @@ ex AS (SELECT s.query_id, s.neighbor_id,
 SELECT query_id, neighbor_id, rank, cos FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
   FROM ex) WHERE rank <= 5"""
+    # ANN recall@5: exact top-5 over the SAME 20-query probe set (the
+    # bruteforce oracle widened from vec_id<5), each index's oracle CTE
+    # reused verbatim (nested-CTE-wrapped), hit-counted per method via a
+    # left join — count(a.*) / count(*) is recall over exact pairs
+    exact5 = sqls["ann_bruteforce_topk"].replace("vec_id < 5", "vec_id < 20")
+
+    def _rec(name: str, cte: str) -> str:
+        return (
+            f"SELECT '{name}' AS method, "
+            "round(count(a.neighbor_id)::DOUBLE / count(*), 4) AS recall, "
+            "count(*)::BIGINT AS n_pairs "
+            f"FROM ex e LEFT JOIN (SELECT query_id, neighbor_id FROM {cte}) a "
+            "ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id"
+        )
+
+    sqls["ann_recall"] = (
+        f"WITH ex AS ({exact5}),\n"
+        f"lshm AS ({sqls['ann_lsh_topk']}),\n"
+        f"ivfm AS ({sqls['ann_ivf_topk']}),\n"
+        f"adcm AS ({sqls['ann_pq_topk']}),\n"
+        f"rrm AS ({sqls['ann_pq_rerank']})\n"
+        + " UNION ALL ".join(
+            [
+                _rec("lsh", "lshm"),
+                _rec("ivf", "ivfm"),
+                _rec("pq_adc", "adcm"),
+                _rec("pq_rerank", "rrm"),
+            ]
+        )
+    )
     # curation funnel: literal composition of the three stage oracles
     # (each a full statement, nested-CTE-wrapped) joined on doc_id — the
     # SQL twin of the one-plan Spark funnel

@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "ann_pq_topk",
     "ann_pq_rerank",
     "ann_opq_topk",
+    "ann_recall",
     "dedup_cosine_bucketed",
     "dedup_semantic_semdedup",
     "dedup_passage",

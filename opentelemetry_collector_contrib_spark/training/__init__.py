@@ -28,6 +28,7 @@ from .similarity import (
     ivf_assign,
     ivf_centroids,
     ivf_refine,
+    ann_recall,
     pq_adc_topk,
     pq_rerank_topk,
     pq_codebooks,
@@ -89,6 +90,7 @@ __all__ = [
     "ivf_assign",
     "ivf_centroids",
     "ivf_refine",
+    "ann_recall",
     "pq_adc_topk",
     "pq_rerank_topk",
     "rotate_vectors",

@@ -865,3 +865,32 @@ def pq_rerank_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
     )
+
+
+def ann_recall(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """Recall@k of an approximate index against the exact answer: the
+    fraction of ``exact``'s (query_id, neighbor_id) pairs that appear in
+    ``approx`` — the standard ANN quality metric (FAISS benchmarks,
+    ann-benchmarks.com), needed to TUNE n_planes / n_probe / k' before
+    trusting an index at corpus scale.
+
+    Returns one row ``(recall, n_pairs)``; recall is rounded to 4
+    decimals, ``n_pairs = |exact|`` (k*|Q| when every query has k true
+    neighbors). Both inputs are top-k frames — |Q|*k rows, driver-scale
+    metadata — so the join broadcasts; the expensive work (building the
+    top-k frames) already happened in the scale-safe index paths.
+    """
+    e = exact.select("query_id", "neighbor_id")
+    a = approx.select(
+        "query_id", "neighbor_id", F.lit(1).alias("__hit")
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    j = e.join(F.broadcast(a), ["query_id", "neighbor_id"], "left")
+    return j.agg(
+        F.round(
+            F.try_divide(
+                F.coalesce(F.sum("__hit"), F.lit(0)), F.count(F.lit(1))
+            ),
+            4,
+        ).alias("recall"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )

@@ -602,6 +602,33 @@ def test_pq_rerank_recovers_exact_topk(vecs):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_ann_recall_metric(vecs):
+    """recall(exact, exact) == 1.0; a disjoint approx scores 0.0; a
+    half-overlapping approx scores exactly its overlap fraction; and
+    duplicate pairs in the approx frame can't inflate recall past 1."""
+    from opentelemetry_collector_contrib_spark.training import ann_recall
+
+    spark = vecs.sparkSession
+    exact = brute_force_topk(vecs, vecs, k=2)  # 4 queries x 2 pairs
+    assert [tuple(r) for r in ann_recall(exact, exact).collect()] == [
+        (1.0, 8)
+    ]
+    disjoint = spark.createDataFrame(
+        [(0, 99), (1, 99)], "query_id long, neighbor_id long"
+    )
+    assert [tuple(r) for r in ann_recall(exact, disjoint).collect()] == [
+        (0.0, 8)
+    ]
+    half = exact.filter("rank = 1")  # exactly half of exact's pairs
+    assert [tuple(r) for r in ann_recall(exact, half).collect()] == [
+        (0.5, 8)
+    ]
+    duped = half.unionByName(half)  # dup pairs must not double-count
+    assert [tuple(r) for r in ann_recall(exact, duped).collect()] == [
+        (0.5, 8)
+    ]
+
+
 def test_ivf_refine_means_match_hand_computation(vecs):
     """One Lloyd iteration: each refined centroid equals the 1e-9
     fixed-point mean of its assigned vectors, bit-for-bit, regardless of
