@@ -1972,6 +1972,39 @@ def _q_ann_recall(spark, sf_dir):
     return out
 
 
+def _q_line_dedup(spark, sf_dir):
+    # corpus-level exact line dedup (RefinedWeb/CCNet posture): strike a
+    # line from EVERY doc when its exact text recurs >=2 times across
+    # the corpus. The sf tables' documents are single-line word soup, so
+    # the query first derives a deterministic multi-line corpus (8-word
+    # lines, zero-shuffle projection — the DuckDB twin rebuilds it with
+    # the same list_slice fold); duplicated documents then share every
+    # line, so the op demonstrably removes real cross-doc boilerplate.
+    from opentelemetry_collector_contrib_spark.training import line_dedup
+
+    docs = _docs(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    staged = docs.select("doc_id", toks.alias("__toks"))
+    n = F.size(F.col("__toks"))
+    nlines = F.ceil(n / F.lit(8.0)).cast("int")
+    idx = F.when(nlines > 0, F.sequence(F.lit(0), nlines - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    multi = staged.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                idx,
+                lambda i: F.array_join(
+                    F.slice(F.col("__toks"), i * 8 + 1, 8), " "
+                ),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    return line_dedup(multi, min_dup=2)
+
+
 def _q_opq_topk(spark, sf_dir):
     # OPQ-rotated IVF-PQ (Ge et al. 2013 rotation posture, structured
     # FJLT pick): the identical PQ composition over the rotated corpus.
@@ -2519,6 +2552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window is full of never-driver-checked entries — rotates in
         # next round): the ANN recall@k tuning metric
         "ann_recall": _q_ann_recall,
+        "dedup_lines_corpus": _q_line_dedup,
         "text_tfidf_topk": _q_tfidf_topk,
         "text_quality_score": _q_quality,
         # rotated out for the temporal / quantile-sketch / pii-scrub
@@ -3846,6 +3880,29 @@ SELECT query_id, neighbor_id, rank, cos FROM (
             ]
         )
     )
+    # corpus-level line dedup: derive the same 8-word-line corpus (the
+    # identical list_slice fold as chunk_documents' twin), count lines
+    # corpus-wide, strike >=2-copy lines, reassemble in order
+    sqls["dedup_lines_corpus"] = f"""WITH multi AS (
+  SELECT doc_id, array_to_string(
+    list_transform(range(0, CAST(ceil(len(toks)/8.0) AS INT)),
+                   i -> array_to_string(list_slice(toks, i*8+1, i*8+8), ' ')),
+    chr(10)) AS text
+  FROM (SELECT doc_id, {_WTOKS} AS toks FROM documents)
+), lines AS (
+  SELECT doc_id, arr[i] AS line, i AS pos, len(arr) AS total
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS arr FROM multi),
+       UNNEST(generate_series(1, len(arr))) AS t(i)
+), dup AS (
+  SELECT line FROM lines GROUP BY line HAVING count(*) >= 2
+)
+SELECT l.doc_id,
+       string_agg(l.line, chr(10) ORDER BY l.pos) AS text_clean,
+       count(*)::INT AS kept_lines,
+       (any_value(l.total) - count(*))::INT AS removed_lines
+FROM lines l LEFT JOIN dup d ON l.line = d.line
+WHERE d.line IS NULL
+GROUP BY l.doc_id"""
     # curation funnel: literal composition of the three stage oracles
     # (each a full statement, nested-CTE-wrapped) joined on doc_id — the
     # SQL twin of the one-plan Spark funnel

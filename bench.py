@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "ann_pq_rerank",
     "ann_opq_topk",
     "ann_recall",
+    "dedup_lines_corpus",
     "dedup_cosine_bucketed",
     "dedup_semantic_semdedup",
     "dedup_passage",

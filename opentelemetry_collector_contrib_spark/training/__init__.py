@@ -11,6 +11,7 @@ correctness gate covers it.
 from .dedup import (
     exact_dedup,
     jaccard_verify_pairs,
+    line_dedup,
     lsh_candidate_pairs,
     passage_dedup_stats,
     minhash_signatures,
@@ -84,6 +85,7 @@ __all__ = [
     "lsh_topk",
     "exact_dedup",
     "jaccard_verify_pairs",
+    "line_dedup",
     "extract_features",
     "fingerprint",
     "hyperplane_buckets",

@@ -523,3 +523,80 @@ def jaccard_verify_pairs(
         .select(a_col, b_col, jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    min_dup: int = 2,
+    sep: str = "\n",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level exact line deduplication (the RefinedWeb / CCNet
+    posture: a line whose exact text recurs across the corpus is
+    boilerplate — headers, nav bars, cookie banners — and is struck from
+    EVERY document it appears in, unlike per-document heuristics such as
+    :func:`~..textstats.c4_line_filter`).
+
+    A line is removed when its exact text occurs ``>= min_dup`` times
+    corpus-wide (all occurrences counted, including repeats inside one
+    document). Surviving lines are reassembled in original order;
+    documents left with zero lines are dropped (RefinedWeb drops the
+    then-empty page). Returns ``(id_col, text_clean, kept_lines,
+    removed_lines)``.
+
+    Scale shape — the op is two shuffles plus one anti-join, all of
+    them the cheap kind:
+
+    * the corpus-wide line count is ``groupBy(line).count()`` — a viral
+      boilerplate line (billions of copies at 100 TB) is compressed by
+      map-side partial aggregation to one ``(line, n)`` row per input
+      partition BEFORE the shuffle, so the hot key costs nothing;
+    * membership in the duplicate set is a ``left_anti`` join keyed on
+      the line text — a shuffle join AQE can skew-split (the probe side
+      of a hot line spreads across tasks; there is no window anywhere);
+    * the rebuild is one ``groupBy(doc)`` over surviving lines with an
+      ``array_sort`` on the carried position — per-document state, never
+      larger than the document itself.
+
+    The duplicate set is deliberately NOT broadcast: at corpus scale the
+    number of distinct duplicated lines is itself huge (every 2+-copy
+    line qualifies), so the bounded-memory posture is the shuffled
+    anti-join and AQE may still choose a broadcast when the set turns
+    out small.
+    """
+    import re as _re
+
+    pat = _re.escape(sep)
+    lines = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), pat, -1)).alias("__total"),
+        F.posexplode(F.split(F.col(text_col), pat, -1)).alias(
+            "__pos", "__line"
+        ),
+    )
+    dup = (
+        lines.groupBy("__line")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= min_dup)
+        .select("__line")
+    )
+    kept = lines.join(dup, "__line", "left_anti")
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__pos", "__line"))
+                    ),
+                    lambda s: s["__line"],
+                ),
+                sep,
+            ).alias("text_clean"),
+            F.count(F.lit(1)).cast("int").alias("kept_lines"),
+            (F.first("__total") - F.count(F.lit(1)))
+            .cast("int")
+            .alias("removed_lines"),
+        )
+    )

@@ -1153,3 +1153,65 @@ def test_semdedup_tie_breaks_to_smaller_id(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     got = {r.vec_id: r.keep for r in semdedup(df, [(1, [1.0, 0.0])], 0.99).collect()}
     assert got == {0: True, 1: False, 2: False}
+
+
+def test_line_dedup_corpus_boilerplate(spark):
+    """RefinedWeb semantics: a line recurring corpus-wide (>= min_dup
+    occurrences, intra-doc repeats counted) is struck from EVERY doc;
+    survivors keep original order; fully-boilerplate docs drop; counts
+    reconcile to the doc's original line total."""
+    from opentelemetry_collector_contrib_spark.training import line_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "cookie banner\nunique alpha\nnav bar"),
+            (2, "cookie banner\nunique beta"),
+            (3, "nav bar\nnav bar\nunique gamma"),  # intra-doc repeat
+            (4, "cookie banner"),  # fully boilerplate -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r for r in line_dedup(df, min_dup=2).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1]["text_clean"] == "unique alpha"
+    assert (out[1]["kept_lines"], out[1]["removed_lines"]) == (1, 2)
+    assert out[2]["text_clean"] == "unique beta"
+    assert out[3]["text_clean"] == "unique gamma"
+    assert (out[3]["kept_lines"], out[3]["removed_lines"]) == (1, 2)
+    # min_dup=4: no line reaches 4 occurrences (cookie banner and nav
+    # bar both sit at 3, intra-doc repeats included) -> all docs intact
+    out4 = {
+        r["doc_id"]: r["text_clean"]
+        for r in line_dedup(df, min_dup=4).collect()
+    }
+    assert out4[1] == "cookie banner\nunique alpha\nnav bar"
+    assert out4[3] == "nav bar\nnav bar\nunique gamma"
+    assert out4[4] == "cookie banner"
+
+    # order preservation across many surviving lines
+    long = spark.createDataFrame(
+        [(9, "\n".join(f"line {i}" for i in range(20)))],
+        "doc_id long, text string",
+    )
+    assert line_dedup(long, min_dup=2).collect()[0]["text_clean"] == (
+        "\n".join(f"line {i}" for i in range(20))
+    )
+
+
+def test_line_dedup_plan_shape(spark):
+    """Scale guards: the corpus line count must be a partial/final
+    HashAggregate (map-side combine for viral boilerplate), membership a
+    non-broadcast-forced anti join, and no Window anywhere."""
+    from opentelemetry_collector_contrib_spark.training import line_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a\nb"), (2, "a\nc")], "doc_id long, text string"
+    )
+    plan = (
+        line_dedup(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "HashAggregate" in plan, plan
