@@ -2005,6 +2005,27 @@ def _q_line_dedup(spark, sf_dir):
     return line_dedup(multi, min_dup=2)
 
 
+def _q_lsh_tuning(spark, sf_dir):
+    # the banding-choice S-curve table (MMDS §3.4.2) printed before a
+    # corpus-scale dedup run — includes the headline queries' own
+    # (bands=8, rows=4) banding; pure closed-form math, zero scans
+    from opentelemetry_collector_contrib_spark.training import (
+        lsh_tuning_curve,
+    )
+
+    return lsh_tuning_curve(spark)
+
+
+def _q_mixture_temperature(spark, sf_dir):
+    # mT5 alpha-sampling weight table over the corpus's real sources —
+    # the table that feeds mixture_sample's weights dict
+    from opentelemetry_collector_contrib_spark.training import (
+        mixture_temperature,
+    )
+
+    return mixture_temperature(_docs(spark, sf_dir), alpha=0.3)
+
+
 def _q_opq_topk(spark, sf_dir):
     # OPQ-rotated IVF-PQ (Ge et al. 2013 rotation posture, structured
     # FJLT pick): the identical PQ composition over the rotated corpus.
@@ -2553,6 +2574,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # next round): the ANN recall@k tuning metric
         "ann_recall": _q_ann_recall,
         "dedup_lines_corpus": _q_line_dedup,
+        "lsh_tuning_curve": _q_lsh_tuning,
+        "mixture_temperature": _q_mixture_temperature,
         "text_tfidf_topk": _q_tfidf_topk,
         "text_quality_score": _q_quality,
         # rotated out for the temporal / quantile-sketch / pii-scrub
@@ -3903,6 +3926,30 @@ SELECT l.doc_id,
 FROM lines l LEFT JOIN dup d ON l.line = d.line
 WHERE d.line IS NULL
 GROUP BY l.doc_id"""
+    # LSH banding S-curve: identical closed form, same 4-decimal
+    # rounding soaking libm-pow ulp differences
+    sqls["lsh_tuning_curve"] = """WITH cfg(bands, rows_per_band) AS (
+  VALUES (8, 4), (16, 2), (4, 8)
+), g AS (SELECT i/20.0 AS s FROM UNNEST(generate_series(1, 19)) AS t(i))
+SELECT bands, rows_per_band, round(s, 4) AS s,
+  round(1 - pow(1 - pow(s, rows_per_band), bands), 4) AS p_candidate,
+  round(pow(1.0/bands, 1.0/rows_per_band), 4) AS s_threshold
+FROM cfg, g"""
+    # temperature mixing: the same 1e9 fixed-point quantization BEFORE
+    # the normalizing sum makes the result accumulation-order-free
+    sqls["mixture_temperature"] = f"""WITH per AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         sum(len({_TOKS}))::BIGINT AS n_tokens
+  FROM documents GROUP BY source
+), q AS (
+  SELECT *, n_tokens::DOUBLE / sum(n_tokens) OVER () AS p_raw,
+         CAST(round(pow(n_tokens::DOUBLE / sum(n_tokens) OVER (), 0.3) * 1e9)
+              AS BIGINT) AS pow_q
+  FROM per)
+SELECT source, n_docs, n_tokens, round(p_raw, 6) AS p_raw,
+  round(pow_q::DOUBLE / sum(pow_q) OVER (), 6) AS p_temp,
+  round((pow_q::DOUBLE / sum(pow_q) OVER ()) / p_raw, 4) AS boost
+FROM q"""
     # curation funnel: literal composition of the three stage oracles
     # (each a full statement, nested-CTE-wrapped) joined on doc_id — the
     # SQL twin of the one-plan Spark funnel

@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "ann_opq_topk",
     "ann_recall",
     "dedup_lines_corpus",
+    "mixture_temperature",
     "dedup_cosine_bucketed",
     "dedup_semantic_semdedup",
     "dedup_passage",

@@ -13,6 +13,7 @@ from .dedup import (
     jaccard_verify_pairs,
     line_dedup,
     lsh_candidate_pairs,
+    lsh_tuning_curve,
     passage_dedup_stats,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -60,6 +61,7 @@ from .classify import hashed_logit_score, pseudo_weights_q4  # noqa: F401
 from .curation import curate, domain_quota, topk_per_key  # noqa: F401
 from .sampling import (  # noqa: F401
     dsir_sample,
+    mixture_temperature,
     pack_sequences,
     source_kl_divergence,
     stratified_sample,
@@ -104,6 +106,7 @@ __all__ = [
     "ivf_topk",
     "lang_id",
     "lsh_candidate_pairs",
+    "lsh_tuning_curve",
     "make_planes",
     "minhash_signatures",
     "ngram_jaccard_pairs",
@@ -124,6 +127,7 @@ __all__ = [
     "pseudo_weights_q4",
     "source_kl_divergence",
     "dsir_sample",
+    "mixture_temperature",
     "chunk_documents",
     "vocab_topk",
     "pack_sequences",

@@ -600,3 +600,54 @@ def line_dedup(
             .alias("removed_lines"),
         )
     )
+
+
+def lsh_tuning_curve(
+    spark,
+    configs: tuple[tuple[int, int], ...] = ((8, 4), (16, 2), (4, 8)),
+    grid_n: int = 19,
+) -> DataFrame:
+    """The MinHash-LSH S-curve tuning table (Leskovec/Rajaraman/Ullman,
+    *Mining of Massive Datasets* §3.4.2): for each candidate banding
+    ``(bands b, rows_per_band r)`` and each Jaccard similarity ``s`` on
+    a ``grid_n``-point grid, the probability the pair becomes an LSH
+    candidate, ``p = 1 - (1 - s^r)^b``, plus the threshold
+    ``(1/b)^(1/r)`` where the curve crosses ~0.5.
+
+    This is the table a pipeline prints BEFORE committing a banding to
+    a 100 TB dedup run (the ``bands``/``rows_per_band`` arguments of
+    :func:`lsh_candidate_pairs`) — the planning twin of
+    :func:`~.similarity.ann_recall`'s after-the-fact measurement. Pure
+    closed-form math over literal frames: one double explode, zero
+    joins, zero scans; probabilities rounded to 4 decimals so JVM/libm
+    ``pow`` ulp jitter cannot differ across engines.
+    """
+    cfg = F.array(
+        *[
+            F.struct(
+                F.lit(int(b)).alias("bands"),
+                F.lit(int(r)).alias("rows_per_band"),
+            )
+            for b, r in configs
+        ]
+    )
+    s = F.col("i") / F.lit(float(grid_n + 1))
+    p = 1 - F.pow(
+        1 - F.pow(s, F.col("rows_per_band")), F.col("bands")
+    )
+    thr = F.pow(1.0 / F.col("bands"), 1.0 / F.col("rows_per_band"))
+    return (
+        spark.range(1)
+        .select(F.explode(cfg).alias("c"))
+        .select(
+            "c.*",
+            F.explode(F.sequence(F.lit(1), F.lit(int(grid_n)))).alias("i"),
+        )
+        .select(
+            "bands",
+            "rows_per_band",
+            F.round(s, 4).alias("s"),
+            F.round(p, 4).alias("p_candidate"),
+            F.round(thr, 4).alias("s_threshold"),
+        )
+    )

@@ -409,3 +409,56 @@ def source_kl_divergence(
             F.sum("__t").alias("kl_q8"),
         )
     )
+
+
+def mixture_temperature(
+    df: DataFrame,
+    alpha: float = 0.3,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled source mixing weights (the mT5 / multilingual
+    alpha-sampling rule, Xue et al. 2021 §3.2: sample source ``s`` with
+    probability proportional to ``p_s^alpha``) — the table that FEEDS
+    :func:`mixture_sample`'s ``weights`` dict. ``alpha < 1`` upweights
+    the tail (low-resource sources), ``alpha = 1`` is natural
+    proportions, ``alpha = 0`` is uniform.
+
+    Returns one row per source: ``(source, n_docs, n_tokens, p_raw,
+    p_temp, boost)`` where ``p_raw = tokens_s / total_tokens``,
+    ``p_temp ∝ p_raw^alpha`` (normalized), ``boost = p_temp / p_raw``
+    (the effective over/under-sampling factor a loader applies).
+
+    Scale shape: ONE map-side-combined groupBy over the corpus produces
+    a |sources|-row frame; the normalizations are unpartitioned window
+    sums over THAT frame — driver-scale metadata, never the corpus
+    (contrast exact-prefix mixing, whose per-source cumulative window
+    would serialize the corpus). Cross-engine determinism: ``p_raw^alpha``
+    is quantized to 1e9 fixed point BEFORE the normalizing sum, so the
+    sum is exact integer math in any partition/accumulation order and
+    the DuckDB twin reproduces it bit-for-bit; p_raw's own denominator
+    is an exact BIGINT token sum.
+    """
+    from .dedup import tokens
+
+    n_tok = F.size(tokens(F.col(text_col)))
+    per = (
+        df.select(F.col(source_col), n_tok.alias("__t"))
+        .groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__t").alias("n_tokens"),
+        )
+    )
+    w = Window.partitionBy()
+    p_raw = F.col("n_tokens") / F.sum("n_tokens").over(w)
+    pow_q = F.round(F.pow(p_raw, F.lit(float(alpha))) * 1e9).cast("bigint")
+    p_temp = pow_q / F.sum(pow_q).over(w)
+    return per.select(
+        source_col,
+        "n_docs",
+        "n_tokens",
+        F.round(p_raw, 6).alias("p_raw"),
+        F.round(p_temp, 6).alias("p_temp"),
+        F.round(F.try_divide(p_temp, p_raw), 4).alias("boost"),
+    )

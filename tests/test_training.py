@@ -1215,3 +1215,56 @@ def test_line_dedup_plan_shape(spark):
     assert "Window" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "HashAggregate" in plan, plan
+
+
+def test_lsh_tuning_curve_closed_form(spark):
+    """Hand-checked S-curve points: s=0.5 with (b=8, r=4) gives
+    1-(1-0.5^4)^8 = 0.4033; threshold (1/8)^(1/4) = 0.5946; p is
+    monotone in s for every config; grid is b_configs x grid_n rows."""
+    from opentelemetry_collector_contrib_spark.training import (
+        lsh_tuning_curve,
+    )
+
+    rows = lsh_tuning_curve(spark).collect()
+    assert len(rows) == 3 * 19
+    pt = {
+        (r["bands"], r["rows_per_band"], r["s"]): r for r in rows
+    }
+    r = pt[(8, 4, 0.5)]
+    assert r["p_candidate"] == round(1 - (1 - 0.5**4) ** 8, 4)
+    assert r["s_threshold"] == round((1 / 8) ** 0.25, 4)
+    for b, rpb in [(8, 4), (16, 2), (4, 8)]:
+        ps = [
+            pt[(b, rpb, round(i / 20.0, 4))]["p_candidate"]
+            for i in range(1, 20)
+        ]
+        assert ps == sorted(ps), (b, rpb, ps)
+
+
+def test_mixture_temperature_weights(spark):
+    """alpha=1 reproduces natural proportions; alpha=0 is uniform;
+    alpha=0.5 boosts the minority source above its raw share; p_temp
+    sums to 1 (up to rounding) in every case."""
+    from opentelemetry_collector_contrib_spark.training import (
+        mixture_temperature,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d", "big"), (2, "a b c d", "big"), (3, "a b", "small")],
+        "doc_id long, text string, source string",
+    )
+    def table(alpha):
+        return {
+            r["source"]: r for r in mixture_temperature(df, alpha).collect()
+        }
+
+    nat = table(1.0)
+    assert nat["big"]["n_tokens"] == 8 and nat["small"]["n_tokens"] == 2
+    assert nat["big"]["p_raw"] == 0.8 and nat["big"]["p_temp"] == 0.8
+    assert nat["small"]["boost"] == 1.0
+    uni = table(0.0)
+    assert uni["big"]["p_temp"] == 0.5 == uni["small"]["p_temp"]
+    mid = table(0.5)
+    assert mid["small"]["p_temp"] > mid["small"]["p_raw"]
+    assert mid["small"]["boost"] > 1.0 > mid["big"]["boost"]
+    assert abs(mid["big"]["p_temp"] + mid["small"]["p_temp"] - 1) < 2e-6
