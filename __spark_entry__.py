@@ -2005,6 +2005,17 @@ def _q_line_dedup(spark, sf_dir):
     return line_dedup(multi, min_dup=2)
 
 
+def _q_winnow(spark, sf_dir):
+    # MOSS winnowing fingerprints (k=4-word shingles, window=4): the
+    # guaranteed-coverage local-fingerprint table partial-copy
+    # detection joins on; zero-shuffle map-only explode
+    from opentelemetry_collector_contrib_spark.training import (
+        winnow_fingerprints,
+    )
+
+    return winnow_fingerprints(_docs(spark, sf_dir), k=4, window=4)
+
+
 def _q_lsh_tuning(spark, sf_dir):
     # the banding-choice S-curve table (MMDS §3.4.2) printed before a
     # corpus-scale dedup run — includes the headline queries' own
@@ -2576,6 +2587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines_corpus": _q_line_dedup,
         "lsh_tuning_curve": _q_lsh_tuning,
         "mixture_temperature": _q_mixture_temperature,
+        "winnow_fingerprints": _q_winnow,
         "text_tfidf_topk": _q_tfidf_topk,
         "text_quality_score": _q_quality,
         # rotated out for the temporal / quantile-sketch / pii-scrub
@@ -3926,6 +3938,27 @@ SELECT l.doc_id,
 FROM lines l LEFT JOIN dup d ON l.line = d.line
 WHERE d.line IS NULL
 GROUP BY l.doc_id"""
+    # winnowing: same k=4 shingle md5s, same rightmost-min-per-window
+    # pick via list_reverse/list_position, DISTINCT = array_distinct
+    sqls["winnow_fingerprints"] = f"""WITH sh AS (
+  SELECT doc_id,
+    list_transform(range(0, greatest(len({_TOKS})-3, 0)),
+      i -> md5(array_to_string(list_slice({_TOKS}, i+1, i+4), ' '))) AS h
+  FROM documents
+), win AS (
+  SELECT doc_id, h,
+    CASE WHEN len(h) >= 1
+      THEN range(0, greatest(len(h)-4, 0) + 1) ELSE [] END AS starts
+  FROM sh
+), sel AS (
+  SELECT doc_id,
+    unnest(list_transform(starts, i -> {{
+      'pos': i + len(list_slice(h, i+1, i+4))
+             - list_position(list_reverse(list_slice(h, i+1, i+4)),
+                             list_min(list_slice(h, i+1, i+4))),
+      'fp': list_min(list_slice(h, i+1, i+4)) }})) AS s
+  FROM win)
+SELECT DISTINCT doc_id, CAST(s.pos AS INT) AS pos, s.fp AS fp FROM sel""";
     # LSH banding S-curve: identical closed form, same 4-decimal
     # rounding soaking libm-pow ulp differences
     sqls["lsh_tuning_curve"] = """WITH cfg(bands, rows_per_band) AS (

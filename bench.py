@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "ann_recall",
     "dedup_lines_corpus",
     "mixture_temperature",
+    "winnow_fingerprints",
     "dedup_cosine_bucketed",
     "dedup_semantic_semdedup",
     "dedup_passage",

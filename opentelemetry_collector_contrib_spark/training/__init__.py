@@ -19,6 +19,7 @@ from .dedup import (
     ngram_jaccard_pairs,
     shingles,
     simhash,
+    winnow_fingerprints,
     tokens,
 )
 from .multimodal import binary_table, extract_features
@@ -116,6 +117,7 @@ __all__ = [
     "gopher_quality_filter",
     "shingles",
     "simhash",
+    "winnow_fingerprints",
     "c4_line_filter",
     "lm_score",
     "tfidf_topk",

@@ -651,3 +651,53 @@ def lsh_tuning_curve(
             F.round(thr, 4).alias("s_threshold"),
         )
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 4,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD
+    2003 — the MOSS partial-copy detector): hash every k-word shingle,
+    slide a ``window``-hash window, and select each window's minimal
+    hash (rightmost occurrence on ties — the paper's standard
+    winnowing; its stateful "robust" refinement reuses the previous
+    selection across ties, which needs cross-window state and buys
+    nothing for matching since the tied fingerprint VALUES are already
+    identical). The selected set carries the paper's guarantee: any
+    shared passage of at least ``window + k - 1`` tokens between two
+    documents produces at least one IDENTICAL (fp) selection in both —
+    unlike :func:`~..textstats.fingerprint`'s single whole-doc minhash
+    (no locality) and :func:`passage_dedup_stats`'s aligned
+    non-overlapping passages (misses shifted copies).
+
+    Returns ``(id_col, pos, fp)`` — distinct selections, ``pos`` the
+    0-based token index of the chosen shingle. Documents with fewer
+    than ``window`` shingles winnow their whole (non-empty) hash list;
+    documents with fewer than ``k`` tokens yield no rows.
+
+    Scale shape: pure per-row array expressions (one md5 per shingle,
+    one O(window) scan per window position) + a map-only explode —
+    zero shuffles, zero joins; the downstream shared-fp join is the
+    consumer's (same posture as :func:`minhash_signatures`).
+    """
+    h = F.transform(shingles(tokens(F.col(text_col)), k), F.md5)
+    staged = df.select(F.col(id_col), h.alias("__h"))
+    n = F.size(F.col("__h"))
+    starts = F.when(
+        n >= 1, F.sequence(F.lit(0), F.greatest(n - window, F.lit(0)))
+    ).otherwise(F.array().cast("array<int>"))
+
+    def pick(i):
+        win = F.slice(F.col("__h"), i + 1, window)
+        m = F.array_min(win)
+        pos = i + F.size(win) - F.array_position(F.reverse(win), m)
+        return F.struct(pos.cast("int").alias("pos"), m.alias("fp"))
+
+    sel = F.array_distinct(F.transform(starts, pick))
+    return staged.select(
+        F.col(id_col), F.explode(sel).alias("__s")
+    ).select(id_col, F.col("__s.pos").alias("pos"), F.col("__s.fp").alias("fp"))

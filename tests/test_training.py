@@ -1268,3 +1268,51 @@ def test_mixture_temperature_weights(spark):
     assert mid["small"]["p_temp"] > mid["small"]["p_raw"]
     assert mid["small"]["boost"] > 1.0 > mid["big"]["boost"]
     assert abs(mid["big"]["p_temp"] + mid["small"]["p_temp"] - 1) < 2e-6
+
+
+def test_winnow_guarantee_and_coverage(spark):
+    """The SIGMOD'03 contracts: (1) two docs sharing a passage of
+    >= window+k-1 tokens share at least one fingerprint VALUE; (2)
+    selected positions cover the doc — consecutive selections are never
+    more than `window` shingles apart (every window contributes); (3)
+    identical docs produce identical (pos, fp) sets; (4) a doc shorter
+    than one window still fingerprints, one with < k tokens yields
+    nothing; (5) a constant-token doc yields ONE distinct fingerprint
+    VALUE (each window's rightmost-min is the same hash)."""
+    from opentelemetry_collector_contrib_spark.training import (
+        winnow_fingerprints,
+    )
+
+    shared = "p q r s t u v w x y"  # 10 tokens >= window+k-1 = 7
+    df = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma {shared} delta"),
+            (2, f"one two {shared} three four five"),
+            (3, f"alpha beta gamma {shared} delta"),  # == doc 1
+            (4, "tiny doc here"),          # 3 tokens < k=4 -> no rows
+            (5, "a b c d e"),              # 2 shingles < window -> 1 win
+            (6, " ".join(["z"] * 12)),     # constant: 9 equal hashes
+        ],
+        "doc_id long, text string",
+    )
+    out = winnow_fingerprints(df, k=4, window=4).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    fps = {d: {fp for _, fp in s} for d, s in by_doc.items()}
+    assert fps[1] & fps[2], "shared passage must share a fingerprint"
+    assert by_doc[1] == by_doc[3]
+    assert 4 not in by_doc
+    assert len(by_doc[5]) >= 1
+    assert len(fps[6]) == 1  # constant run -> one distinct fp value
+    # coverage: gaps between consecutive selected positions <= window
+    pos1 = sorted(p for p, _ in by_doc[1])
+    assert pos1[0] < 4
+    assert all(b - a <= 4 for a, b in zip(pos1, pos1[1:])), pos1
+    # plan guard: zero shuffles/joins — a single map-only projection
+    plan = (
+        winnow_fingerprints(df)._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
