@@ -2016,6 +2016,20 @@ def _q_winnow(spark, sf_dir):
     return winnow_fingerprints(_docs(spark, sf_dir), k=4, window=4)
 
 
+def _q_winnow_pairs(spark, sf_dir):
+    # the MOSS match step composed over the fingerprint table:
+    # partial-copy candidate pairs ranked by shared distinct fps; the
+    # df cap bounds viral-boilerplate pair expansion (quadratic
+    # otherwise — same class of guard as lsh max_bucket)
+    from opentelemetry_collector_contrib_spark.training import (
+        winnow_fingerprints,
+        winnow_match_pairs,
+    )
+
+    fps = winnow_fingerprints(_docs(spark, sf_dir), k=4, window=4)
+    return winnow_match_pairs(fps, min_shared=2, max_df=50)
+
+
 def _q_lsh_tuning(spark, sf_dir):
     # the banding-choice S-curve table (MMDS §3.4.2) printed before a
     # corpus-scale dedup run — includes the headline queries' own
@@ -2588,6 +2602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_tuning_curve": _q_lsh_tuning,
         "mixture_temperature": _q_mixture_temperature,
         "winnow_fingerprints": _q_winnow,
+        "winnow_match_pairs": _q_winnow_pairs,
         "text_tfidf_topk": _q_tfidf_topk,
         "text_quality_score": _q_quality,
         # rotated out for the temporal / quantile-sketch / pii-scrub
@@ -3959,6 +3974,16 @@ GROUP BY l.doc_id"""
       'fp': list_min(list_slice(h, i+1, i+4)) }})) AS s
   FROM win)
 SELECT DISTINCT doc_id, CAST(s.pos AS INT) AS pos, s.fp AS fp FROM sel""";
+    # MOSS match step over the winnowing CTE: df-capped fp self-join,
+    # distinct shared-fp count per ordered pair
+    sqls["winnow_match_pairs"] = f"""WITH fps AS (
+{sqls['winnow_fingerprints']}
+), docfp AS (SELECT DISTINCT doc_id, fp FROM fps),
+keep AS (SELECT fp FROM docfp GROUP BY fp HAVING count(*) <= 50),
+bounded AS (SELECT d.doc_id, d.fp FROM docfp d JOIN keep k ON d.fp = k.fp)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*)::BIGINT AS shared_fps
+FROM bounded a JOIN bounded b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2""";
     # LSH banding S-curve: identical closed form, same 4-decimal
     # rounding soaking libm-pow ulp differences
     sqls["lsh_tuning_curve"] = """WITH cfg(bands, rows_per_band) AS (

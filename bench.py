@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "dedup_lines_corpus",
     "mixture_temperature",
     "winnow_fingerprints",
+    "winnow_match_pairs",
     "dedup_cosine_bucketed",
     "dedup_semantic_semdedup",
     "dedup_passage",

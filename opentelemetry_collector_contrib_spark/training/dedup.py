@@ -701,3 +701,45 @@ def winnow_fingerprints(
     return staged.select(
         F.col(id_col), F.explode(sel).alias("__s")
     ).select(id_col, F.col("__s.pos").alias("pos"), F.col("__s.fp").alias("fp"))
+
+
+def winnow_match_pairs(
+    fps: DataFrame,
+    min_shared: int = 2,
+    max_df: int = 50,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The MOSS match step over :func:`winnow_fingerprints` output:
+    ordered document pairs ranked by how many distinct fingerprint
+    VALUES they share — partial-copy candidates (two docs sharing one
+    passage of ``window + k - 1`` tokens share >= 1 fp; longer or
+    repeated overlaps share more, so ``shared_fps`` is a plagiarism
+    score).
+
+    ``max_df`` is the bounded-state guard the pair join NEEDS at corpus
+    scale (MOSS itself drops fingerprints appearing in too many
+    documents as boilerplate): an fp present in d documents expands to
+    d·(d-1)/2 pairs, so a viral fp (license header, nav bar) is
+    quadratic without the cap. The document-frequency count is a
+    map-side-combined aggregate; the cap filter runs BEFORE the
+    self-join, and the join itself keys on fp with AQE skew-split
+    available. ``min_shared`` then prunes incidental single-fp
+    collisions. Returns ``(a_id, b_id, shared_fps)``.
+    """
+    docfp = fps.select(F.col(id_col), "fp").distinct()
+    keep = (
+        docfp.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= max_df)
+        .select("fp")
+    )
+    bounded = docfp.join(keep, "fp")
+    a = bounded.select(F.col(id_col).alias("a_id"), "fp")
+    b = bounded.select(F.col(id_col).alias("b_id"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )

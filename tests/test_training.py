@@ -1316,3 +1316,34 @@ def test_winnow_guarantee_and_coverage(spark):
     )
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_winnow_match_pairs_semantics(spark):
+    """Docs sharing a long passage pair up; the max_df cap silences
+    viral boilerplate fingerprints; min_shared prunes single-fp
+    collisions; identical docs dominate the ranking."""
+    from opentelemetry_collector_contrib_spark.training import (
+        winnow_fingerprints,
+        winnow_match_pairs,
+    )
+
+    shared = "p q r s t u v w x y z zz"
+    df = spark.createDataFrame(
+        [(1, f"alpha beta gamma {shared} delta"),
+         (2, f"one two {shared} three four"),
+         (3, f"alpha beta gamma {shared} delta"),
+         (4, "totally unrelated words with no overlap at all here")],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(df, k=4, window=4)
+    got = {
+        (r["a_id"], r["b_id"]): r["shared_fps"]
+        for r in winnow_match_pairs(fps, min_shared=1, max_df=50).collect()
+    }
+    assert (1, 3) in got and (1, 2) in got and (2, 3) in got
+    assert not any(4 in p for p in got)
+    assert got[(1, 3)] >= got[(1, 2)]  # identical docs share the most
+    # max_df=1: every fp appearing in 2+ docs is boilerplate -> no pairs
+    assert (
+        winnow_match_pairs(fps, min_shared=1, max_df=1).count() == 0
+    )
