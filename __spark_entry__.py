@@ -2016,6 +2016,23 @@ def _q_winnow(spark, sf_dir):
     return winnow_fingerprints(_docs(spark, sf_dir), k=4, window=4)
 
 
+def _q_semantic_decontaminate(spark, sf_dir):
+    # embedding-space decontamination: every 50th vector plays the
+    # eval set; train vectors with cosine >= 0.8 to ANY eval vector
+    # are flagged (broadcast eval row, zero-shuffle HOF probe; 0.4
+    # sits in the synthetic tables' near-dup band so the gate checks
+    # real rows) — the
+    # semantic twin of the shingle-based `decontaminate` query
+    from opentelemetry_collector_contrib_spark.training import (
+        semantic_decontaminate,
+    )
+
+    emb = _emb(spark, sf_dir)
+    ev = emb.filter(F.col("vec_id") % 50 == 0)
+    tr = emb.filter(F.col("vec_id") % 50 != 0)
+    return semantic_decontaminate(tr, ev, threshold=0.4)
+
+
 def _q_winnow_pairs(spark, sf_dir):
     # the MOSS match step composed over the fingerprint table:
     # partial-copy candidate pairs ranked by shared distinct fps; the
@@ -2603,6 +2620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_temperature": _q_mixture_temperature,
         "winnow_fingerprints": _q_winnow,
         "winnow_match_pairs": _q_winnow_pairs,
+        "decontaminate_semantic": _q_semantic_decontaminate,
         "text_tfidf_topk": _q_tfidf_topk,
         "text_quality_score": _q_quality,
         # rotated out for the temporal / quantile-sketch / pii-scrub
@@ -3974,6 +3992,18 @@ GROUP BY l.doc_id"""
       'fp': list_min(list_slice(h, i+1, i+4)) }})) AS s
   FROM win)
 SELECT DISTINCT doc_id, CAST(s.pos AS INT) AS pos, s.fp AS fp FROM sel""";
+    # semantic decontamination: pairwise cross join + grouped max in
+    # SQL == the Spark HOF probe, because rounding happens per pair
+    # BEFORE max/threshold in both
+    sqls["decontaminate_semantic"] = f"""WITH scored AS (
+  SELECT t.vec_id,
+         round({_DOT_AB.replace('a.embedding', 't.embedding').replace('b.embedding', 'e.embedding')}
+               / ({_nrm('t')} * {_nrm('e')}), 4) AS cos
+  FROM (SELECT * FROM embeddings WHERE vec_id % 50 != 0) t
+  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id % 50 = 0) e)
+SELECT vec_id, max(cos) AS max_cos,
+       count(*) FILTER (cos >= 0.4)::INT AS n_hits
+FROM scored GROUP BY vec_id HAVING count(*) FILTER (cos >= 0.4) >= 1""";
     # MOSS match step over the winnowing CTE: df-capped fp self-join,
     # distinct shared-fp count per ordered pair
     sqls["winnow_match_pairs"] = f"""WITH fps AS (

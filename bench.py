@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "mixture_temperature",
     "winnow_fingerprints",
     "winnow_match_pairs",
+    "decontaminate_semantic",
     "dedup_cosine_bucketed",
     "dedup_semantic_semdedup",
     "dedup_passage",

@@ -894,3 +894,43 @@ def ann_recall(exact: DataFrame, approx: DataFrame) -> DataFrame:
         ).alias("recall"),
         F.count(F.lit(1)).alias("n_pairs"),
     )
+
+
+def semantic_decontaminate(
+    train: DataFrame,
+    eval_set: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space train/eval decontamination: flag every TRAIN
+    vector whose cosine to ANY eval vector reaches ``threshold`` — the
+    semantic twin of :func:`~.dedup.contamination_check`'s shingle
+    overlap, catching paraphrased/templated leakage that exact n-grams
+    miss (the SemDeDup-style complement every eval-hygiene appendix
+    runs alongside string matching). Returns ``(id_col, max_cos,
+    n_hits)`` for flagged rows only.
+
+    Scale shape — identical posture to the shingle probe: the eval set
+    (small by construction) is collected into ONE broadcast row of
+    vectors; the 100 TB train side is scanned once and each row scores
+    all eval vectors inside a higher-order-function projection — zero
+    shuffles, zero groupBy, no row explosion (|train| rows stay |train|
+    rows). Cosines are rounded to 4 decimals BEFORE the max/threshold
+    so the DuckDB twin (pairwise cross join + grouped max) is
+    bit-identical.
+    """
+    ev = eval_set.agg(F.collect_list(F.col(vec_col)).alias("__evs"))
+    probe = train.crossJoin(F.broadcast(ev))
+    cosines = F.transform(
+        F.col("__evs"), lambda v: F.round(_cos(F.col(vec_col), v), 4)
+    )
+    hits = F.filter(cosines, lambda c: c >= F.lit(float(threshold)))
+    return (
+        probe.select(
+            F.col(id_col),
+            F.array_max(cosines).alias("max_cos"),
+            F.size(hits).alias("n_hits"),
+        )
+        .filter(F.col("n_hits") >= 1)
+    )

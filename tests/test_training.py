@@ -1347,3 +1347,48 @@ def test_winnow_match_pairs_semantics(spark):
     assert (
         winnow_match_pairs(fps, min_shared=1, max_df=1).count() == 0
     )
+
+
+def test_semantic_decontaminate(vecs, spark):
+    """A train vector aligned with an eval vector is flagged with the
+    exact rounded cosine; orthogonal/opposite train vectors pass clean;
+    n_hits counts every eval vector above threshold; empty eval set
+    flags nothing; zero-norm train vectors never crash (null cosine)."""
+    from opentelemetry_collector_contrib_spark.training import (
+        semantic_decontaminate,
+    )
+
+    ev = vecs.filter("vec_id = 0")          # [1,0,0,0]
+    tr = vecs.filter("vec_id != 0")         # near-dup, orthogonal, opposite
+    got = {
+        r["vec_id"]: r
+        for r in semantic_decontaminate(tr, ev, threshold=0.9).collect()
+    }
+    assert set(got) == {1}
+    assert got[1]["max_cos"] == 1.0 and got[1]["n_hits"] == 1
+    # two eval vectors both matching -> n_hits = 2
+    ev2 = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0]), (101, [1.0, 0.001, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got2 = semantic_decontaminate(tr, ev2, threshold=0.9).collect()
+    assert {r["vec_id"]: r["n_hits"] for r in got2} == {1: 2}
+    # empty eval set: collect_list gives [], no flags, no crash
+    assert (
+        semantic_decontaminate(tr, vecs.filter("vec_id < 0")).count() == 0
+    )
+    # zero-norm train vector: null cosine drops silently (ANSI-safe)
+    zn = spark.createDataFrame(
+        [(7, [0.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    assert semantic_decontaminate(zn, ev, threshold=0.1).count() == 0
+    # plan guard: eval side broadcast, train side never shuffles
+    plan = (
+        semantic_decontaminate(tr, ev)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    # the only exchanges allowed are the eval-side collect (tiny,
+    # SinglePartition) and its broadcast — the train side must never
+    # shuffle by key
+    assert "Exchange hashpartitioning" not in plan, plan
