@@ -2016,6 +2016,18 @@ def _q_winnow(spark, sf_dir):
     return winnow_fingerprints(_docs(spark, sf_dir), k=4, window=4)
 
 
+def _q_corpus_health(spark, sf_dir):
+    # the after-every-ingest monitoring table: volumes / token mass /
+    # short-doc fraction / exact-dup rate at (source,lang), (source),
+    # and overall grains — ONE scan via ROLLUP (count connector's
+    # GROUPING SETS posture)
+    from opentelemetry_collector_contrib_spark.training import (
+        corpus_health,
+    )
+
+    return corpus_health(_docs(spark, sf_dir), short_tokens=20)
+
+
 def _q_semantic_decontaminate(spark, sf_dir):
     # embedding-space decontamination: every 50th vector plays the
     # eval set; train vectors with cosine >= 0.8 to ANY eval vector
@@ -2621,6 +2633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": _q_winnow,
         "winnow_match_pairs": _q_winnow_pairs,
         "decontaminate_semantic": _q_semantic_decontaminate,
+        "corpus_health": _q_corpus_health,
         "text_tfidf_topk": _q_tfidf_topk,
         "text_quality_score": _q_quality,
         # rotated out for the temporal / quantile-sketch / pii-scrub
@@ -3992,6 +4005,20 @@ GROUP BY l.doc_id"""
       'fp': list_min(list_slice(h, i+1, i+4)) }})) AS s
   FROM win)
 SELECT DISTINCT doc_id, CAST(s.pos AS INT) AS pos, s.fp AS fp FROM sel""";
+    # corpus health ROLLUP: GROUPING(source, lang) is the same bitmask
+    # as Spark's grouping_id(); q4 fixed-point floors keep every
+    # fraction integer-exact
+    sqls["corpus_health"] = f"""SELECT source, lang,
+  GROUPING(source, lang)::INT AS lvl,
+  count(*)::BIGINT AS n_docs,
+  sum(len({_TOKS}))::BIGINT AS n_tokens,
+  floor(10000.0 * sum(len({_TOKS})) / count(*))::BIGINT AS avg_tokens_q4,
+  floor(10000.0 * sum(CASE WHEN len({_TOKS}) < 20 THEN 1 ELSE 0 END)
+        / count(*))::BIGINT AS short_frac_q4,
+  count(DISTINCT md5(text))::BIGINT AS distinct_docs,
+  floor(10000.0 * (count(*) - count(DISTINCT md5(text)))
+        / count(*))::BIGINT AS dup_frac_q4
+FROM documents GROUP BY ROLLUP (source, lang)""";
     # semantic decontamination: pairwise cross join + grouped max in
     # SQL == the Spark HOF probe, because rounding happens per pair
     # BEFORE max/threshold in both

@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "winnow_fingerprints",
     "winnow_match_pairs",
     "decontaminate_semantic",
+    "corpus_health",
     "dedup_cosine_bucketed",
     "dedup_semantic_semdedup",
     "dedup_passage",

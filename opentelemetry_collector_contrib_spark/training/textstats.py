@@ -523,3 +523,47 @@ def lm_score(
         # output columns are DOUBLE on both sides)
         F.expr("(2 * __s + __n) div (2 * __n)").cast("double").alias("xent_q4"),
     )
+
+
+def corpus_health(
+    df: DataFrame,
+    short_tokens: int = 20,
+    source_col: str = "source",
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """One-pass corpus health report at three grains — (source, lang),
+    (source), overall — the monitoring table a corpus pipeline prints
+    after every ingest batch: volumes, token mass, short-doc fraction,
+    and exact-duplicate rate, each per grain.
+
+    ``ROLLUP`` (one Expand + one aggregation — the count connector's
+    GROUPING SETS posture) computes all three grains in a SINGLE corpus
+    scan; ``lvl`` is the grouping_id bitmask disambiguating grains.
+    ``dup_frac_q4`` uses an EXACT ``count(distinct md5(text))`` so the
+    DuckDB twin is bit-identical — the corpus-scale variant would swap
+    in the HLL sketch (:func:`~.sketches.corpus_distinct_hll`) to avoid
+    the per-group distinct expansion; fractions are 1e4 fixed-point
+    (floor) so no float accumulation order can differ cross-engine.
+    """
+    from .dedup import tokens
+
+    n_tok = F.size(tokens(F.col(text_col)))
+    base = df.select(
+        F.col(source_col).alias("source"),
+        F.col(lang_col).alias("lang"),
+        n_tok.alias("__t"),
+        F.md5(F.col(text_col)).alias("__h"),
+    )
+    n = F.count(F.lit(1))
+    short = F.sum(F.when(F.col("__t") < short_tokens, 1).otherwise(0))
+    d = F.countDistinct("__h")
+    return base.rollup("source", "lang").agg(
+        F.grouping_id().cast("int").alias("lvl"),
+        n.cast("bigint").alias("n_docs"),
+        F.sum("__t").cast("bigint").alias("n_tokens"),
+        F.floor(10000.0 * F.sum("__t") / n).cast("bigint").alias("avg_tokens_q4"),
+        F.floor(10000.0 * short / n).cast("bigint").alias("short_frac_q4"),
+        d.cast("bigint").alias("distinct_docs"),
+        F.floor(10000.0 * (n - d) / n).cast("bigint").alias("dup_frac_q4"),
+    )

@@ -1392,3 +1392,32 @@ def test_semantic_decontaminate(vecs, spark):
     # SinglePartition) and its broadcast — the train side must never
     # shuffle by key
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_corpus_health_rollup_grains(spark):
+    """All three grains in one result: per (source,lang), per source,
+    overall; dup rate counts exact text duplicates; fixed-point
+    fractions floor correctly; lvl disambiguates grains."""
+    from opentelemetry_collector_contrib_spark.training import corpus_health
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c", "en", "web"),
+            (2, "a b c", "en", "web"),      # exact dup of 1
+            (3, "d e f g h", "de", "web"),
+            (4, "one two", "en", "books"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    rows = corpus_health(df, short_tokens=3).collect()
+    by = {(r["source"], r["lang"], r["lvl"]): r for r in rows}
+    assert len(rows) == 3 + 2 + 1  # 3 (s,l) + 2 (s) + 1 overall
+    web_en = by[("web", "en", 0)]
+    assert web_en["n_docs"] == 2 and web_en["distinct_docs"] == 1
+    assert web_en["dup_frac_q4"] == 5000
+    web = by[("web", None, 1)]
+    assert web["n_docs"] == 3 and web["n_tokens"] == 11
+    assert web["avg_tokens_q4"] == 36666  # floor(10000*11/3)
+    total = by[(None, None, 3)]
+    assert total["n_docs"] == 4 and total["distinct_docs"] == 3
+    assert total["short_frac_q4"] == 2500  # only doc 4 is < 3 tokens
