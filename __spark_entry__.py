@@ -2016,6 +2016,48 @@ def _q_winnow(spark, sf_dir):
     return winnow_fingerprints(_docs(spark, sf_dir), k=4, window=4)
 
 
+def _q_ivf_balance(spark, sf_dir):
+    # FAISS imbalance_factor over the headline 16-list assignment: the
+    # n_list tuning diagnostic (p99 probe latency tracks the LARGEST
+    # probed list) — one grouped count + one metadata-scale aggregate
+    from opentelemetry_collector_contrib_spark.training import ivf_balance
+
+    emb = _emb(spark, sf_dir)
+    return ivf_balance(ivf_assign(emb, ivf_centroids(emb, n_list=16)), n_list=16)
+
+
+def _q_dup_matrix(spark, sf_dir):
+    # source×source duplicate-overlap matrix over the verified fuzzy
+    # pairs: diagonal = intra-source boilerplate, off-diagonal =
+    # cross-source mirroring — decides where the dedup budget goes
+    from opentelemetry_collector_contrib_spark.training import (
+        cross_source_dup_matrix,
+    )
+
+    docs = _docs(spark, sf_dir)
+    sigs = minhash_signatures(docs, n_hashes=_MINHASH_N)
+    pairs = lsh_candidate_pairs(
+        sigs, bands=_BANDS, rows_per_band=_ROWS, max_bucket=_LSH_MAX_BUCKET
+    )
+    verified = jaccard_verify_pairs(docs, pairs, threshold=0.8)
+    return cross_source_dup_matrix(docs, verified)
+
+
+def _q_incremental_dedup(spark, sf_dir):
+    # ingest-time dedup: every doc_id%10==7 doc plays the arriving
+    # batch, the rest the already-ingested corpus; Bloom-pruned exact
+    # anti-join + intra-batch collapse (output bit-identical to the
+    # plain anti-join twin — the Bloom stage only prunes)
+    from opentelemetry_collector_contrib_spark.training import (
+        incremental_dedup,
+    )
+
+    docs = _docs(spark, sf_dir)
+    batch = docs.filter(F.col("doc_id") % 10 == 7)
+    seen = docs.filter(F.col("doc_id") % 10 != 7)
+    return incremental_dedup(batch, seen)
+
+
 def _q_corpus_health(spark, sf_dir):
     # the after-every-ingest monitoring table: volumes / token mass /
     # short-doc fraction / exact-dup rate at (source,lang), (source),
@@ -2040,8 +2082,14 @@ def _q_semantic_decontaminate(spark, sf_dir):
     )
 
     emb = _emb(spark, sf_dir)
-    ev = emb.filter(F.col("vec_id") % 50 == 0)
-    tr = emb.filter(F.col("vec_id") % 50 != 0)
+    # eval sets are FIXED-SIZE in reality (a benchmark suite does not
+    # grow with the corpus): cap the eval side at vec_id < 2500 so the
+    # |train|x|eval| work scales LINEARLY with the corpus — without the
+    # cap the bench's 10x table made this query 12x slower (quadratic
+    # by construction, not by plan)
+    is_ev = (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2500)
+    ev = emb.filter(is_ev)
+    tr = emb.filter(~is_ev)
     return semantic_decontaminate(tr, ev, threshold=0.4)
 
 
@@ -2634,6 +2682,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_match_pairs": _q_winnow_pairs,
         "decontaminate_semantic": _q_semantic_decontaminate,
         "corpus_health": _q_corpus_health,
+        "dedup_incremental": _q_incremental_dedup,
+        "dedup_source_matrix": _q_dup_matrix,
+        "ann_ivf_balance": _q_ivf_balance,
         "text_tfidf_topk": _q_tfidf_topk,
         "text_quality_score": _q_quality,
         # rotated out for the temporal / quantile-sketch / pii-scrub
@@ -4005,6 +4056,30 @@ GROUP BY l.doc_id"""
       'fp': list_min(list_slice(h, i+1, i+4)) }})) AS s
   FROM win)
 SELECT DISTINCT doc_id, CAST(s.pos AS INT) AS pos, s.fp AS fp FROM sel""";
+    # IVF balance: sizes over the assign CTE, FAISS imbalance formula
+    sqls["ann_ivf_balance"] = f"""WITH asg AS ({sqls['ann_ivf_assign']}),
+sizes AS (SELECT list_id, count(*)::BIGINT AS n FROM asg GROUP BY list_id)
+SELECT count(*)::INT AS n_lists_used,
+  min(n)::BIGINT AS min_size, max(n)::BIGINT AS max_size,
+  floor(10000.0 * sum(n) / 16)::BIGINT AS mean_size_q4,
+  floor(10000.0 * 16 * sum(n*n) / (sum(n) * sum(n)))::BIGINT AS imbalance_q4
+FROM sizes"""
+    # incremental dedup: the Bloom stage is prune-only, so the twin is
+    # the plain anti-join + lowest-id intra-batch collapse
+    sqls["dedup_incremental"] = """WITH seen AS (
+  SELECT * FROM documents WHERE doc_id % 10 != 7
+), batch AS (
+  SELECT * FROM documents WHERE doc_id % 10 = 7
+), newb AS (
+  SELECT b.* FROM batch b
+  LEFT JOIN (SELECT DISTINCT md5(text) AS h FROM seen) s
+    ON md5(b.text) = s.h
+  WHERE s.h IS NULL
+), w AS (
+  SELECT md5(text) AS h, min(doc_id) AS keep FROM newb GROUP BY md5(text)
+)
+SELECT n.* FROM newb n
+JOIN w ON md5(n.text) = w.h AND n.doc_id = w.keep""";
     # corpus health ROLLUP: GROUPING(source, lang) is the same bitmask
     # as Spark's grouping_id(); q4 fixed-point floors keep every
     # fraction integer-exact
@@ -4026,8 +4101,10 @@ FROM documents GROUP BY ROLLUP (source, lang)""";
   SELECT t.vec_id,
          round({_DOT_AB.replace('a.embedding', 't.embedding').replace('b.embedding', 'e.embedding')}
                / ({_nrm('t')} * {_nrm('e')}), 4) AS cos
-  FROM (SELECT * FROM embeddings WHERE vec_id % 50 != 0) t
-  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id % 50 = 0) e)
+  FROM (SELECT * FROM embeddings
+        WHERE NOT (vec_id % 50 = 0 AND vec_id < 2500)) t
+  CROSS JOIN (SELECT * FROM embeddings
+              WHERE vec_id % 50 = 0 AND vec_id < 2500) e)
 SELECT vec_id, max(cos) AS max_cos,
        count(*) FILTER (cos >= 0.4)::INT AS n_hits
 FROM scored GROUP BY vec_id HAVING count(*) FILTER (cos >= 0.4) >= 1""";
@@ -4107,6 +4184,14 @@ cl AS (SELECT d.doc_id, least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster
 cnt AS (SELECT cluster_id, count(*) AS n_members FROM cl GROUP BY cluster_id)
 SELECT c.doc_id, c.cluster_id, n.n_members, (c.doc_id = c.cluster_id) AS keep
 FROM cl c JOIN cnt n USING (cluster_id)"""
+    # source×source overlap matrix over the verified pairs CTE
+    sqls["dedup_source_matrix"] = f"""WITH vp AS ({sqls['dedup_lsh_verified']})
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       count(*)::BIGINT AS n_pairs
+FROM vp JOIN documents da ON vp.a_id = da.doc_id
+        JOIN documents db ON vp.b_id = db.doc_id
+GROUP BY 1, 2"""
     # CCNet head/middle/tail perplexity tertiles: the scores CTE is the
     # literal text_lm_score oracle; thresholds replay the integer
     # quantile-sketch CTE chain (sketch_hist_quantiles) over the score

@@ -86,6 +86,8 @@ BENCH_QUERIES = [
     "winnow_match_pairs",
     "decontaminate_semantic",
     "corpus_health",
+    "dedup_incremental",
+    "dedup_source_matrix",
     "dedup_cosine_bucketed",
     "dedup_semantic_semdedup",
     "dedup_passage",

@@ -743,3 +743,113 @@ def winnow_match_pairs(
         .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bloom_hashes: int = 4,
+    bloom_bits: int = 1 << 16,
+) -> DataFrame:
+    """Ingest-time exact dedup of a NEW batch against the
+    already-ingested corpus AND itself — the shape a continuously-fed
+    corpus actually runs (nobody re-deduplicates 100 TB per arriving
+    batch): batch rows whose exact text already exists in ``seen`` are
+    dropped, then intra-batch duplicates collapse to the lowest id
+    (:func:`exact_dedup` semantics). Returns surviving batch rows with
+    their original columns.
+
+    Scale shape — three stages, each bounded:
+
+    * a Bloom filter over the corpus text (:func:`~.sketches.
+      bloom_build` — distinct-bit rows, <= ``bloom_bits`` rows
+      regardless of corpus size, broadcastable by construction) is
+      probed map-side by the batch; Bloom has NO false negatives, so
+      bloom-negative rows are definitively new and skip the join
+      entirely — at a sane sizing that is almost the whole batch;
+    * only bloom-POSITIVE rows anti-join the corpus hash set to
+      resolve false positives exactly. The corpus side should be the
+      persisted hash table bucketed by hash (the Iceberg sink's
+      bucketing), making the per-batch anti-join bucket-local instead
+      of re-shuffling the corpus — the Bloom prune bounds the PROBE
+      side, bucketing bounds the BUILD side;
+    * the intra-batch collapse is :func:`exact_dedup`'s
+      map-side-combined groupBy + semi-join (batch-sized).
+
+    The Bloom stage is a pure pruning optimization: output is
+    bit-identical to the plain anti-join (the oracle twin), bloom or
+    no bloom.
+    """
+    from .sketches import bloom_build, bloom_probe
+
+    bits = bloom_build(
+        seen.select(F.col(text_col)),
+        text_col=text_col,
+        n_hashes=bloom_hashes,
+        m_bits=bloom_bits,
+    )
+    probe = bloom_probe(
+        batch,
+        bits,
+        text_col=text_col,
+        id_col=id_col,
+        n_hashes=bloom_hashes,
+        m_bits=bloom_bits,
+    ).select(id_col, "maybe_member")
+    staged = batch.join(probe, id_col)
+    clean = staged.filter(~F.col("maybe_member")).drop("maybe_member")
+    cand = staged.filter(F.col("maybe_member")).drop("maybe_member")
+    seen_h = seen.select(F.md5(F.col(text_col)).alias("__h")).distinct()
+    resolved = (
+        cand.withColumn("__h", F.md5(F.col(text_col)))
+        .join(seen_h, "__h", "left_anti")
+        .drop("__h")
+    )
+    return exact_dedup(
+        clean.unionByName(resolved), text_col=text_col, id_col=id_col
+    )
+
+
+def cross_source_dup_matrix(
+    docs: DataFrame,
+    pairs: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+) -> DataFrame:
+    """Where does the duplication come from? Aggregate a verified
+    duplicate-pair frame (:func:`jaccard_verify_pairs`,
+    :func:`cosine_pairs`…) into an unordered source×source overlap
+    matrix — the diagnostic that tells a corpus team whether dups are
+    intra-source boilerplate (diagonal) or cross-source mirroring
+    (off-diagonal, e.g. the same articles crawled via two feeds), which
+    decides WHERE to point the dedup budget.
+
+    Returns ``(source_a, source_b, n_pairs)`` with ``source_a <=
+    source_b`` (unordered pair canonicalized), descending ``n_pairs``.
+
+    Scale shape: the pair frame is candidate-scale (LSH-bounded), tiny
+    next to the corpus, so BOTH id joins broadcast the pair side and
+    the corpus is scanned once projected to (id, source); final agg is
+    a map-side-combined groupBy over |sources|² keys.
+    """
+    src = docs.select(F.col(id_col), F.col(source_col).alias("__src"))
+    a = src.select(
+        F.col(id_col).alias(a_col), F.col("__src").alias("__sa")
+    )
+    b = src.select(
+        F.col(id_col).alias(b_col), F.col("__src").alias("__sb")
+    )
+    tagged = pairs.select(a_col, b_col).join(a, a_col).join(b, b_col)
+    return (
+        tagged.select(
+            F.least("__sa", "__sb").alias("source_a"),
+            F.greatest("__sa", "__sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .orderBy(F.col("n_pairs").desc(), "source_a", "source_b")
+    )

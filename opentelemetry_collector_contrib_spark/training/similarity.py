@@ -934,3 +934,43 @@ def semantic_decontaminate(
         )
         .filter(F.col("n_hits") >= 1)
     )
+
+
+def ivf_balance(
+    assigned: DataFrame,
+    n_list: int,
+    list_col: str = "list_id",
+) -> DataFrame:
+    """Inverted-list balance report over :func:`ivf_assign` output —
+    the n_list tuning diagnostic (FAISS's imbalance_factor): skewed
+    lists mean some probes scan far more than |corpus|/n_list vectors,
+    so p99 probe latency tracks the LARGEST probed list, not the mean.
+
+    One row: ``(n_lists_used, min_size, max_size, mean_size_q4,
+    imbalance_q4)`` where ``imbalance = n_list * sum(size²) / sum(size)²``
+    (1.0 = perfectly balanced; FAISS's metric exactly) in 1e4 fixed
+    point. Empty lists count toward ``n_list`` in the imbalance but
+    appear as ``n_lists_used < n_list``.
+
+    Scale shape: one map-side-combined groupBy to an <= n_list-row
+    frame, then a single-row aggregate over THAT — corpus scanned once,
+    second stage is metadata-scale.
+    """
+    sizes = assigned.groupBy(list_col).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    n = F.col("__n")
+    return sizes.agg(
+        F.count(F.lit(1)).cast("int").alias("n_lists_used"),
+        F.min(n).cast("bigint").alias("min_size"),
+        F.max(n).cast("bigint").alias("max_size"),
+        F.floor(10000.0 * F.sum(n) / F.lit(int(n_list)))
+        .cast("bigint")
+        .alias("mean_size_q4"),
+        F.floor(
+            10000.0 * F.lit(int(n_list)) * F.sum(n * n)
+            / (F.sum(n) * F.sum(n))
+        )
+        .cast("bigint")
+        .alias("imbalance_q4"),
+    )

@@ -1421,3 +1421,88 @@ def test_corpus_health_rollup_grains(spark):
     total = by[(None, None, 3)]
     assert total["n_docs"] == 4 and total["distinct_docs"] == 3
     assert total["short_frac_q4"] == 2500  # only doc 4 is < 3 tokens
+
+
+def test_incremental_dedup_against_corpus_and_self(spark):
+    """Batch rows already in the corpus drop; intra-batch dups collapse
+    to the lowest id; genuinely new rows pass with all columns; result
+    is identical with a tiny Bloom (all-positive, pure fallthrough to
+    the anti-join) and a roomy one."""
+    from opentelemetry_collector_contrib_spark.training import (
+        incremental_dedup,
+    )
+
+    seen = spark.createDataFrame(
+        [(1, "old doc one", "en"), (2, "old doc two", "en")],
+        "doc_id long, text string, lang string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "old doc one", "en"),   # exact corpus dup -> drop
+            (11, "brand new alpha", "en"),
+            (12, "brand new alpha", "de"),  # intra-batch dup -> keep 11
+            (13, "brand new beta", "fr"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    for m_bits in (8, 1 << 16):  # degenerate and roomy Bloom sizings
+        got = {
+            r["doc_id"]: r
+            for r in incremental_dedup(
+                batch, seen, bloom_bits=m_bits
+            ).collect()
+        }
+        assert set(got) == {11, 13}, (m_bits, got)
+        assert got[11]["lang"] == "en" and got[13]["lang"] == "fr"
+    # empty corpus: pure intra-batch dedup
+    empty = seen.filter("doc_id < 0")
+    kept = sorted(
+        r["doc_id"] for r in incremental_dedup(batch, empty).collect()
+    )
+    assert kept == [10, 11, 13]
+
+
+def test_cross_source_dup_matrix(spark):
+    """Unordered source pairs canonicalize (web,books)==(books,web);
+    diagonal counts intra-source pairs; counts add up."""
+    from opentelemetry_collector_contrib_spark.training import (
+        cross_source_dup_matrix,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "web"), (2, "web"), (3, "books"), (4, "cc")],
+        "doc_id long, source string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (3, 2), (1, 4)], "a_id long, b_id long"
+    )
+    got = {
+        (r["source_a"], r["source_b"]): r["n_pairs"]
+        for r in cross_source_dup_matrix(docs, pairs).collect()
+    }
+    assert got == {
+        ("web", "web"): 1,        # (1,2)
+        ("books", "web"): 2,      # (1,3) and (3,2) canonicalize together
+        ("cc", "web"): 1,
+    }
+
+
+def test_ivf_balance_metric(spark):
+    """Hand-computed: sizes {0:3, 1:1} with n_list=4 -> used=2,
+    mean_q4 = floor(10000*4/4) = 10000, imbalance = 4*(9+1)/16 = 2.5
+    -> 25000; a perfectly balanced assignment scores exactly 1.0."""
+    from opentelemetry_collector_contrib_spark.training import ivf_balance
+
+    assigned = spark.createDataFrame(
+        [(i, 0) for i in range(3)] + [(9, 1)], "vec_id long, list_id int"
+    )
+    r = ivf_balance(assigned, n_list=4).collect()[0]
+    assert r["n_lists_used"] == 2
+    assert (r["min_size"], r["max_size"]) == (1, 3)
+    assert r["mean_size_q4"] == 10000      # floor(10000*4/4)
+    assert r["imbalance_q4"] == 25000      # 4*(9+1)/16 = 2.5
+    # perfectly balanced: imbalance exactly 1.0
+    bal = spark.createDataFrame(
+        [(i, i % 4) for i in range(8)], "vec_id long, list_id int"
+    )
+    assert ivf_balance(bal, n_list=4).collect()[0]["imbalance_q4"] == 10000
