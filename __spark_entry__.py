@@ -2016,6 +2016,28 @@ def _q_winnow(spark, sf_dir):
     return winnow_fingerprints(_docs(spark, sf_dir), k=4, window=4)
 
 
+def _q_compression_ratio(spark, sf_dir):
+    # zlib compressibility quality signal (Arrow-batched mapInPandas;
+    # no DuckDB compression primitive exists, so this is one of the few
+    # rows-only driver checks — exact values pinned by pytest goldens)
+    from opentelemetry_collector_contrib_spark.training import (
+        compression_ratio,
+    )
+
+    return compression_ratio(_docs(spark, sf_dir))
+
+
+def _q_token_entropy(spark, sf_dir):
+    # per-doc token-distribution Shannon entropy (gibberish signal):
+    # one sorted-array fold, zero shuffles; 1e-6-quantized terms make
+    # the grouped-count DuckDB twin bit-identical
+    from opentelemetry_collector_contrib_spark.training import (
+        token_entropy,
+    )
+
+    return token_entropy(_docs(spark, sf_dir))
+
+
 def _q_ivf_balance(spark, sf_dir):
     # FAISS imbalance_factor over the headline 16-list assignment: the
     # n_list tuning diagnostic (p99 probe latency tracks the LARGEST
@@ -2685,6 +2707,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": _q_incremental_dedup,
         "dedup_source_matrix": _q_dup_matrix,
         "ann_ivf_balance": _q_ivf_balance,
+        "text_token_entropy": _q_token_entropy,
+        "text_compression_ratio": _q_compression_ratio,
         "text_tfidf_topk": _q_tfidf_topk,
         "text_quality_score": _q_quality,
         # rotated out for the temporal / quantile-sketch / pii-scrub
@@ -4056,6 +4080,23 @@ GROUP BY l.doc_id"""
       'fp': list_min(list_slice(h, i+1, i+4)) }})) AS s
   FROM win)
 SELECT DISTINCT doc_id, CAST(s.pos AS INT) AS pos, s.fp AS fp FROM sel""";
+    # token entropy: grouped counts + exact integer sum of the same
+    # 1e-6-quantized c*log2(c) terms the Spark fold accumulates
+    sqls["text_token_entropy"] = f"""WITH t AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+), c AS (
+  SELECT doc_id, tok, count(*)::BIGINT AS c FROM t GROUP BY doc_id, tok
+), s AS (
+  SELECT doc_id,
+         sum(CAST(floor(c * log2(c) * 1e6 + 0.5) AS BIGINT)) AS sq,
+         sum(c)::BIGINT AS n
+  FROM c GROUP BY doc_id)
+SELECT doc_id, n AS n_tokens,
+  CAST(floor((log2(n) - (sq / 1e6) / n) * 10000 + 0.5) AS BIGINT)
+    AS entropy_q4,
+  CAST(floor(((log2(n) - (sq / 1e6) / n) / nullif(log2(n), 0)) * 10000
+             + 0.5) AS BIGINT) AS entropy_ratio_q4
+FROM s WHERE n >= 1""";
     # IVF balance: sizes over the assign CTE, FAISS imbalance formula
     sqls["ann_ivf_balance"] = f"""WITH asg AS ({sqls['ann_ivf_assign']}),
 sizes AS (SELECT list_id, count(*)::BIGINT AS n FROM asg GROUP BY list_id)

@@ -88,6 +88,9 @@ BENCH_QUERIES = [
     "corpus_health",
     "dedup_incremental",
     "dedup_source_matrix",
+    "ann_ivf_balance",
+    "text_token_entropy",
+    "text_compression_ratio",
     "dedup_cosine_bucketed",
     "dedup_semantic_semdedup",
     "dedup_passage",

@@ -269,3 +269,53 @@ def sample_gif_frames(
             yield pd.DataFrame(recs, columns=cols)
 
     return mm.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+COMPRESSION_SCHEMA = "doc_id bigint, n_bytes int, n_compressed int, ratio_q4 bigint"
+
+
+def compression_ratio(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", level: int = 6
+) -> DataFrame:
+    """Per-document zlib compressibility -- the quality signal
+    RefinedWeb-class pipelines use to catch machine-generated or
+    pathologically repetitive text that token-level heuristics miss
+    (natural prose compresses to ~0.3-0.5 of its size at level 6;
+    boilerplate and repeated spans go far lower, random gibberish
+    stays near 1.0). Returns ``(id, n_bytes, n_compressed, ratio_q4)``
+    with ``ratio = compressed/uncompressed`` in 1e4 fixed point;
+    zero-byte documents get a null ratio.
+
+    Execution shape: Arrow-batched ``mapInPandas`` (the
+    :func:`extract_features` posture) -- transfer and scheduling are
+    batched, zlib runs per item inside the batch, one Python worker
+    per partition, zero shuffles. zlib output length at a fixed level
+    is deterministic for a given zlib build, so pytest pins exact
+    values; there is no DuckDB compression primitive, hence this op is
+    pytest-gated with a rows-only driver check (documented in
+    SURVEY.md section 2's table).
+    """
+    import zlib
+
+    def batches(it):
+        for pdf in it:
+            raw = pdf[text_col].fillna("").map(lambda s: s.encode("utf-8"))
+            nb = raw.map(len)
+            nc = raw.map(lambda b: len(zlib.compress(b, level)))
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].values,
+                    "n_bytes": nb.astype("int32"),
+                    "n_compressed": nc.astype("int32"),
+                }
+            )
+            # floor(10000*c/b + 0.5) in exact integer math
+            out["ratio_q4"] = [
+                (20000 * int(c) + int(b)) // (2 * int(b)) if b > 0 else None
+                for b, c in zip(out["n_bytes"], out["n_compressed"])
+            ]
+            yield out
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        batches, schema=COMPRESSION_SCHEMA
+    )

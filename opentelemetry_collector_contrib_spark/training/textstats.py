@@ -567,3 +567,76 @@ def corpus_health(
         d.cast("bigint").alias("distinct_docs"),
         F.floor(10000.0 * (n - d) / n).cast("bigint").alias("dup_frac_q4"),
     )
+
+
+def token_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Shannon entropy of the whitespace-token
+    distribution, in bits/token -- the gibberish/boilerplate signal
+    (near-zero = one token repeated; near ``log2(n)`` = no structure;
+    natural text sits in a stable band, which is why entropy cutoffs
+    appear in C4-descendant quality stacks alongside the Gopher
+    repetition family).
+
+    ``H = log2(n) - (sum c_i*log2(c_i))/n`` over token counts ``c_i``
+    -- computed as ONE fold over the sorted token array (run-length
+    counting, the :func:`repetition_stats` scan posture): zero
+    shuffles, zero explodes. Each run's ``c*log2(c)`` term is
+    quantized to 1e-6 fixed point BEFORE accumulating, so the sum is
+    exact integer math and the DuckDB twin (grouped counts + integer
+    sum, any order) lands on identical bits. Returns ``(id, n_tokens,
+    entropy_q4, entropy_ratio_q4)`` -- ratio normalizes by ``log2(n)``
+    (null when n == 1); zero-token documents are dropped.
+    """
+
+    def clogc_q6(c):
+        d = c.cast("double")
+        return F.floor(d * F.log2(d) * 1e6 + F.lit(0.5)).cast("bigint")
+
+    st = df.select(
+        F.col(id_col),
+        F.array_sort(tokens(F.col(text_col))).alias("__st"),
+    )
+    zero = F.lit(0).cast("bigint")
+    init = F.struct(
+        F.lit(" ").alias("prev"),
+        zero.alias("run"),
+        zero.alias("sq"),
+    )
+
+    def step(acc, x):
+        same = (x == acc.getField("prev")) & (acc.getField("run") > 0)
+        run = F.when(same, acc.getField("run") + 1).otherwise(
+            F.lit(1).cast("bigint")
+        )
+        flush = F.when(
+            same | (acc.getField("run") == 0), zero
+        ).otherwise(clogc_q6(acc.getField("run")))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            (acc.getField("sq") + flush).alias("sq"),
+        )
+
+    def finish(acc):
+        return acc.getField("sq") + F.when(
+            acc.getField("run") > 0, clogc_q6(acc.getField("run"))
+        ).otherwise(zero)
+
+    sq = F.aggregate(F.col("__st"), init, step, finish)
+    n = F.size("__st").cast("double")
+    h = F.log2(n) - (F.col("__sq") / F.lit(1e6)) / n
+    ratio = F.try_divide(h, F.log2(n))
+    return (
+        st.select(F.col(id_col), F.col("__st"), sq.alias("__sq"))
+        .filter(F.size("__st") >= 1)
+        .select(
+            F.col(id_col),
+            F.size("__st").cast("bigint").alias("n_tokens"),
+            F.floor(h * 10000 + F.lit(0.5)).cast("bigint").alias("entropy_q4"),
+            F.floor(ratio * 10000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("entropy_ratio_q4"),
+        )
+    )

@@ -1506,3 +1506,69 @@ def test_ivf_balance_metric(spark):
         [(i, i % 4) for i in range(8)], "vec_id long, list_id int"
     )
     assert ivf_balance(bal, n_list=4).collect()[0]["imbalance_q4"] == 10000
+
+
+def test_token_entropy_hand_values(spark):
+    """Closed-form checks: a constant doc has H=0 (ratio 0); a
+    all-distinct doc has H=log2(n) (ratio 1.0 = 10000); a 50/50 doc of
+    two tokens has exactly 1 bit; empty docs drop; a doc whose first
+    sorted token is a lone space-adjacent value is not miscounted by
+    the fold's init sentinel."""
+    from opentelemetry_collector_contrib_spark.training import token_entropy
+    import math
+
+    df = spark.createDataFrame(
+        [
+            (1, "x x x x"),
+            (2, "a b c d"),
+            (3, "a a b b"),
+            (4, ""),
+            (5, "a b a b a b c"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in token_entropy(df).collect()}
+    assert 4 not in got
+    assert got[1]["entropy_q4"] == 0 and got[1]["entropy_ratio_q4"] == 0
+    assert got[2]["entropy_q4"] == 20000  # log2(4) = 2 bits
+    assert got[2]["entropy_ratio_q4"] == 10000
+    assert got[3]["entropy_q4"] == 10000  # exactly 1 bit
+    h5 = -(3 / 7) * math.log2(3 / 7) * 2 - (1 / 7) * math.log2(1 / 7)
+    assert abs(got[5]["entropy_q4"] - round(h5 * 10000)) <= 1
+    # single-token doc: H = 0, ratio null (log2(1) = 0)
+    one = spark.createDataFrame([(9, "solo")], "doc_id long, text string")
+    r = token_entropy(one).collect()[0]
+    assert r["entropy_q4"] == 0 and r["entropy_ratio_q4"] is None
+    # plan guard: zero-shuffle projection
+    plan = token_entropy(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_compression_ratio_signal(spark):
+    """Repetitive text compresses far below prose; short random-ish
+    text stays high; counts are exact byte lengths; empty text gets a
+    null ratio; ratio_q4 is exact integer floor(10000*c/b + 0.5)."""
+    import zlib
+
+    from opentelemetry_collector_contrib_spark.training import (
+        compression_ratio,
+    )
+
+    rep = "spam and eggs " * 200
+    prose = (
+        "the quick brown fox jumps over the lazy dog while a careful "
+        "reader considers an entirely different sentence structure "
+    ) * 3
+    df = spark.createDataFrame(
+        [(1, rep), (2, prose), (3, "")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in compression_ratio(df).collect()}
+    for doc_id, text in ((1, rep), (2, prose)):
+        b = len(text.encode())
+        c = len(zlib.compress(text.encode(), 6))
+        r = got[doc_id]
+        assert (r["n_bytes"], r["n_compressed"]) == (b, c)
+        assert r["ratio_q4"] == (20000 * c + b) // (2 * b)
+    assert got[1]["ratio_q4"] < got[2]["ratio_q4"]  # repetition wins
+    assert got[1]["ratio_q4"] < 500                 # ~2% of original
+    assert got[3]["ratio_q4"] is None and got[3]["n_bytes"] == 0
