@@ -2016,6 +2016,21 @@ def _q_winnow(spark, sf_dir):
     return winnow_fingerprints(_docs(spark, sf_dir), k=4, window=4)
 
 
+def _q_sig_estimate(spark, sf_dir):
+    # signature-space Jaccard estimate for the LSH candidates — the
+    # triage stage between candidate generation and the exact verify
+    # scan: ranks pairs WITHOUT touching document text
+    from opentelemetry_collector_contrib_spark.training import (
+        minhash_jaccard_estimate,
+    )
+
+    sigs = minhash_signatures(_docs(spark, sf_dir), n_hashes=_MINHASH_N)
+    pairs = lsh_candidate_pairs(
+        sigs, bands=_BANDS, rows_per_band=_ROWS, max_bucket=_LSH_MAX_BUCKET
+    )
+    return minhash_jaccard_estimate(sigs, pairs)
+
+
 def _q_compression_ratio(spark, sf_dir):
     # zlib compressibility quality signal (Arrow-batched mapInPandas;
     # no DuckDB compression primitive exists, so this is one of the few
@@ -2709,6 +2724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_balance": _q_ivf_balance,
         "text_token_entropy": _q_token_entropy,
         "text_compression_ratio": _q_compression_ratio,
+        "dedup_sig_estimate": _q_sig_estimate,
         "text_tfidf_topk": _q_tfidf_topk,
         "text_quality_score": _q_quality,
         # rotated out for the temporal / quantile-sketch / pii-scrub
@@ -4080,6 +4096,25 @@ GROUP BY l.doc_id"""
       'fp': list_min(list_slice(h, i+1, i+4)) }})) AS s
   FROM win)
 SELECT DISTINCT doc_id, CAST(s.pos AS INT) AS pos, s.fp AS fp FROM sel""";
+    # signature-space Jaccard estimate over the capped LSH candidates
+    sqls["dedup_sig_estimate"] = f"""WITH cand AS ({sqls['dedup_minhash_lsh']}),
+sigs AS (SELECT doc_id, {_SIG} AS sig FROM documents),
+j AS (SELECT c.a_id, c.b_id, sa.sig AS s1, sb.sig AS s2
+      FROM (SELECT a_id, b_id FROM cand) c
+      JOIN sigs sa ON c.a_id = sa.doc_id
+      JOIN sigs sb ON c.b_id = sb.doc_id),
+z AS (SELECT a_id, b_id,
+  list_transform(list_zip(s1, s2),
+    p -> CASE WHEN p[1] IS NOT NULL AND p[2] IS NOT NULL
+              THEN (CASE WHEN p[1] = p[2] THEN 2 ELSE 1 END)
+              ELSE 0 END) AS zz
+  FROM j)
+SELECT a_id, b_id,
+  round(len(list_filter(zz, v -> v = 2))::DOUBLE
+        / nullif(len(list_filter(zz, v -> v >= 1)), 0), 4) AS est_jaccard,
+  len(list_filter(zz, v -> v = 2))::BIGINT AS n_agree,
+  len(list_filter(zz, v -> v >= 1))::BIGINT AS n_valid
+FROM z""";
     # token entropy: grouped counts + exact integer sum of the same
     # 1e-6-quantized c*log2(c) terms the Spark fold accumulates
     sqls["text_token_entropy"] = f"""WITH t AS (

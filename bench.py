@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "ann_ivf_balance",
     "text_token_entropy",
     "text_compression_ratio",
+    "dedup_sig_estimate",
     "dedup_cosine_bucketed",
     "dedup_semantic_semdedup",
     "dedup_passage",

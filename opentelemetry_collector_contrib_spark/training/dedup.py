@@ -853,3 +853,65 @@ def cross_source_dup_matrix(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
         .orderBy(F.col("n_pairs").desc(), "source_a", "source_b")
     )
+
+
+def minhash_jaccard_estimate(
+    sigs: DataFrame,
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Signature-space Jaccard ESTIMATE for candidate pairs: the
+    fraction of minhash components two documents agree on is an
+    unbiased estimator of their true Jaccard (the MinHash theorem) --
+    the cheap middle stage between LSH candidate generation and exact
+    verification. A pipeline uses it to rank/triage candidates (or cut
+    obviously-weak ones) WITHOUT touching document text: the only
+    inputs are the signature frame (n_hashes bigints per doc) and the
+    pair list, so the verify-stage text scan is skipped entirely.
+
+    Returns ``(a_col, b_col, est_jaccard, n_agree, n_valid)`` --
+    ``n_valid`` counts components where BOTH sides are non-null
+    (sub-shingle-size docs carry all-null signatures; est is null when
+    nothing is comparable). ``est = round(n_agree / n_valid, 4)``.
+
+    Scale shape: the pair frame keys two hash joins against the
+    signature frame (candidate-scale side broadcast by AQE when small,
+    skew-splittable otherwise -- same posture as
+    :func:`jaccard_verify_pairs`); the component comparison is one
+    zero-shuffle ``zip_with`` fold per pair row.
+    """
+    sa = sigs.select(F.col(id_col).alias(a_col), F.col("sig").alias("__sa"))
+    sb = sigs.select(F.col(id_col).alias(b_col), F.col("sig").alias("__sb"))
+    both = F.zip_with(
+        F.col("__sa"),
+        F.col("__sb"),
+        lambda x, y: F.when(
+            x.isNotNull() & y.isNotNull(),
+            F.when(x == y, 2).otherwise(1),
+        ).otherwise(0),
+    )
+    n_agree = F.aggregate(
+        F.col("__z"),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + F.when(v == 2, 1).otherwise(0),
+    )
+    n_valid = F.aggregate(
+        F.col("__z"),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + F.when(v >= 1, 1).otherwise(0),
+    )
+    return (
+        pairs.select(a_col, b_col)
+        .join(sa, a_col)
+        .join(sb, b_col)
+        .select(a_col, b_col, both.alias("__z"))
+        .select(
+            a_col,
+            b_col,
+            F.round(F.try_divide(n_agree, n_valid), 4).alias("est_jaccard"),
+            n_agree.alias("n_agree"),
+            n_valid.alias("n_valid"),
+        )
+    )

@@ -1572,3 +1572,28 @@ def test_compression_ratio_signal(spark):
     assert got[1]["ratio_q4"] < got[2]["ratio_q4"]  # repetition wins
     assert got[1]["ratio_q4"] < 500                 # ~2% of original
     assert got[3]["ratio_q4"] is None and got[3]["n_bytes"] == 0
+
+
+def test_minhash_jaccard_estimate(docs, spark):
+    """Identical docs estimate 1.0 over all components; the estimator
+    never touches text; all-null signatures yield a null estimate with
+    n_valid=0; estimates are monotone with true similarity on the
+    fixture (dup pair > unrelated pair)."""
+    from opentelemetry_collector_contrib_spark.training import (
+        minhash_jaccard_estimate,
+    )
+
+    sigs = minhash_signatures(docs, n_hashes=8)
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 3), (0, 4)], "a_id long, b_id long"
+    )
+    got = {
+        (r["a_id"], r["b_id"]): r
+        for r in minhash_jaccard_estimate(sigs, pairs).collect()
+    }
+    assert got[(0, 1)]["est_jaccard"] == 1.0
+    assert got[(0, 1)]["n_agree"] == 8 and got[(0, 1)]["n_valid"] == 8
+    assert got[(0, 3)]["est_jaccard"] < 1.0
+    # doc 4 is sub-shingle-size: all-null signature -> nothing valid
+    assert got[(0, 4)]["n_valid"] == 0
+    assert got[(0, 4)]["est_jaccard"] is None
