@@ -2016,6 +2016,28 @@ def _q_winnow(spark, sf_dir):
     return winnow_fingerprints(_docs(spark, sf_dir), k=4, window=4)
 
 
+def _q_cluster_hist(spark, sf_dir):
+    # the one-glance dedup report: cluster-size distribution over the
+    # VERIFIED fuzzy clusters (how much corpus sits in singletons vs
+    # pairs vs viral clusters)
+    from opentelemetry_collector_contrib_spark.training import (
+        cluster_size_histogram,
+    )
+    from opentelemetry_collector_contrib_spark.training.dedup import (
+        connected_components,
+    )
+
+    docs = _docs(spark, sf_dir)
+    sigs = minhash_signatures(docs, n_hashes=_MINHASH_N)
+    cand = lsh_candidate_pairs(
+        sigs, bands=_BANDS, rows_per_band=_ROWS, max_bucket=_LSH_MAX_BUCKET
+    )
+    verified = jaccard_verify_pairs(docs, cand, threshold=0.8).select(
+        "a_id", "b_id"
+    )
+    return cluster_size_histogram(connected_components(docs, verified))
+
+
 def _q_sig_estimate(spark, sf_dir):
     # signature-space Jaccard estimate for the LSH candidates — the
     # triage stage between candidate generation and the exact verify
@@ -2725,6 +2747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_entropy": _q_token_entropy,
         "text_compression_ratio": _q_compression_ratio,
         "dedup_sig_estimate": _q_sig_estimate,
+        "dedup_cluster_hist": _q_cluster_hist,
         "text_tfidf_topk": _q_tfidf_topk,
         "text_quality_score": _q_quality,
         # rotated out for the temporal / quantile-sketch / pii-scrub
@@ -4260,6 +4283,11 @@ cl AS (SELECT d.doc_id, least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster
 cnt AS (SELECT cluster_id, count(*) AS n_members FROM cl GROUP BY cluster_id)
 SELECT c.doc_id, c.cluster_id, n.n_members, (c.doc_id = c.cluster_id) AS keep
 FROM cl c JOIN cnt n USING (cluster_id)"""
+    # cluster-size histogram over the verified funnel's clustering
+    sqls["dedup_cluster_hist"] = f"""WITH f AS ({sqls['fuzzy_dedup_funnel']})
+SELECT n_members, count(DISTINCT cluster_id)::BIGINT AS n_clusters,
+       count(*)::BIGINT AS n_docs
+FROM f GROUP BY n_members"""
     # source×source overlap matrix over the verified pairs CTE
     sqls["dedup_source_matrix"] = f"""WITH vp AS ({sqls['dedup_lsh_verified']})
 SELECT least(da.source, db.source) AS source_a,

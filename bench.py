@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "text_token_entropy",
     "text_compression_ratio",
     "dedup_sig_estimate",
+    "dedup_cluster_hist",
     "dedup_cosine_bucketed",
     "dedup_semantic_semdedup",
     "dedup_passage",

@@ -915,3 +915,32 @@ def minhash_jaccard_estimate(
             n_valid.alias("n_valid"),
         )
     )
+
+
+def cluster_size_histogram(
+    clusters: DataFrame, cluster_col: str = "cluster_id"
+) -> DataFrame:
+    """Duplicate-cluster size distribution over a clustering frame
+    (:func:`connected_components` output): how much of the corpus sits
+    in singletons vs pairs vs viral clusters -- the one-glance dedup
+    report (BigCode/Dolma runs publish exactly this table) that sets
+    expectations for how many rows dedup will remove and flags
+    pathological clusters before the canonical-select stage.
+
+    Returns ``(n_members, n_clusters, n_docs)`` -- one row per
+    distinct cluster size, ``n_docs = n_members * n_clusters``.
+
+    Scale shape: two map-side-combined grouped counts (cluster sizes,
+    then the histogram over the <= |corpus|-cluster frame); a viral
+    cluster is ONE group row after the first partial aggregation --
+    never a window, never a skewed task.
+    """
+    sizes = clusters.groupBy(cluster_col).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return sizes.groupBy("n_members").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        (F.count(F.lit(1)) * F.col("n_members"))
+        .cast("bigint")
+        .alias("n_docs"),
+    )

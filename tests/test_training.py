@@ -1597,3 +1597,22 @@ def test_minhash_jaccard_estimate(docs, spark):
     # doc 4 is sub-shingle-size: all-null signature -> nothing valid
     assert got[(0, 4)]["n_valid"] == 0
     assert got[(0, 4)]["est_jaccard"] is None
+
+
+def test_cluster_size_histogram(spark):
+    """Sizes {A:3, B:2, C:2, D:1} -> rows (3,1,3), (2,2,4), (1,1,1)."""
+    from opentelemetry_collector_contrib_spark.training import (
+        cluster_size_histogram,
+    )
+
+    cl = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(
+            ["A", "A", "A", "B", "B", "C", "C", "D"]
+        )],
+        "doc_id long, cluster_id string",
+    )
+    got = {
+        r["n_members"]: (r["n_clusters"], r["n_docs"])
+        for r in cluster_size_histogram(cl).collect()
+    }
+    assert got == {3: (1, 3), 2: (2, 4), 1: (1, 1)}
