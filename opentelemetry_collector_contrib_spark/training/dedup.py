@@ -716,29 +716,42 @@ def winnow_match_pairs(
     repeated overlaps share more, so ``shared_fps`` is a plagiarism
     score).
 
-    ``max_df`` is the bounded-state guard the pair join NEEDS at corpus
-    scale (MOSS itself drops fingerprints appearing in too many
+    ``max_df`` is the bounded-state guard the pair expansion NEEDS at
+    corpus scale (MOSS itself drops fingerprints appearing in too many
     documents as boilerplate): an fp present in d documents expands to
     d·(d-1)/2 pairs, so a viral fp (license header, nav bar) is
-    quadratic without the cap. The document-frequency count is a
-    map-side-combined aggregate; the cap filter runs BEFORE the
-    self-join, and the join itself keys on fp with AQE skew-split
-    available. ``min_shared`` then prunes incidental single-fp
-    collisions. Returns ``(a_id, b_id, shared_fps)``.
+    quadratic without the cap. ``min_shared`` then prunes incidental
+    single-fp collisions. Returns ``(a_id, b_id, shared_fps)``.
+
+    Plan shape — ONE grouped collect per fp + in-group ordered-pair
+    expansion, NOT a self-join: an aliased self-join of the
+    fingerprint frame executes the (md5-per-shingle) winnowing subtree
+    TWICE — the two sides alias ``doc_id`` differently, canonicalized
+    plans differ, and ReuseExchange never fires (the exact
+    :func:`lsh_candidate_pairs` lesson, measured there at ~1.7×). The
+    groupBy computes fingerprints once, shuffles once on the fp key,
+    expands each group's pairs locally (sorted ids make a < b free),
+    and the df cap is the same collect-then-filter bounded-state
+    posture LSH uses. Measured quiet-box at the sf1 bench table:
+    17.0 s → 6.7 s (sf0.1: 3.9 s → 2.3 s), identical output.
     """
     docfp = fps.select(F.col(id_col), "fp").distinct()
-    keep = (
+    groups = (
         docfp.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("__df"))
-        .filter(F.col("__df") <= max_df)
-        .select("fp")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_df))
     )
-    bounded = docfp.join(keep, "fp")
-    a = bounded.select(F.col(id_col).alias("a_id"), "fp")
-    b = bounded.select(F.col(id_col).alias("b_id"), "fp")
+    ids = F.col("ids")
+    pair_arrays = F.transform(
+        ids,
+        lambda x, i: F.transform(
+            F.slice(ids, i + 2, F.size(ids)),
+            lambda y: F.struct(x.alias("a_id"), y.alias("b_id")),
+        ),
+    )
     return (
-        a.join(b, "fp")
-        .filter(F.col("a_id") < F.col("b_id"))
+        groups.select(F.explode(F.flatten(pair_arrays)).alias("p"))
+        .select("p.a_id", "p.b_id")
         .groupBy("a_id", "b_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
