@@ -1076,6 +1076,21 @@ def _q_pack_sequences(spark, sf_dir):
     return pack_sequences(sized, budget=256, n_shards=4)
 
 
+def _q_pack_stats(spark, sf_dir):
+    # packing-efficiency report over the headline 4-shard/256-budget
+    # layout: packs used, fill rate, straddler fraction per shard
+    from opentelemetry_collector_contrib_spark.training import pack_stats
+    from opentelemetry_collector_contrib_spark.training.sampling import (
+        pack_sequences,
+    )
+
+    docs = _docs(spark, sf_dir)
+    sized = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    return pack_stats(pack_sequences(sized, budget=256, n_shards=4), budget=256)
+
+
 def _q_bpe_token_count(spark, sf_dir):
     # whitespace + BPE-ish pretokenizer counts — the context-window
     # budgeter (training/textstats.py BPE_PATTERN, engine-portable
@@ -2748,6 +2763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_compression_ratio": _q_compression_ratio,
         "dedup_sig_estimate": _q_sig_estimate,
         "dedup_cluster_hist": _q_cluster_hist,
+        "pack_stats": _q_pack_stats,
         "text_tfidf_topk": _q_tfidf_topk,
         "text_quality_score": _q_quality,
         # rotated out for the temporal / quantile-sketch / pii-scrub
@@ -4138,6 +4154,16 @@ SELECT a_id, b_id,
   len(list_filter(zz, v -> v = 2))::BIGINT AS n_agree,
   len(list_filter(zz, v -> v >= 1))::BIGINT AS n_valid
 FROM z""";
+    # packing-efficiency report over the pack_sequences CTE
+    sqls["pack_stats"] = f"""WITH p AS ({sqls['pack_sequences']})
+SELECT shard, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens,
+  (max(pack_id + n_packs - 1) + 1)::BIGINT AS packs_used,
+  floor(10000.0 * sum(n_tokens)
+        / ((max(pack_id + n_packs - 1) + 1) * 256) + 0.5)::BIGINT
+    AS fill_rate_q4,
+  floor(10000.0 * sum(CASE WHEN n_packs > 1 THEN 1 ELSE 0 END)
+        / count(*) + 0.5)::BIGINT AS straddle_frac_q4
+FROM p GROUP BY shard"""
     # token entropy: grouped counts + exact integer sum of the same
     # 1e-6-quantized c*log2(c) terms the Spark fold accumulates
     sqls["text_token_entropy"] = f"""WITH t AS (

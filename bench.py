@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "text_compression_ratio",
     "dedup_sig_estimate",
     "dedup_cluster_hist",
+    "pack_stats",
     "dedup_cosine_bucketed",
     "dedup_semantic_semdedup",
     "dedup_passage",

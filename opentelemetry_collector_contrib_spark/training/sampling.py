@@ -462,3 +462,35 @@ def mixture_temperature(
         F.round(p_temp, 6).alias("p_temp"),
         F.round(F.try_divide(p_temp, p_raw), 4).alias("boost"),
     )
+
+
+def pack_stats(packed: DataFrame, budget: int) -> DataFrame:
+    """Packing-efficiency report over a :func:`pack_sequences` layout
+    -- the loader-facing numbers a pipeline checks before committing a
+    sequence-length budget: per shard, how many packs the stream cut
+    into, the fill rate (token mass over pack capacity -- concat-and-
+    chunk wastes only the final partial pack, so this should sit near
+    1.0; a low value means the budget dwarfs the corpus slice), and
+    the straddler fraction (docs split across pack boundaries, the
+    attention-masking cost of the concat layout).
+
+    Returns per shard: ``(shard, n_docs, n_tokens, packs_used,
+    fill_rate_q4, straddle_frac_q4)``. One map-side-combined groupBy
+    over the (already doc-grained) layout frame -- metadata-scale.
+    """
+    last_pack = F.col("pack_id") + F.col("n_packs") - 1
+    n = F.count(F.lit(1))
+    packs = F.max(last_pack) + 1
+    toks = F.sum("n_tokens")
+    straddle = F.sum(F.when(F.col("n_packs") > 1, 1).otherwise(0))
+    return packed.groupBy("shard").agg(
+        n.cast("bigint").alias("n_docs"),
+        toks.cast("bigint").alias("n_tokens"),
+        packs.cast("bigint").alias("packs_used"),
+        F.floor(10000.0 * toks / (packs * F.lit(int(budget))) + F.lit(0.5))
+        .cast("bigint")
+        .alias("fill_rate_q4"),
+        F.floor(10000.0 * straddle / n + F.lit(0.5))
+        .cast("bigint")
+        .alias("straddle_frac_q4"),
+    )

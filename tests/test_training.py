@@ -1616,3 +1616,27 @@ def test_cluster_size_histogram(spark):
         for r in cluster_size_histogram(cl).collect()
     }
     assert got == {3: (1, 3), 2: (2, 4), 1: (1, 1)}
+
+
+def test_pack_stats_hand_layout(spark):
+    """One shard, budget 10, docs of 4+4+4 tokens: 12 tokens -> 2 packs
+    (one straddler), fill = 12/20 = 0.6, straddle = 1/3."""
+    from opentelemetry_collector_contrib_spark.training import pack_stats
+    from opentelemetry_collector_contrib_spark.training.sampling import (
+        pack_sequences,
+    )
+
+    sized = spark.createDataFrame(
+        [(1, 4), (2, 4), (3, 4)], "doc_id long, n_tokens long"
+    )
+    packed = pack_sequences(sized, budget=10, n_shards=1)
+    r = pack_stats(packed, budget=10).collect()[0]
+    assert (r["n_docs"], r["n_tokens"], r["packs_used"]) == (3, 12, 2)
+    assert r["fill_rate_q4"] == 6000
+    assert r["straddle_frac_q4"] == 3333
+    # exact-fit corpus: fill rate exactly 1.0, no straddlers
+    exact = spark.createDataFrame(
+        [(1, 5), (2, 5)], "doc_id long, n_tokens long"
+    )
+    r2 = pack_stats(pack_sequences(exact, budget=5, n_shards=1), 5).collect()[0]
+    assert r2["fill_rate_q4"] == 10000 and r2["straddle_frac_q4"] == 0
