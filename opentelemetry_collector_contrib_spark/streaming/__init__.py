@@ -13,6 +13,7 @@ from .pipeline import (
     session_recombine,
     read_rollup,
     streaming_dedup_exact,
+    streaming_ingest_dedup,
     streaming_rollup,
     streaming_pipeline,
     windowed_counts,
@@ -29,6 +30,7 @@ __all__ = [
     "session_recombine",
     "read_rollup",
     "streaming_dedup_exact",
+    "streaming_ingest_dedup",
     "streaming_rollup",
     "streaming_pipeline",
     "windowed_counts",

@@ -247,3 +247,75 @@ def read_rollup(spark, base_path: str, dims) -> DataFrame:
     return parts.groupBy(*keys).agg(
         *[F.sum(c).alias(c) for c in measure_cols]
     )
+
+
+def streaming_ingest_dedup(
+    stream: DataFrame,
+    base_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    trigger_available_now: bool = False,
+):
+    """Continuous corpus ingest with cross-batch EXACT dedup -- the
+    streaming form of :func:`~..training.dedup.incremental_dedup`:
+    each micro-batch drops rows whose text hash already exists in any
+    PRIOR batch, collapses intra-batch duplicates to the lowest id,
+    appends survivors under ``<base>/docs/batch_id=N`` and their
+    hashes under ``<base>/seen/batch_id=N``.
+
+    State IS the on-disk hash table (one row per unique kept doc),
+    not a streaming state store: unlike
+    ``dropDuplicatesWithinWatermark`` (bounded state, duplicates
+    forgotten past the watermark -- the log-pipeline posture), corpus
+    ingest must remember every hash FOREVER, which only a table can.
+    At scale the seen table is written bucketed by hash (the Iceberg
+    sink) so the per-batch anti-join is bucket-local, and the Bloom
+    prune documented on ``incremental_dedup`` bounds the probe side.
+
+    Exactly-once on replay: a retried batch overwrites its OWN two
+    ``batch_id=N`` directories, and the seen read FILTERS to
+    ``batch_id < N`` -- so a half-written previous attempt can neither
+    duplicate output nor anti-join the batch against its own hashes
+    (which would silently drop every row of the retried batch).
+    """
+    import os
+
+    docs_dir = os.path.join(base_path, "docs")
+    seen_dir = os.path.join(base_path, "seen")
+
+    def sink_batch(batch: DataFrame, batch_id: int) -> None:
+        from ..training.dedup import exact_dedup
+
+        spark = batch.sparkSession
+        hashed = batch.withColumn("__h", F.md5(F.col(text_col)))
+        try:
+            seen = spark.read.parquet(seen_dir).filter(
+                F.col("batch_id") < batch_id
+            ).select("__h")
+        except Exception:  # first batch: no seen table yet
+            seen = None
+        fresh = (
+            hashed.join(seen, "__h", "left_anti") if seen is not None
+            else hashed
+        )
+        out = exact_dedup(
+            fresh.drop("__h"), text_col=text_col, id_col=id_col
+        )
+        out.write.mode("overwrite").parquet(
+            os.path.join(docs_dir, f"batch_id={batch_id}")
+        )
+        (
+            out.select(F.md5(F.col(text_col)).alias("__h"))
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(os.path.join(seen_dir, f"batch_id={batch_id}"))
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

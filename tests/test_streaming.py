@@ -345,3 +345,59 @@ def test_streaming_rollup_merges_to_batch_rollup(spark, stream_dir, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_streaming_ingest_dedup_cross_batch(spark, tmp_path):
+    """Corpus ingest dedup across micro-batches: duplicate texts in
+    LATER batches are dropped against the accumulated seen-hash table,
+    intra-batch dups collapse, and the final docs dir holds exactly one
+    row per distinct text (stream/batch parity with global exact
+    dedup's row set, modulo which duplicate id was first to arrive)."""
+    from opentelemetry_collector_contrib_spark.streaming import (
+        streaming_ingest_dedup,
+    )
+
+    src = str(tmp_path / "ingest_in")
+    rows = [
+        # file 0: one intra-file dup pair
+        [(0, "alpha doc"), (1, "alpha doc"), (2, "beta doc")],
+        # file 1: re-sends alpha (cross-batch dup) + a new doc
+        [(10, "alpha doc"), (11, "gamma doc")],
+        # file 2: re-sends everything + one new doc
+        [(20, "beta doc"), (21, "gamma doc"), (22, "delta doc")],
+    ]
+    import os
+
+    for i, part in enumerate(rows):
+        spark.createDataFrame(part, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(os.path.join(src, f"f{i}"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    base = str(tmp_path / "ingest_out")
+    q = streaming_ingest_dedup(
+        stream,
+        base,
+        str(tmp_path / "ck_ingest"),
+        trigger_available_now=True,
+    )
+    _drain(q)
+    import glob
+
+    n_batches = len(glob.glob(os.path.join(base, "docs", "batch_id=*")))
+    assert n_batches > 1, "expected several micro-batches"
+    out = spark.read.parquet(os.path.join(base, "docs"))
+    got = [(r["doc_id"], r["text"]) for r in out.collect()]
+    texts = [t for _, t in got]
+    assert sorted(texts) == sorted(
+        ["alpha doc", "beta doc", "gamma doc", "delta doc"]
+    ), got
+    all_rows = dict(p for part in rows for p in part)
+    assert all(all_rows[i] == t for i, t in got)  # kept ids bear their text
+    # the seen table holds exactly one hash per distinct text
+    seen = spark.read.parquet(os.path.join(base, "seen"))
+    assert seen.select("__h").distinct().count() == 4
+    assert seen.count() == 4
