@@ -2183,8 +2183,8 @@ def _q_winnow_pairs(spark, sf_dir):
 
 def _q_lsh_tuning(spark, sf_dir):
     # the banding-choice S-curve table (MMDS §3.4.2) printed before a
-    # corpus-scale dedup run — includes the headline queries' own
-    # (bands=8, rows=4) banding; pure closed-form math, zero scans
+    # corpus-scale dedup run — the FIRST config is the headline queries'
+    # own (_BANDS=4, _ROWS=2) banding; pure closed-form math, zero scans
     from opentelemetry_collector_contrib_spark.training import (
         lsh_tuning_curve,
     )
@@ -4155,15 +4155,19 @@ SELECT a_id, b_id,
   len(list_filter(zz, v -> v >= 1))::BIGINT AS n_valid
 FROM z""";
     # packing-efficiency report over the pack_sequences CTE
-    sqls["pack_stats"] = f"""WITH p AS ({sqls['pack_sequences']})
-SELECT shard, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens,
-  (max(pack_id + n_packs - 1) + 1)::BIGINT AS packs_used,
-  floor(10000.0 * sum(n_tokens)
-        / ((max(pack_id + n_packs - 1) + 1) * 256) + 0.5)::BIGINT
+    sqls["pack_stats"] = f"""WITH p AS ({sqls['pack_sequences']}),
+s AS (SELECT shard, count(*)::BIGINT AS n_docs,
+        sum(n_tokens)::BIGINT AS n_tokens,
+        coalesce(max(CASE WHEN n_tokens > 0
+                     THEN pack_id + n_packs - 1 END) + 1, 0)::BIGINT
+          AS packs_used,
+        sum(CASE WHEN n_packs > 1 THEN 1 ELSE 0 END) AS straddlers
+      FROM p GROUP BY shard)
+SELECT shard, n_docs, n_tokens, packs_used,
+  floor(10000.0 * n_tokens / nullif(packs_used * 256, 0) + 0.5)::BIGINT
     AS fill_rate_q4,
-  floor(10000.0 * sum(CASE WHEN n_packs > 1 THEN 1 ELSE 0 END)
-        / count(*) + 0.5)::BIGINT AS straddle_frac_q4
-FROM p GROUP BY shard"""
+  floor(10000.0 * straddlers / n_docs + 0.5)::BIGINT AS straddle_frac_q4
+FROM s"""
     # token entropy: grouped counts + exact integer sum of the same
     # 1e-6-quantized c*log2(c) terms the Spark fold accumulates
     sqls["text_token_entropy"] = f"""WITH t AS (
@@ -4246,7 +4250,7 @@ GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2""";
     # LSH banding S-curve: identical closed form, same 4-decimal
     # rounding soaking libm-pow ulp differences
     sqls["lsh_tuning_curve"] = """WITH cfg(bands, rows_per_band) AS (
-  VALUES (8, 4), (16, 2), (4, 8)
+  VALUES (4, 2), (8, 4), (16, 2), (4, 8)
 ), g AS (SELECT i/20.0 AS s FROM UNNEST(generate_series(1, 19)) AS t(i))
 SELECT bands, rows_per_band, round(s, 4) AS s,
   round(1 - pow(1 - pow(s, rows_per_band), bands), 4) AS p_candidate,

@@ -285,6 +285,8 @@ def streaming_ingest_dedup(
     seen_dir = os.path.join(base_path, "seen")
 
     def sink_batch(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         from ..training.dedup import exact_dedup
 
         spark = batch.sparkSession
@@ -292,25 +294,44 @@ def streaming_ingest_dedup(
         try:
             seen = spark.read.parquet(seen_dir).filter(
                 F.col("batch_id") < batch_id
-            ).select("__h")
-        except Exception:  # first batch: no seen table yet
+            ).select(F.col("__h").alias("__seen_h"))
+        except AnalysisException:  # first batch: no seen table yet.
+            # ONLY the missing-path case may fall through — any other
+            # read failure (corrupt footer, transient FS error) must
+            # FAIL the batch and retry, because ingesting with seen=None
+            # silently disables cross-batch dedup forever.
             seen = None
+        # null-SAFE anti join: md5(null text) is null, and a plain
+        # left_anti on __h would let one null-text doc through EVERY
+        # batch (null never equals null)
         fresh = (
-            hashed.join(seen, "__h", "left_anti") if seen is not None
+            hashed.join(
+                seen,
+                hashed["__h"].eqNullSafe(seen["__seen_h"]),
+                "left_anti",
+            )
+            if seen is not None
             else hashed
         )
         out = exact_dedup(
             fresh.drop("__h"), text_col=text_col, id_col=id_col
         )
-        out.write.mode("overwrite").parquet(
-            os.path.join(docs_dir, f"batch_id={batch_id}")
-        )
-        (
-            out.select(F.md5(F.col(text_col)).alias("__h"))
-            .distinct()
-            .write.mode("overwrite")
-            .parquet(os.path.join(seen_dir, f"batch_id={batch_id}"))
-        )
+        # one execution for both write actions — without the persist the
+        # seen read + anti-join + exact_dedup lineage runs twice per
+        # trigger for the life of the stream
+        out = out.persist()
+        try:
+            out.write.mode("overwrite").parquet(
+                os.path.join(docs_dir, f"batch_id={batch_id}")
+            )
+            (
+                out.select(F.md5(F.col(text_col)).alias("__h"))
+                .distinct()
+                .write.mode("overwrite")
+                .parquet(os.path.join(seen_dir, f"batch_id={batch_id}"))
+            )
+        finally:
+            out.unpersist()
 
     writer = (
         stream.writeStream.foreachBatch(sink_batch)

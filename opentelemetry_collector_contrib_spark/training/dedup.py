@@ -604,7 +604,7 @@ def line_dedup(
 
 def lsh_tuning_curve(
     spark,
-    configs: tuple[tuple[int, int], ...] = ((8, 4), (16, 2), (4, 8)),
+    configs: tuple[tuple[int, int], ...] = ((4, 2), (8, 4), (16, 2), (4, 8)),
     grid_n: int = 19,
 ) -> DataFrame:
     """The MinHash-LSH S-curve tuning table (Leskovec/Rajaraman/Ullman,
@@ -616,7 +616,8 @@ def lsh_tuning_curve(
 
     This is the table a pipeline prints BEFORE committing a banding to
     a 100 TB dedup run (the ``bands``/``rows_per_band`` arguments of
-    :func:`lsh_candidate_pairs`) — the planning twin of
+    :func:`lsh_candidate_pairs`; the default config list leads with
+    the (4, 2) banding this repo's headline dedup queries run) — the planning twin of
     :func:`~.similarity.ann_recall`'s after-the-fact measurement. Pure
     closed-form math over literal frames: one double explode, zero
     joins, zero scans; probabilities rounded to 4 decimals so JVM/libm
@@ -793,7 +794,10 @@ def incremental_dedup(
 
     The Bloom stage is a pure pruning optimization: output is
     bit-identical to the plain anti-join (the oracle twin), bloom or
-    no bloom.
+    no bloom. Null text is one dedup class (SQL-equality semantics
+    would let a null-text row through every batch): null-text batch
+    rows are forced onto the candidate path and the anti-join is
+    null-safe, so a null-text row in ``seen`` suppresses them.
     """
     from .sketches import bloom_build, bloom_probe
 
@@ -812,12 +816,20 @@ def incremental_dedup(
         m_bits=bloom_bits,
     ).select(id_col, "maybe_member")
     staged = batch.join(probe, id_col)
-    clean = staged.filter(~F.col("maybe_member")).drop("maybe_member")
-    cand = staged.filter(F.col("maybe_member")).drop("maybe_member")
-    seen_h = seen.select(F.md5(F.col(text_col)).alias("__h")).distinct()
+    # null text hashes to a null bloom probe (n_hits 0, maybe_member
+    # false) — it must take the CANDIDATE path anyway, or a null-text
+    # row in seen could never suppress a null-text batch row
+    is_cand = F.col("maybe_member") | F.col(text_col).isNull()
+    clean = staged.filter(~is_cand).drop("maybe_member")
+    cand = staged.filter(is_cand).drop("maybe_member")
+    seen_h = seen.select(F.md5(F.col(text_col)).alias("__seen_h")).distinct()
+    keyed = cand.withColumn("__h", F.md5(F.col(text_col)))
     resolved = (
-        cand.withColumn("__h", F.md5(F.col(text_col)))
-        .join(seen_h, "__h", "left_anti")
+        keyed.join(
+            seen_h,
+            keyed["__h"].eqNullSafe(seen_h["__seen_h"]),
+            "left_anti",
+        )
         .drop("__h")
     )
     return exact_dedup(

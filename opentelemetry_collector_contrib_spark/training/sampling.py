@@ -441,7 +441,12 @@ def mixture_temperature(
     """
     from .dedup import tokens
 
-    n_tok = F.size(tokens(F.col(text_col)))
+    # null text must contribute a NULL (sum-skipped) count, not the
+    # non-ANSI size() = -1 which would subtract token mass and make an
+    # all-null source's pow(negative, alpha) a NaN
+    n_tok = F.when(
+        F.col(text_col).isNotNull(), F.size(tokens(F.col(text_col)))
+    )
     per = (
         df.select(F.col(source_col), n_tok.alias("__t"))
         .groupBy(source_col)
@@ -478,16 +483,26 @@ def pack_stats(packed: DataFrame, budget: int) -> DataFrame:
     fill_rate_q4, straddle_frac_q4)``. One map-side-combined groupBy
     over the (already doc-grained) layout frame -- metadata-scale.
     """
-    last_pack = F.col("pack_id") + F.col("n_packs") - 1
+    # zero-token docs occupy no space but REPORT the pack the stream
+    # cursor is in — at an exact pack boundary that is the NEXT (never
+    # written) pack, so only token-bearing docs may count toward
+    # packs_used (a phantom pack would halve the fill rate of a
+    # perfectly packed shard)
+    last_pack = F.when(
+        F.col("n_tokens") > 0, F.col("pack_id") + F.col("n_packs") - 1
+    )
     n = F.count(F.lit(1))
-    packs = F.max(last_pack) + 1
+    packs = F.coalesce(F.max(last_pack) + 1, F.lit(0))
     toks = F.sum("n_tokens")
     straddle = F.sum(F.when(F.col("n_packs") > 1, 1).otherwise(0))
     return packed.groupBy("shard").agg(
         n.cast("bigint").alias("n_docs"),
         toks.cast("bigint").alias("n_tokens"),
         packs.cast("bigint").alias("packs_used"),
-        F.floor(10000.0 * toks / (packs * F.lit(int(budget))) + F.lit(0.5))
+        F.floor(
+            F.try_divide(10000.0 * toks, packs * F.lit(int(budget)))
+            + F.lit(0.5)
+        )
         .cast("bigint")
         .alias("fill_rate_q4"),
         F.floor(10000.0 * straddle / n + F.lit(0.5))

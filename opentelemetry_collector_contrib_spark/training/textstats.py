@@ -548,7 +548,13 @@ def corpus_health(
     """
     from .dedup import tokens
 
-    n_tok = F.size(tokens(F.col(text_col)))
+    # size() of a null array is -1 under the non-ANSI default (and null
+    # ANSI-on): gate on text nullness so a null-text doc contributes a
+    # NULL token count in BOTH modes — sum/avg skip it and the short-doc
+    # CASE falls to 0, exactly the DuckDB twin's null-skip behavior
+    n_tok = F.when(
+        F.col(text_col).isNotNull(), F.size(tokens(F.col(text_col)))
+    )
     base = df.select(
         F.col(source_col).alias("source"),
         F.col(lang_col).alias("lang"),

@@ -101,3 +101,52 @@ def test_frame_ops_materialize_ansi_on(degen):
         assert cluster_size_histogram(
             spark.createDataFrame([], "doc_id long, cluster_id long")
         ).collect() == []
+
+
+def test_null_text_default_session_semantics(degen):
+    """The review-pass bugs: under the factory DEFAULT session
+    (ansi OFF) size(null array) is -1, which silently corrupted
+    corpus_health and mixture_temperature token masses. Null-text docs
+    must contribute NULL (sum-skipped) counts in BOTH modes."""
+    spark = degen.sparkSession
+    assert spark.conf.get("spark.sql.ansi.enabled") == "false"
+    ch = {
+        (r["source"], r["lang"], r["lvl"]): r
+        for r in corpus_health(degen, short_tokens=3).collect()
+    }
+    total = ch[(None, None, 3)]
+    # doc2 has 8 tokens, doc3 has 0, doc1 (null) contributes nothing
+    assert total["n_tokens"] == 8
+    assert total["n_docs"] == 3
+    assert total["short_frac_q4"] == 3333  # only the empty doc is short
+    mt = {r["source"]: r for r in mixture_temperature(degen).collect()}
+    assert mt["web"]["n_tokens"] == 8      # not 7 (=-1 contamination)
+    assert mt[None]["n_tokens"] is None    # all-null source: no NaN
+    assert mt["web"]["p_raw"] == 1.0
+
+
+def test_incremental_dedup_null_text_suppressed(degen):
+    """Null text is one dedup class across batches: a null-text doc in
+    the corpus suppresses null-text batch rows (null-safe anti-join +
+    forced candidate path), and intra-batch null dups collapse."""
+    spark = degen.sparkSession
+    batch = spark.createDataFrame(
+        [(10, None, "en"), (11, None, "de"), (12, "new doc", "en")],
+        "doc_id long, text string, lang string",
+    )
+    seen_with_null = spark.createDataFrame(
+        [(1, None, "en")], "doc_id long, text string, lang string"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in incremental_dedup(batch, seen_with_null).collect()
+    )
+    assert kept == [12]  # both null-text rows suppressed by the corpus
+    no_null_seen = spark.createDataFrame(
+        [(1, "other", "en")], "doc_id long, text string, lang string"
+    )
+    kept2 = sorted(
+        r["doc_id"]
+        for r in incremental_dedup(batch, no_null_seen).collect()
+    )
+    assert kept2 == [10, 12]  # intra-batch null dup collapses to 10

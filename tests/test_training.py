@@ -1226,14 +1226,14 @@ def test_lsh_tuning_curve_closed_form(spark):
     )
 
     rows = lsh_tuning_curve(spark).collect()
-    assert len(rows) == 3 * 19
+    assert len(rows) == 4 * 19
     pt = {
         (r["bands"], r["rows_per_band"], r["s"]): r for r in rows
     }
     r = pt[(8, 4, 0.5)]
     assert r["p_candidate"] == round(1 - (1 - 0.5**4) ** 8, 4)
     assert r["s_threshold"] == round((1 / 8) ** 0.25, 4)
-    for b, rpb in [(8, 4), (16, 2), (4, 8)]:
+    for b, rpb in [(4, 2), (8, 4), (16, 2), (4, 8)]:
         ps = [
             pt[(b, rpb, round(i / 20.0, 4))]["p_candidate"]
             for i in range(1, 20)
@@ -1640,3 +1640,14 @@ def test_pack_stats_hand_layout(spark):
     )
     r2 = pack_stats(pack_sequences(exact, budget=5, n_shards=1), 5).collect()[0]
     assert r2["fill_rate_q4"] == 10000 and r2["straddle_frac_q4"] == 0
+    # a zero-token doc landing exactly on a pack boundary must not
+    # count a phantom pack (it occupies nothing)
+    edge = spark.createDataFrame(
+        [(1, 10), (2, 0)], "doc_id long, n_tokens long"
+    )
+    r3 = pack_stats(pack_sequences(edge, budget=10, n_shards=1), 10).collect()[0]
+    assert (r3["packs_used"], r3["fill_rate_q4"]) == (1, 10000), r3
+    # an all-empty shard reports 0 packs and a null fill rate
+    empty = spark.createDataFrame([(1, 0)], "doc_id long, n_tokens long")
+    r4 = pack_stats(pack_sequences(empty, budget=10, n_shards=1), 10).collect()[0]
+    assert r4["packs_used"] == 0 and r4["fill_rate_q4"] is None
