@@ -20,13 +20,14 @@ from .pipeline import (
     write_routed_stream,
 )
 from .source import file_stream, rate_transcripts, socket_stream
-from .stateful import stateful_delta_to_cumulative
+from .stateful import stateful_delta_to_cumulative, streaming_tail_sampling
 
 __all__ = [
     "file_stream",
     "rate_transcripts",
     "socket_stream",
     "stateful_delta_to_cumulative",
+    "streaming_tail_sampling",
     "session_recombine",
     "read_rollup",
     "streaming_dedup_exact",

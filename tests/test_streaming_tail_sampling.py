@@ -1,0 +1,172 @@
+"""Streaming tail sampling: event-time decision_wait semantics with
+stream/batch decision parity.
+
+The reference buffers spans per trace and decides at
+`ArrivalTime + DecisionWait` (processor/tailsamplingprocessor/
+processor.go). The streaming operator maps DecisionTime onto
+`GroupStateTimeout.EventTimeTimeout`; these tests assert its decisions
+are IDENTICAL to the batch ``TailSampling.decisions()`` (which is
+DuckDB-oracle-gated) over the same spans, and that the
+O(1)-state aggregates carry across micro-batches.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.processors.tail_sampling import (
+    TailPolicy,
+    TailSampling,
+)
+from opentelemetry_collector_contrib_spark.streaming.stateful import (
+    streaming_tail_sampling,
+)
+
+DDL = "conv_id string, ts timestamp, role string, status_code string"
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _spans():
+    s = dt.timedelta(seconds=1)
+    rows = []
+    for i in range(12):
+        cid = f"c{i:02d}"
+        n = 1 + (i % 4)                      # 1..4 spans
+        for j in range(n):
+            # traces with i%3==0 stretch 30 s (latency hits); others 1 s/span
+            gap = 30 if i % 3 == 0 else 1
+            rows.append(
+                (
+                    cid,
+                    T0 + j * gap * s,
+                    "tool" if (i + j) % 5 == 0 else "user",
+                    "ERROR" if i % 4 == 1 else "OK",
+                )
+            )
+    return rows
+
+
+POLICIES = [
+    TailPolicy(name="slow", type="latency", threshold_ms=25_000),
+    TailPolicy(name="err", type="status_code", key="status_code",
+               status_codes=["ERROR"]),
+    TailPolicy(name="big", type="span_count", min_spans=4),
+    TailPolicy(
+        name="tool_and_pair",
+        type="and",
+        sub_policies=[
+            TailPolicy(name="t", type="condition", condition="role = 'tool'"),
+            TailPolicy(name="p", type="span_count", min_spans=2, max_spans=3),
+        ],
+    ),
+    TailPolicy(
+        name="noisy", type="string_attribute", key="role",
+        values=["spammer"], invert_match=True,
+    ),
+]
+
+
+def _run_stream(spark, tmp_path, policies, wait_ms=5_000):
+    in_dir = str(tmp_path / "in")
+    df = spark.createDataFrame(_spans(), DDL)
+    df.coalesce(1).write.parquet(in_dir)
+    # two flush files: file 2 advances the watermark past every
+    # DecisionTime; file 3 runs a batch under that watermark so the
+    # EventTimeTimeout branch fires (timeouts use the watermark computed
+    # from the PREVIOUS batch's data)
+    for k, days in (("flush1", 1), ("flush2", 2)):
+        spark.createDataFrame(
+            [(f"__{k}__", T0 + dt.timedelta(days=days), "user", "OK")], DDL
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+    stream = spark.readStream.schema(DDL).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(in_dir)
+    out = streaming_tail_sampling(
+        stream, policies, trace_key="conv_id", ts_col="ts",
+        watermark="0 seconds", decision_wait_ms=wait_ms,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tsdec")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT * FROM tsdec").collect()
+    return {r.conv_id: r for r in got if not r.conv_id.startswith("__")}
+
+
+def test_streaming_decisions_match_batch(spark, tmp_path):
+    batch = {
+        r.conv_id: r
+        for r in TailSampling(POLICIES, trace_key="conv_id", ts_col="ts")
+        .decisions(spark.createDataFrame(_spans(), DDL))
+        .collect()
+    }
+    stream = _run_stream(spark, tmp_path, POLICIES)
+    assert set(stream) == set(batch)          # every trace decided
+    for cid, r in stream.items():
+        assert r.sampled == batch[cid].sampled, cid
+        assert r.span_count == batch[cid].span_count, cid
+
+
+def test_streaming_state_carries_across_microbatches(spark, tmp_path):
+    """Spans of ONE trace split across two files/micro-batches: the
+    aggregate state (count, min/max ts, any-match) must merge, so the
+    decision sees the COMPLETE trace, exactly like the reference's
+    buffered trace."""
+    in_dir = str(tmp_path / "in2")
+    s = dt.timedelta(seconds=1)
+    spark.createDataFrame(
+        [("cx", T0, "user", "OK"), ("cx", T0 + s, "user", "OK")], DDL
+    ).coalesce(1).write.parquet(in_dir)
+    spark.createDataFrame(
+        [("cx", T0 + 2 * s, "user", "ERROR"),
+         ("cx", T0 + 3 * s, "user", "OK")], DDL
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    for k, days in (("flush1", 1), ("flush2", 2)):
+        spark.createDataFrame(
+            [(f"__{k}__", T0 + dt.timedelta(days=days), "user", "OK")], DDL
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+    pol = [
+        TailPolicy(name="err", type="status_code", key="status_code",
+                   status_codes=["ERROR"]),
+        TailPolicy(name="big", type="span_count", min_spans=4),
+    ]
+    stream = spark.readStream.schema(DDL).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(in_dir)
+    out = streaming_tail_sampling(
+        stream, pol, trace_key="conv_id", ts_col="ts",
+        watermark="0 seconds", decision_wait_ms=5_000,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tsdec2")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {
+        r.conv_id: r
+        for r in spark.sql("SELECT * FROM tsdec2").collect()
+        if not r.conv_id.startswith("__")
+    }
+    assert rows["cx"].span_count == 4       # both batches merged
+    assert rows["cx"].sampled is True       # ERROR arrived in batch 2
+    assert rows["cx"].dur_ms == 3000.0
+
+
+def test_rate_policies_rejected(spark):
+    with pytest.raises(ValueError, match="batch-only"):
+        streaming_tail_sampling(
+            spark.createDataFrame([], DDL),
+            [TailPolicy(name="r", type="rate_limiting", spans_per_second=5)],
+        )
