@@ -19,6 +19,7 @@ from .pipeline import (
     windowed_counts,
     write_routed_stream,
 )
+from .metrics import streaming_interval_last, streaming_spanmetrics
 from .source import file_stream, rate_transcripts, socket_stream
 from .stateful import stateful_delta_to_cumulative, streaming_tail_sampling
 
@@ -28,6 +29,8 @@ __all__ = [
     "socket_stream",
     "stateful_delta_to_cumulative",
     "streaming_tail_sampling",
+    "streaming_interval_last",
+    "streaming_spanmetrics",
     "session_recombine",
     "read_rollup",
     "streaming_dedup_exact",

@@ -1,0 +1,120 @@
+"""Streaming forms of the metric-producing operators.
+
+Two reference behaviors are genuinely periodic-flush shaped — the
+interval processor ("keep the last datapoint per stream, emit every
+interval", processor/intervalprocessor/processor.go export ticker) and
+the spanmetrics connector (RED aggregation flushed every
+``flush_interval``, connector/spanmetricsconnector/connector.go
+exportMetrics ticker). Their batch twins treat the whole table as one
+flush; these operators are the watermarked tumbling-window analogs —
+each event-time window IS one flush tick, finalized when the watermark
+passes the window end.
+
+Both reuse the batch operators' column builders (the interval bucket
+arithmetic, spanmetrics ``_key_dims``/``bucket_label``/``exp_index``)
+so bucketing and dimension-resolution semantics cannot drift between
+batch and stream; parity is pytest-asserted against the batch outputs.
+
+Scale posture: plain watermarked window aggregations — Spark keeps one
+state row per (window x key), evicted at the watermark; partial
+aggregation runs map-side before the shuffle. No applyInPandas, no
+Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_interval_last(
+    stream: DataFrame,
+    interval: str = "60 seconds",
+    stream_keys: list[str] | None = None,
+    value_col: str = "value",
+    order_col: str = "ts",
+    tiebreak_col: str | None = None,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming interval processor: the LAST datapoint per (stream,
+    tumbling interval), emitted when the watermark closes the interval
+    — the reference's export-ticker flush
+    (processor/intervalprocessor/processor.go:125-143 exportMetrics).
+
+    ``max_by(value, (event time, tiebreak))`` inside a
+    ``window(ts, interval)`` group reproduces the batch
+    ``IntervalProcessor`` row pick exactly (same bucket arithmetic:
+    Spark tumbling windows are epoch-aligned, as is the batch
+    ``floor(unix_micros / interval_us)``); append-mode output carries
+    ``interval_start`` like the batch form.
+    """
+    keys = stream_keys or ["metric"]
+    ts = F.col(order_col).cast("timestamp")
+    order = (
+        F.struct(ts, F.col(tiebreak_col))
+        if tiebreak_col
+        else F.struct(ts)
+    )
+    return (
+        stream.withColumn("__ts__", ts)
+        .withWatermark("__ts__", watermark)
+        .groupBy(F.window("__ts__", interval).alias("__w__"), *keys)
+        .agg(
+            F.max_by(F.col(value_col), order).alias(value_col),
+            F.max_by(ts, order).alias(order_col),
+        )
+        .select(
+            *keys,
+            F.col("__w__.start").alias("interval_start"),
+            order_col,
+            value_col,
+        )
+    )
+
+
+def streaming_spanmetrics(
+    stream: DataFrame,
+    connector,
+    ts_col: str = "ts",
+    flush_interval: str = "60 seconds",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming spanmetrics: the connector's explicit/exponential
+    latency histogram per flush window
+    (connector/spanmetricsconnector/connector.go exportMetrics ticker;
+    each event-time window is one flush).
+
+    Dimension resolution and bucketing are the CONNECTOR'S OWN column
+    builders (``_key_dims`` + ``bucket_label``/``exp_index``) applied to
+    the stream — the aggregation is the same single
+    map-side-combined count/sum, keyed additionally by the flush
+    window. Summing ``bucket_count``/``duration_sum`` across windows
+    equals the batch connector output (pytest-asserted), which is the
+    delta-temporality contract of the reference's periodic flush.
+    """
+    dur = F.col(connector.duration_col).cast("double")
+    dims, names = connector._key_dims(stream)
+    bucket = (
+        connector.exp_index(dur).alias("bucket_idx")
+        if connector.histogram == "exponential"
+        else connector.bucket_label(dur).alias("le")
+    )
+    bname = "bucket_idx" if connector.histogram == "exponential" else "le"
+    ts = F.col(ts_col).cast("timestamp")
+    return (
+        stream.filter(dur.isNotNull())
+        .select(*dims, bucket, dur.alias("__d"), ts.alias("__ts__"))
+        .withWatermark("__ts__", watermark)
+        .groupBy(F.window("__ts__", flush_interval).alias("__w__"), *names, bname)
+        .agg(
+            F.count(F.lit(1)).alias("bucket_count"),
+            F.sum("__d").alias("duration_sum"),
+        )
+        .select(
+            F.col("__w__.start").alias("flush_start"),
+            *names,
+            bname,
+            "bucket_count",
+            "duration_sum",
+        )
+    )
