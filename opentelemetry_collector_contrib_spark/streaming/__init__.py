@@ -19,7 +19,11 @@ from .pipeline import (
     windowed_counts,
     write_routed_stream,
 )
-from .metrics import streaming_interval_last, streaming_spanmetrics
+from .metrics import (
+    streaming_interval_last,
+    streaming_servicegraph_pairs,
+    streaming_spanmetrics,
+)
 from .source import file_stream, rate_transcripts, socket_stream
 from .stateful import stateful_delta_to_cumulative, streaming_tail_sampling
 
@@ -31,6 +35,7 @@ __all__ = [
     "streaming_tail_sampling",
     "streaming_interval_last",
     "streaming_spanmetrics",
+    "streaming_servicegraph_pairs",
     "session_recombine",
     "read_rollup",
     "streaming_dedup_exact",

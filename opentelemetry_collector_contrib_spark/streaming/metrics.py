@@ -118,3 +118,86 @@ def streaming_spanmetrics(
             "duration_sum",
         )
     )
+
+
+def streaming_servicegraph_pairs(
+    client_stream: DataFrame,
+    server_stream: DataFrame | None = None,
+    *,
+    client_condition: str,
+    server_condition: str,
+    correlation_key: str = "conv_id",
+    order_col: str = "turn_idx",
+    ts_col: str = "ts",
+    client_dim: str = "role",
+    server_dim: str = "tool",
+    store_ttl: str = "30 seconds",
+    watermark: str = "10 seconds",
+    how: str = "inner",
+) -> DataFrame:
+    """Streaming servicegraph pairing: the reference's span-pair store
+    as a watermarked stream-stream self-join.
+
+    The reference keeps unpaired spans in an in-memory store and evicts
+    them after ``store_expiration_ttl``
+    (connector/servicegraphconnector/config.go:11-56, internal/store).
+    Spark's stream-stream join state IS that store: the join condition
+    bounds the server row's event time to
+    ``[client ts, client ts + store_ttl]``, so the watermark can prove
+    when a client row can no longer pair and drop it from state —
+    exactly the TTL eviction, with zero user code and zero Python.
+
+    Pairing rule matches the batch connector (a client row pairs with
+    the immediately following row of its correlation group when that
+    row satisfies the server predicate): join on the correlation key +
+    ``server.order == client.order + 1`` + the TTL time bound.
+
+    ``how='inner'`` emits an edge row per pair as soon as both sides
+    arrive. ``how='left_outer'`` additionally emits client rows that
+    EXPIRED unpaired (null server columns, once the watermark passes
+    their TTL window) — the reference's expired-item accounting.
+
+    Emits ``(correlation_key, order, client, server, latency_us)``;
+    aggregate downstream (windowed, or at the sink) exactly like the
+    batch connector's groupBy.
+    """
+    if server_stream is None:
+        server_stream = client_stream
+    c = (
+        client_stream.filter(F.expr(client_condition))
+        .select(
+            F.col(correlation_key).alias("__ck"),
+            F.col(order_col).alias("__ord"),
+            F.col(ts_col).cast("timestamp").alias("__cts"),
+            F.col(client_dim).alias("client"),
+        )
+        .withWatermark("__cts", watermark)
+    )
+    s = (
+        server_stream.filter(F.expr(server_condition))
+        .select(
+            F.col(correlation_key).alias("__sk"),
+            F.col(order_col).alias("__sord"),
+            F.col(ts_col).cast("timestamp").alias("__sts"),
+            F.col(server_dim).alias("server"),
+        )
+        .withWatermark("__sts", watermark)
+    )
+    ttl = F.expr(f"INTERVAL {store_ttl}")
+    joined = c.join(
+        s,
+        (F.col("__ck") == F.col("__sk"))
+        & (F.col("__sord") == F.col("__ord") + 1)
+        & (F.col("__sts") >= F.col("__cts"))
+        & (F.col("__sts") <= F.col("__cts") + ttl),
+        how,
+    )
+    return joined.select(
+        F.col("__ck").alias(correlation_key),
+        F.col("__ord").alias(order_col),
+        F.col("client"),
+        F.col("server"),
+        (
+            F.unix_micros(F.col("__sts")) - F.unix_micros(F.col("__cts"))
+        ).alias("latency_us"),
+    )
