@@ -2642,6 +2642,41 @@ def _q_hypertable_rollup(spark, sf_dir):
     )
 
 
+def _q_split_hash(spark, sf_dir):
+    # deterministic train/val/test assignment over documents
+    from opentelemetry_collector_contrib_spark.training.splits import hash_split
+
+    return hash_split(_docs(spark, sf_dir), key_col="doc_id").select(
+        "doc_id", "split"
+    )
+
+
+def _q_split_cluster_safe(spark, sf_dir):
+    # leakage-safe split: the coin keys on a grouping label so co-grouped
+    # docs co-assign (label frame here = a deterministic derived grouping;
+    # production feeds dedup.duplicate_clusters labels)
+    from opentelemetry_collector_contrib_spark.training.splits import (
+        cluster_safe_split,
+    )
+
+    d = _docs(spark, sf_dir)
+    labels = d.filter(F.col("doc_id") % 3 != 0).select(
+        "doc_id", F.floor(F.col("doc_id") / 10).alias("cluster")
+    )
+    return cluster_safe_split(d, labels).select("doc_id", "split")
+
+
+def _q_shuffle_order(spark, sf_dir):
+    # epoch-stable global training order: (shard, pos) pure in (seed, id)
+    from opentelemetry_collector_contrib_spark.training.splits import (
+        deterministic_shuffle,
+    )
+
+    return deterministic_shuffle(_docs(spark, sf_dir), n_shards=16).select(
+        "doc_id", "shard", "pos"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Order matters: the driver verifies the FIRST 50 entries against
@@ -2749,6 +2784,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window is full of never-driver-checked entries — rotates in
         # next round): the ANN recall@k tuning metric
         "ann_recall": _q_ann_recall,
+        "split_train_val_test": _q_split_hash,
+        "split_cluster_safe": _q_split_cluster_safe,
+        "shuffle_order": _q_shuffle_order,
         "dedup_lines_corpus": _q_line_dedup,
         "lsh_tuning_curve": _q_lsh_tuning,
         "mixture_temperature": _q_mixture_temperature,
@@ -4365,6 +4403,32 @@ FROM scores s CROSS JOIN thr"""
     sqls["bpe_merges"] = _bpe_oracle_sql(8)
     # encode path: the same chain read out at the merged-vocab end
     sqls["bpe_tokenize"] = _bpe_oracle_sql(8, tokenize=True)
+    # --- deterministic splits + shuffle -------------------------------
+    _split_case = (
+        "CASE WHEN " + _md5_bucket_sql("{k}", 17) + " < 9800 THEN 'train' "
+        "WHEN " + _md5_bucket_sql("{k}", 17) + " < 9900 THEN 'val' "
+        "ELSE 'test' END"
+    )
+    sqls["split_train_val_test"] = f"""
+SELECT doc_id, {_split_case.format(k="doc_id::VARCHAR")} AS split
+FROM documents"""
+    _cs_key = (
+        "COALESCE(CASE WHEN doc_id % 3 != 0 THEN "
+        "CAST(FLOOR(doc_id / 10.0) AS BIGINT)::VARCHAR END, doc_id::VARCHAR)"
+    )
+    sqls["split_cluster_safe"] = f"""
+SELECT doc_id, {_split_case.format(k=_cs_key)} AS split
+FROM documents"""
+    sqls["shuffle_order"] = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         ({_md5_bucket_sql("doc_id::VARCHAR", 17)}) % 16 AS shard,
+         {_md5_bucket_sql("'pos:' || doc_id::VARCHAR", 17)} AS ok
+  FROM documents
+)
+SELECT doc_id, CAST(shard AS INTEGER) AS shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY ok, doc_id) AS INTEGER) AS pos
+FROM keyed"""
     return sqls
 
 

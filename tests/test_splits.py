@@ -1,0 +1,107 @@
+"""Deterministic splits + training-order shuffle."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.training.splits import (
+    cluster_safe_split,
+    deterministic_shuffle,
+    hash_split,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, f"doc text {i}") for i in range(2000)], "doc_id long, text string"
+    )
+
+
+def test_hash_split_fractions_and_determinism(spark, docs):
+    out = hash_split(docs, fractions={"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r.cnt for r in out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > 1400                  # ~80% of 2000
+    assert 100 < counts["val"] + counts["test"] < 500
+    # determinism: same seed -> identical assignment
+    again = {r.doc_id: r.split for r in hash_split(
+        docs, fractions={"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    first = {r.doc_id: r.split for r in out.collect()}
+    assert first == again
+    # different seed -> a different assignment for at least some rows
+    other = {r.doc_id: r.split for r in hash_split(
+        docs, fractions={"train": 0.8, "val": 0.1, "test": 0.1}, seed=99
+    ).collect()}
+    assert other != first
+
+
+def test_hash_split_prefix_stability(spark, docs):
+    """Growing the train fraction only moves rows OUT of the adjacent
+    split — no train row flips to test."""
+    a = {r.doc_id: r.split for r in hash_split(
+        docs, fractions={"train": 0.8, "val": 0.2}).collect()}
+    b = {r.doc_id: r.split for r in hash_split(
+        docs, fractions={"train": 0.9, "val": 0.1}).collect()}
+    for k, v in a.items():
+        if v == "train":
+            assert b[k] == "train"
+
+
+def test_hash_split_bad_fractions(spark, docs):
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(docs, fractions={"train": 0.5, "val": 0.1}).collect()
+
+
+def test_cluster_safe_split_coassigns_near_dups(spark, docs):
+    # every 10 consecutive ids form one near-dup cluster
+    labels = spark.createDataFrame(
+        [(i, i // 10) for i in range(2000)], "doc_id long, cluster long"
+    )
+    out = cluster_safe_split(docs, labels)
+    per_cluster = (
+        out.withColumn("cl", F.col("doc_id") / 10)
+        .withColumn("cl", F.floor("cl"))
+        .groupBy("cl")
+        .agg(F.count_distinct("split").alias("nsplits"))
+        .agg(F.max("nsplits").alias("mx"))
+        .collect()[0]
+        .mx
+    )
+    assert per_cluster == 1   # a cluster never straddles splits
+
+
+def test_cluster_safe_split_singleton_fallback(spark):
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, text string"
+    )
+    labels = spark.createDataFrame([], "doc_id long, cluster long")
+    out = cluster_safe_split(docs, labels)
+    assert out.count() == 2
+    assert set(out.columns) == {"doc_id", "text", "split"}
+    # singleton key == hash_split on the id (same coin)
+    hs = {r.doc_id: r.split for r in hash_split(docs).collect()}
+    cs = {r.doc_id: r.split for r in out.collect()}
+    assert hs == cs
+
+
+def test_deterministic_shuffle_is_a_permutation(spark, docs):
+    out = deterministic_shuffle(docs, n_shards=8)
+    rows = out.select("doc_id", "shard", "pos").collect()
+    assert len(rows) == 2000
+    # (shard, pos) is a dense rank within each shard
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) <= set(range(8))
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # stable across runs; different seed -> different order
+    again = {(r.doc_id): (r.shard, r.pos) for r in
+             deterministic_shuffle(docs, n_shards=8).collect()}
+    assert {(r.doc_id): (r.shard, r.pos) for r in rows} == again
+    moved = {(r.doc_id): (r.shard, r.pos) for r in
+             deterministic_shuffle(docs, n_shards=8, seed=18).collect()}
+    assert moved != again
