@@ -47,9 +47,37 @@ def main() -> None:
         help="JSON pipeline config (collector operator topology) applied "
         "instead of the built-in parse/enrich stages",
     )
+    ap.add_argument(
+        "--stream",
+        help="run as a long-lived service: watch this directory for new "
+        "transcript parquet files (the collector's receiver posture) and "
+        "fan rows out to per-sink streaming writes",
+    )
+    ap.add_argument(
+        "--once", action="store_true",
+        help="with --stream: drain what's available and exit "
+        "(availableNow trigger) instead of running forever",
+    )
     args = ap.parse_args()
 
     spark = SparkSession.builder.getOrCreate()
+    if args.stream:
+        from opentelemetry_collector_contrib_spark.streaming import (
+            file_stream,
+            streaming_pipeline,
+            write_routed_stream,
+        )
+
+        routed = streaming_pipeline(file_stream(spark, args.stream))
+        q = write_routed_stream(
+            routed,
+            f"{args.out}/sinks",
+            f"{args.out}/checkpoint",
+            trigger_available_now=args.once,
+        )
+        q.awaitTermination()
+        spark.stop()
+        return
     if args.table:
         transcripts = spark.read.table(args.table)
     else:
