@@ -48,6 +48,14 @@ def streaming_interval_last(
     ``floor(unix_micros / interval_us)``); append-mode output carries
     ``interval_start`` like the batch form.
     """
+    unit = interval.split()[-1].rstrip("s").lower()
+    if unit in ("month", "year"):
+        # Spark tumbling windows need fixed-width durations; the batch
+        # IntervalProcessor handles calendar grains via date_trunc
+        raise ValueError(
+            f"calendar intervals ({interval!r}) are batch-only; "
+            "use IntervalProcessor"
+        )
     keys = stream_keys or ["metric"]
     ts = F.col(order_col).cast("timestamp")
     order = (

@@ -117,8 +117,10 @@ def deterministic_shuffle(
     docs) and the window partition stays bounded; the shard assignment
     itself is a zero-shuffle projection.
     """
-    if n_shards < 1:
-        raise ValueError("n_shards must be >= 1")
+    if not 1 <= n_shards <= 10000:
+        # the md5 coin has 10^4 buckets; more shards than buckets would
+        # leave shards structurally empty
+        raise ValueError("n_shards must be in [1, 10000]")
     sid = F.col(id_col).cast("string")
     shard = _bucket(sid, seed, "md5") % n_shards
     order_key = _bucket(F.concat(F.lit("pos:"), sid), seed, "md5")

@@ -105,3 +105,15 @@ def test_deterministic_shuffle_is_a_permutation(spark, docs):
     moved = {(r.doc_id): (r.shard, r.pos) for r in
              deterministic_shuffle(docs, n_shards=8, seed=18).collect()}
     assert moved != again
+
+
+def test_deterministic_shuffle_shard_bound(spark):
+    import pytest as _pytest
+
+    from opentelemetry_collector_contrib_spark.training.splits import (
+        deterministic_shuffle,
+    )
+
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with _pytest.raises(ValueError, match=r"\[1, 10000\]"):
+        deterministic_shuffle(df, n_shards=20000)

@@ -149,3 +149,15 @@ def test_streaming_spanmetrics_totals_match_batch(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_interval_rejects_calendar_grains(spark):
+    import pytest as _pytest
+
+    from opentelemetry_collector_contrib_spark.streaming.metrics import (
+        streaming_interval_last,
+    )
+
+    df = spark.createDataFrame([], "metric string, ts timestamp, value double")
+    with _pytest.raises(ValueError, match="batch-only"):
+        streaming_interval_last(df, interval="1 month")
