@@ -274,6 +274,10 @@ def streaming_tail_sampling(
                 mx = hi if mx is None else max(mx, hi)
                 for i in range(n_leaves):
                     anys[i] = bool(anys[i] or pdf[f"__m{i}__"].any())
+        if mn is None:
+            # no rows materialized for this key (empty Arrow chunks):
+            # leave any existing state and its timeout untouched
+            return
         state.update((n, mn, mx, anys))
         # DecisionTime = first span's event time + decision_wait; the
         # state API refuses timestamps at/behind the watermark, so a
