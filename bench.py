@@ -134,6 +134,9 @@ BENCH_QUERIES = [
     "quality_gate_gopher",
     "chunk_documents",
     "vocab_topk",
+    "split_train_val_test",
+    "split_cluster_safe",
+    "shuffle_order",
 ]
 
 
