@@ -385,6 +385,16 @@ _IVF_COS_EC = (
 _PLANES = make_planes(8, 64)
 
 
+def _md5_hash60_sql(expr: str) -> str:
+    """DuckDB twin of conv(substring(md5(expr),1,15),16,10): the full
+    60-bit hash (no bucket mod) — the shuffle_order rank key."""
+    h = f"md5({expr})"
+    return "(" + "+".join(
+        f"(ascii(substring({h},{i},1)) - CASE WHEN ascii(substring({h},{i},1)) >= 97 THEN 87 ELSE 48 END)::BIGINT * {16 ** (15 - i)}"
+        for i in range(1, 16)
+    ) + ")"
+
+
 def _md5_bucket_sql(expr: str, seed: int = 22) -> str:
     """DuckDB twin of processors.sampler._bucket (md5 mode): first 15
     hex chars of md5('<seed>:' || expr) nibble-parsed to a 60-bit int,
@@ -4423,7 +4433,7 @@ FROM documents"""
 WITH keyed AS (
   SELECT doc_id,
          ({_md5_bucket_sql("doc_id::VARCHAR", 17)}) % 16 AS shard,
-         {_md5_bucket_sql("'pos:' || doc_id::VARCHAR", 17)} AS ok
+         {_md5_hash60_sql("'17:pos:' || doc_id::VARCHAR")} AS ok
   FROM documents
 )
 SELECT doc_id, CAST(shard AS INTEGER) AS shard,

@@ -19,6 +19,13 @@ Scale posture: plain watermarked window aggregations — Spark keeps one
 state row per (window x key), evicted at the watermark; partial
 aggregation runs map-side before the shuffle. No applyInPandas, no
 Python in the row path.
+
+Deviation from the batch twins, by necessity: rows with a NULL event
+time cannot be windowed and are excluded from the streaming
+aggregations, while the batch operators (which never consult the
+timestamp for bucketing, or emit a null-bucket group) include them —
+the parity tests therefore use non-null timestamps. Filter or stamp
+null-ts rows upstream if they carry signal.
 """
 
 from __future__ import annotations
@@ -48,7 +55,7 @@ def streaming_interval_last(
     ``floor(unix_micros / interval_us)``); append-mode output carries
     ``interval_start`` like the batch form.
     """
-    unit = interval.split()[-1].rstrip("s").lower()
+    unit = interval.split()[-1].lower().rstrip("s")
     if unit in ("month", "year"):
         # Spark tumbling windows need fixed-width durations; the batch
         # IntervalProcessor handles calendar grains via date_trunc
@@ -159,6 +166,10 @@ def streaming_servicegraph_pairs(
     the immediately following row of its correlation group when that
     row satisfies the server predicate): join on the correlation key +
     ``server.order == client.order + 1`` + the TTL time bound.
+    REQUIRES DENSE order indices (transcript ``turn_idx`` is dense by
+    construction): with gaps in ``order_col`` the batch ``lead()``
+    pairs across the gap while this join does not — feed contiguous
+    indices (e.g. re-rank upstream) if the source can have holes.
 
     ``how='inner'`` emits an edge row per pair as soon as both sides
     arrive. ``how='left_outer'`` additionally emits client rows that
@@ -203,6 +214,11 @@ def streaming_servicegraph_pairs(
     return joined.select(
         F.col("__ck").alias(correlation_key),
         F.col("__ord").alias(order_col),
+        # the client's event time rides along so downstream WINDOWED
+        # aggregation (per-flush edge metrics) has a column to
+        # watermark on — without it the docstring's "aggregate
+        # downstream" would be impossible in append mode
+        F.col("__cts").alias("event_ts"),
         F.col("client"),
         F.col("server"),
         (

@@ -241,17 +241,30 @@ def streaming_tail_sampling(
     out_schema = (
         f"{trace_key} {key_type}, span_count long, dur_ms double, sampled boolean"
     )
-    state_schema = "n long, mn long, mx long, anys array<boolean>"
+    state_schema = "n long, mn long, mx long, anys array<boolean>, decided boolean"
 
     def fold(
         key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
     ) -> Iterator["pd.DataFrame"]:
         if state.hasTimedOut:
-            n, mn, mx, anys = state.get
+            n, mn, mx, anys, decided = state.get
+            if decided:
+                # retention elapsed: the tombstone can finally go
+                state.remove()
+                return
             dur_ms = (mx - mn) / 1000.0
             any_of = {id(p): anys[i] for i, p in enumerate(leaves)}
             codes = [_py_code(p, n, dur_ms, any_of) for p in policies]
-            state.remove()
+            # keep a DECIDED tombstone instead of removing state: spans
+            # of this trace arriving after the decision must NOT rebuild
+            # state and emit a second, conflicting decision row — the
+            # reference serves late spans from its cached decision
+            # (processor.go decision cache). The tombstone itself ages
+            # out one decision_wait after the decision.
+            state.update((n, mn, mx, list(anys), True))
+            state.setTimeoutTimestamp(
+                state.getCurrentWatermarkMs() + decision_wait_ms
+            )
             yield pd.DataFrame(
                 {
                     trace_key: [key[0]],
@@ -262,8 +275,13 @@ def streaming_tail_sampling(
             )
             return
         if state.exists:
-            n, mn, mx, anys = state.get
+            n, mn, mx, anys, decided = state.get
             anys = list(anys)
+            if decided:
+                # late spans of an already-decided trace: the decision
+                # stands (reference decision-cache semantics); refresh
+                # nothing, let the tombstone age out
+                return
         else:
             n, mn, mx, anys = 0, None, None, [False] * n_leaves
         for pdf in pdfs:
@@ -278,7 +296,7 @@ def streaming_tail_sampling(
             # no rows materialized for this key (empty Arrow chunks):
             # leave any existing state and its timeout untouched
             return
-        state.update((n, mn, mx, anys))
+        state.update((n, mn, mx, anys, False))
         # DecisionTime = first span's event time + decision_wait; the
         # state API refuses timestamps at/behind the watermark, so a
         # late-starting trace decides at the next watermark tick

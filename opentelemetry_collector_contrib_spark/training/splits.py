@@ -123,7 +123,14 @@ def deterministic_shuffle(
         raise ValueError("n_shards must be in [1, 10000]")
     sid = F.col(id_col).cast("string")
     shard = _bucket(sid, seed, "md5") % n_shards
-    order_key = _bucket(F.concat(F.lit("pos:"), sid), seed, "md5")
+    # order on the FULL 60-bit hash, not the 10^4 sampling bucket: at
+    # loader-sized shards (10^5-10^6 docs) a 10^4-value key would
+    # collide ~100 docs per value and the id tiebreak would leak long
+    # runs of ORIGINAL corpus order into the training order — the
+    # adjacency correlation a shuffle exists to destroy
+    order_key = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:pos:"), sid)), 1, 15), 16, 10
+    ).cast("bigint")
     w = Window.partitionBy("shard").orderBy(
         F.col("__ok__").asc(), F.col(id_col).asc()
     )

@@ -60,6 +60,12 @@ def main() -> None:
     )
     args = ap.parse_args()
 
+    if args.stream and (args.config or args.table):
+        # fail loudly rather than silently running the built-in chain
+        # while the user believes their topology / table is live
+        ap.error("--stream runs the built-in pipeline over a watched "
+                 "directory; --config/--table are batch-mode options")
+
     spark = SparkSession.builder.getOrCreate()
     if args.stream:
         from opentelemetry_collector_contrib_spark.streaming import (

@@ -170,3 +170,45 @@ def test_rate_policies_rejected(spark):
             spark.createDataFrame([], DDL),
             [TailPolicy(name="r", type="rate_limiting", spans_per_second=5)],
         )
+
+
+def test_late_spans_do_not_reopen_a_decided_trace(spark, tmp_path):
+    """Spans arriving AFTER the decision fired must not rebuild state
+    and emit a second, conflicting decision row — the reference serves
+    late spans from its decision cache (processor.go)."""
+    in_dir = str(tmp_path / "in3")
+    day = dt.timedelta(days=1)
+    s = dt.timedelta(seconds=1)
+    files = [
+        [("cx", T0, "user", "ERROR")],                       # the trace
+        [("__s1__", T0 + day, "user", "OK")],                # wm -> +1d
+        [("__s2__", T0 + day + s, "user", "OK")],            # decision fires
+        [("cx", T0 + day + 2 * s, "user", "OK")],            # LATE span
+        [("__s3__", T0 + 2 * day, "user", "OK")],            # drain
+    ]
+    for i, rows in enumerate(files):
+        spark.createDataFrame(rows, DDL).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+    pol = [TailPolicy(name="err", type="status_code", key="status_code",
+                      status_codes=["ERROR"])]
+    stream = spark.readStream.schema(DDL).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(in_dir)
+    out = streaming_tail_sampling(
+        stream, pol, trace_key="conv_id", ts_col="ts",
+        watermark="0 seconds", decision_wait_ms=5_000,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tsdec3")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .start()
+    )
+    q.awaitTermination(180)
+    cx = [r for r in spark.sql("SELECT * FROM tsdec3").collect()
+          if r.conv_id == "cx"]
+    assert len(cx) == 1                      # exactly one decision row
+    assert cx[0].span_count == 1 and cx[0].sampled is True
