@@ -126,7 +126,15 @@ class CountConnector:
                     bits |= 1 << (len(all_cols) - 1 - idx)
             return bits
 
-        outs = []
+        # ONE output projection, not a per-metric filter + Union: a
+        # Union's branches are column-pruned independently (branch i
+        # keeps only __c_i), the pruned aggregates no longer match, and
+        # exchange reuse dies — the measured result was the ENTIRE
+        # upstream (scan + derive + agg) executing once PER METRIC.
+        # Building a per-row array of metric structs and exploding keeps
+        # a single aggregation subtree: one scan, one shuffle, however
+        # many metrics are configured.
+        elems = []
         for i, m in enumerate(self.metrics):
             attr_map = (
                 F.map_from_arrays(
@@ -136,19 +144,23 @@ class CountConnector:
                 if m.attributes
                 else F.from_json(F.lit("{}"), "map<string,string>")
             )
-            outs.append(
-                agg.filter(F.col("__gid") == mask(metric_cols[i]))
-                .select(
-                    F.lit(m.name).alias("metric_name"),
-                    attr_map.alias("attrs"),
-                    F.col(f"__c_{i}").cast("long").alias("count"),
+            cnt = F.col(f"__c_{i}").cast("long")
+            elems.append(
+                F.when(
+                    (F.col("__gid") == mask(metric_cols[i])) & (cnt > 0),
+                    F.struct(
+                        F.lit(m.name).alias("metric_name"),
+                        attr_map.alias("attrs"),
+                        cnt.alias("count"),
+                    ),
                 )
-                .filter(F.col("count") > 0)
             )
-        result = outs[0]
-        for o in outs[1:]:
-            result = result.unionByName(o)
-        return result
+        return (
+            agg.select(
+                F.explode(F.array_compact(F.array(*elems))).alias("__out")
+            )
+            .select("__out.metric_name", "__out.attrs", "__out.count")
+        )
 
     def _global_counts(self, df: DataFrame) -> DataFrame:
         agg = df.select(
@@ -157,18 +169,26 @@ class CountConnector:
             *[F.sum(F.col(f"__m_{i}")).alias(f"__c_{i}") for i in range(len(self.metrics))]
         )
         empty = F.from_json(F.lit("{}"), "map<string,string>")
-        outs = [
-            agg.select(
-                F.lit(m.name).alias("metric_name"),
-                empty.alias("attrs"),
-                F.col(f"__c_{i}").cast("long").alias("count"),
-            ).filter(F.col("count") > 0)
+        # same single-subtree posture as the grouped path (here the agg
+        # is one row, but a Union would still re-run the whole scan per
+        # metric to produce it)
+        elems = [
+            F.when(
+                F.col(f"__c_{i}").cast("long") > 0,
+                F.struct(
+                    F.lit(m.name).alias("metric_name"),
+                    empty.alias("attrs"),
+                    F.col(f"__c_{i}").cast("long").alias("count"),
+                ),
+            )
             for i, m in enumerate(self.metrics)
         ]
-        result = outs[0]
-        for o in outs[1:]:
-            result = result.unionByName(o)
-        return result
+        return (
+            agg.select(
+                F.explode(F.array_compact(F.array(*elems))).alias("__out")
+            )
+            .select("__out.metric_name", "__out.attrs", "__out.count")
+        )
 
     def _metric_flag(self, df: DataFrame, m: MetricDef):
         if not m.conditions:
