@@ -375,6 +375,12 @@ def connected_components(
     scalar (changed-count) per round; all data stays distributed.
     """
     ids = F.col(id_col)
+    # materialize the pair frame BEFORE the symmetric union: the two
+    # direction branches of a union are planned independently (no CSE
+    # across branches), so unioning the raw frame would execute the
+    # whole candidate-pair pipeline (MinHash signatures + bucket
+    # shuffle + verify) TWICE inside the edges checkpoint below
+    pairs = pairs.select(a_col, b_col).localCheckpoint(eager=True)
     # undirected edge list
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
