@@ -162,12 +162,28 @@ def write_routed_stream(
     checkpoint: str,
     fmt: str = "parquet",
     trigger_available_now: bool = False,
+    collector=None,
+    routes: list[str] | None = None,
 ):
     """Fan the tagged stream out to per-sink directories in one pass
     per micro-batch (file-exporter group_by semantics,
-    exporter/fileexporter/grouping_file_exporter.go:115-130)."""
+    exporter/fileexporter/grouping_file_exporter.go:115-130).
+
+    ``collector`` (a :class:`..metrics.MetricsCollector`) records
+    obsreport-style per-batch counters — total rows plus, when
+    ``routes`` names the expected sinks, a per-route count — attached
+    via ``observe()`` on the batch frame, so the counters accumulate
+    DURING the write action with zero extra passes (the reference's
+    exporter obsreport counts per send the same way)."""
 
     def sink_batch(batch: DataFrame, batch_id: int) -> None:
+        if collector is not None:
+            exprs = {"rows": F.count(F.lit(1))}
+            for r in routes or []:
+                exprs[f"rows_{r}"] = F.sum(
+                    F.when(F.col("route") == r, 1).otherwise(0)
+                )
+            batch = collector.observe(batch, f"stream_sink:{batch_id}", **exprs)
         # replay-idempotent: a micro-batch replayed after a crash (same
         # batch_id, checkpoint not yet committed) OVERWRITES its own
         # batch directory instead of appending duplicates — the

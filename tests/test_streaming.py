@@ -401,3 +401,29 @@ def test_streaming_ingest_dedup_cross_batch(spark, tmp_path):
     seen = spark.read.parquet(os.path.join(base, "seen"))
     assert seen.select("__h").distinct().count() == 4
     assert seen.count() == 4
+
+
+def test_routed_stream_obsreport_counters(spark, stream_dir, tmp_path):
+    """Per-micro-batch obsreport counters ride the write action via
+    observe() — totals and per-route counts must equal what landed in
+    the sinks."""
+    from opentelemetry_collector_contrib_spark.metrics import MetricsCollector
+
+    coll = MetricsCollector(run_id="stream_obs")
+    routed = streaming_pipeline(file_stream(spark, stream_dir))
+    out = str(tmp_path / "obs_sinks")
+    q = write_routed_stream(
+        routed, out, str(tmp_path / "ck_obs"),
+        trigger_available_now=True,
+        collector=coll, routes=["sink_errors", "sink_default"],
+    )
+    q.awaitTermination(120)
+    written = spark.read.parquet(out)
+    snap = {
+        (r.stage, r.metric): r.value
+        for r in coll.snapshot(spark).collect()
+    }
+    total = sum(v for (s, m), v in snap.items() if m == "rows")
+    assert total == written.count() > 0
+    err = sum(v for (s, m), v in snap.items() if m == "rows_sink_errors")
+    assert err == written.filter(F.col("route") == "sink_errors").count()
