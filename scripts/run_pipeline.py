@@ -74,14 +74,18 @@ def main() -> None:
             write_routed_stream,
         )
 
+        coll = MetricsCollector(run_id="run_pipeline_stream")
         routed = streaming_pipeline(file_stream(spark, args.stream))
         q = write_routed_stream(
             routed,
             f"{args.out}/sinks",
             f"{args.out}/checkpoint",
             trigger_available_now=args.once,
+            collector=coll,
         )
         q.awaitTermination()
+        for row in coll.snapshot(spark).collect():
+            print(row)
         spark.stop()
         return
     if args.table:
