@@ -117,3 +117,42 @@ def test_deterministic_shuffle_shard_bound(spark):
     df = spark.createDataFrame([(1,)], "doc_id long")
     with _pytest.raises(ValueError, match=r"\[1, 10000\]"):
         deterministic_shuffle(df, n_shards=20000)
+
+
+def test_hash_split_fraction_property(spark):
+    """Property: across arbitrary fraction dicts, realized proportions
+    track the requested ones within binomial noise, and every row gets
+    exactly one split."""
+    from hypothesis import given, settings, strategies as st
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(4000)], "doc_id long"
+    ).cache()
+    docs.count()
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.floats(min_value=0.05, max_value=1.0), min_size=2, max_size=4
+        )
+    )
+    def check(weights):
+        total = sum(weights)
+        fr = {f"s{i}": w / total for i, w in enumerate(weights)}
+        # renormalize exactly: fix the last fraction so they sum to 1
+        fr[f"s{len(weights)-1}"] = 1.0 - sum(
+            v for k, v in fr.items() if k != f"s{len(weights)-1}"
+        )
+        from opentelemetry_collector_contrib_spark.training.splits import (
+            hash_split,
+        )
+
+        out = hash_split(docs, fractions=fr)
+        counts = {r.split: r.cnt for r in out.groupBy("split").agg(
+            F.count(F.lit(1)).alias("cnt")).collect()}
+        assert sum(counts.values()) == 4000
+        for name, frac in fr.items():
+            got = counts.get(name, 0) / 4000
+            assert abs(got - frac) < 0.05, (name, got, frac)
+
+    check()
