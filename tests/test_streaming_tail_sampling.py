@@ -212,3 +212,56 @@ def test_late_spans_do_not_reopen_a_decided_trace(spark, tmp_path):
           if r.conv_id == "cx"]
     assert len(cx) == 1                      # exactly one decision row
     assert cx[0].span_count == 1 and cx[0].sampled is True
+
+
+def test_decision_state_survives_query_restart(spark, tmp_path):
+    """The trace's aggregate state is in the checkpointed state store:
+    a NEW query instance over the same checkpoint must resume it, so a
+    trace whose spans straddle the restart still gets ONE decision over
+    the complete trace (the collector's storage-extension persistence)."""
+    in_dir = str(tmp_path / "in4")
+    ck = str(tmp_path / "ck4")
+    s = dt.timedelta(seconds=1)
+    day = dt.timedelta(days=1)
+    pol = [TailPolicy(name="big", type="span_count", min_spans=2)]
+
+    def run_once():
+        stream = spark.readStream.schema(DDL).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(in_dir)
+        out = streaming_tail_sampling(
+            stream, pol, trace_key="conv_id", ts_col="ts",
+            watermark="0 seconds", decision_wait_ms=5_000,
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .option("checkpointLocation", ck)
+            .option("path", str(tmp_path / "out4"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    # run 1: half the trace, no decision possible yet
+    spark.createDataFrame([("cx", T0, "user", "OK")], DDL).coalesce(
+        1
+    ).write.parquet(in_dir)
+    run_once()
+    # run 2 (fresh query instance, same checkpoint): the second span +
+    # watermark advancers
+    for rows in (
+        [("cx", T0 + s, "user", "OK")],
+        [("__f1__", T0 + day, "user", "OK")],
+        [("__f2__", T0 + 2 * day, "user", "OK")],
+    ):
+        spark.createDataFrame(rows, DDL).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+    run_once()
+    rows = {
+        r.conv_id: r
+        for r in spark.read.parquet(str(tmp_path / "out4")).collect()
+        if not r.conv_id.startswith("__")
+    }
+    assert rows["cx"].span_count == 2      # state restored across restart
+    assert rows["cx"].sampled is True
