@@ -2687,6 +2687,23 @@ def _q_shuffle_order(spark, sf_dir):
     )
 
 
+def _q_token_budget_cut(spark, sf_dir):
+    # global quality cut under a token budget (FineWeb "best B tokens"):
+    # top-bins + boundary-bin rank, no global sort
+    from opentelemetry_collector_contrib_spark.training.curation import (
+        token_budget_cut,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        (F.col("n_chars") % 100).cast("double").alias("score"),
+        (F.col("n_chars") % 50 + 1).cast("bigint").alias("toks"),
+    )
+    return token_budget_cut(d, "score", "toks", budget=6000).select(
+        "doc_id", "score", "toks"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Order matters: the driver verifies the FIRST 50 entries against
@@ -2797,6 +2814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_train_val_test": _q_split_hash,
         "split_cluster_safe": _q_split_cluster_safe,
         "shuffle_order": _q_shuffle_order,
+        "token_budget_cut": _q_token_budget_cut,
         "dedup_lines_corpus": _q_line_dedup,
         "lsh_tuning_curve": _q_lsh_tuning,
         "mixture_temperature": _q_mixture_temperature,
@@ -4439,6 +4457,19 @@ WITH keyed AS (
 SELECT doc_id, CAST(shard AS INTEGER) AS shard,
        CAST(row_number() OVER (PARTITION BY shard ORDER BY ok, doc_id) AS INTEGER) AS pos
 FROM keyed"""
+    sqls["token_budget_cut"] = """
+WITH scored AS (
+  SELECT doc_id,
+         CAST(n_chars % 100 AS DOUBLE) AS score,
+         CAST(n_chars % 50 + 1 AS BIGINT) AS toks
+  FROM documents
+)
+SELECT doc_id, score, toks FROM (
+  SELECT doc_id, score, toks,
+         SUM(toks) OVER (ORDER BY score DESC, doc_id
+                         ROWS UNBOUNDED PRECEDING) AS cum
+  FROM scored
+) WHERE cum <= 6000"""
     return sqls
 
 

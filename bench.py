@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "split_train_val_test",
     "split_cluster_safe",
     "shuffle_order",
+    "token_budget_cut",
 ]
 
 

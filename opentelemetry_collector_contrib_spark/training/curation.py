@@ -167,3 +167,78 @@ def domain_quota(
         salt_col=F.col(id_col),
         n_salts=n_salts,
     )
+
+
+def token_budget_cut(
+    docs: DataFrame,
+    score_col: str,
+    token_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+    n_bins: int = 256,
+) -> DataFrame:
+    """Keep the highest-scoring documents until a TOKEN budget is spent
+    — the FineWeb/Dolma-style global quality cut ("take the best B
+    tokens"), without a global sort.
+
+    Selection is defined by the global order ``(score DESC, id ASC)``
+    with an inclusive cumulative token sum: a document is kept iff the
+    budget still covers it at its rank (a small-data oracle can state
+    this as one window; see the DuckDB twin). The distributed plan
+    avoids sorting the corpus:
+
+    1. one tiny agg for the score range (2 scalars to the driver);
+    2. one map-side-combined agg of token mass per score bin
+       (<= ``n_bins`` rows to the driver), from which the driver picks
+       the BOUNDARY bin — the first bin, walking from the top score
+       down, where the running token total crosses the budget;
+    3. bins above the boundary are kept whole with a zero-shuffle
+       filter; ONLY the boundary bin's rows pay a rank window
+       (single-partition over that bin alone, sized ~corpus/n_bins —
+       raise ``n_bins`` if scores concentrate) to spend the remaining
+       budget in exact global order.
+
+    Rows with a null score are dropped (unrankable); null token counts
+    count as 0. Returns the kept rows with their original columns.
+    """
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    score = F.col(score_col).cast("double")
+    toks = F.coalesce(F.col(token_col).cast("bigint"), F.lit(0))
+    ranked = docs.filter(score.isNotNull())
+    lo_hi = ranked.agg(
+        F.min(score).alias("lo"), F.max(score).alias("hi")
+    ).collect()[0]
+    if lo_hi.lo is None:
+        return ranked.limit(0)
+    lo, hi = float(lo_hi.lo), float(lo_hi.hi)
+    width = (hi - lo) / n_bins or 1.0
+    bin_ = F.least(
+        F.lit(n_bins - 1), F.floor((score - F.lit(lo)) / F.lit(width))
+    ).cast("int")
+    per_bin = {
+        r.b: r.t
+        for r in ranked.groupBy(bin_.alias("b"))
+        .agg(F.sum(toks).alias("t"))
+        .collect()
+    }
+    running, boundary = 0, None
+    for b in sorted(per_bin, reverse=True):
+        if running + per_bin[b] > budget:
+            boundary = b
+            break
+        running += per_bin[b]
+    if boundary is None:
+        return ranked  # whole corpus fits the budget
+    remaining = budget - running
+    keep_whole = ranked.filter(bin_ > F.lit(boundary))
+    w = Window.orderBy(score.desc(), F.col(id_col).asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    boundary_keep = (
+        ranked.filter(bin_ == F.lit(boundary))
+        .withColumn("__cum__", F.sum(toks).over(w))
+        .filter(F.col("__cum__") <= remaining)
+        .drop("__cum__")
+    )
+    return keep_whole.unionByName(boundary_keep)

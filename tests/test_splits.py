@@ -156,3 +156,56 @@ def test_hash_split_fraction_property(spark):
             assert abs(got - frac) < 0.05, (name, got, frac)
 
     check()
+
+
+# -- token_budget_cut ------------------------------------------------------
+
+def _budget_docs(spark):
+    rows = [
+        (i, float((i * 37) % 100), 10 + (i % 7)) for i in range(500)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, score double, toks long")
+
+
+def test_token_budget_cut_matches_global_order(spark):
+    from opentelemetry_collector_contrib_spark.training.curation import (
+        token_budget_cut,
+    )
+
+    docs = _budget_docs(spark)
+    budget = 2000
+    got = {r.doc_id for r in token_budget_cut(
+        docs, "score", "toks", budget).collect()}
+    # reference: the one-window global definition
+    rows = sorted(docs.collect(), key=lambda r: (-r.score, r.doc_id))
+    cum, want = 0, set()
+    for r in rows:
+        cum += r.toks
+        if cum <= budget:
+            want.add(r.doc_id)
+    assert got == want and len(want) > 0
+
+
+def test_token_budget_cut_edges(spark):
+    import pytest as _pytest
+
+    from opentelemetry_collector_contrib_spark.training.curation import (
+        token_budget_cut,
+    )
+
+    docs = _budget_docs(spark)
+    # budget covers everything -> whole corpus kept
+    assert token_budget_cut(docs, "score", "toks", 10**9).count() == 500
+    # zero budget -> nothing
+    assert token_budget_cut(docs, "score", "toks", 0).count() == 0
+    with _pytest.raises(ValueError):
+        token_budget_cut(docs, "score", "toks", -1)
+    # null scores dropped, null tokens free
+    import pyspark.sql.functions as Fn
+    d2 = docs.withColumn(
+        "score", Fn.when(Fn.col("doc_id") % 2 == 0, Fn.col("score"))
+    ).withColumn(
+        "toks", Fn.when(Fn.col("doc_id") % 3 != 0, Fn.col("toks"))
+    )
+    out = token_budget_cut(d2, "score", "toks", 10**9)
+    assert out.filter(Fn.col("score").isNull()).count() == 0
