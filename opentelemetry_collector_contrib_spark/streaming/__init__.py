@@ -25,12 +25,17 @@ from .metrics import (
     streaming_spanmetrics,
 )
 from .source import file_stream, rate_transcripts, socket_stream
-from .stateful import stateful_delta_to_cumulative, streaming_tail_sampling
+from .stateful import (
+    stateful_cumulative_to_delta,
+    stateful_delta_to_cumulative,
+    streaming_tail_sampling,
+)
 
 __all__ = [
     "file_stream",
     "rate_transcripts",
     "socket_stream",
+    "stateful_cumulative_to_delta",
     "stateful_delta_to_cumulative",
     "streaming_tail_sampling",
     "streaming_interval_last",

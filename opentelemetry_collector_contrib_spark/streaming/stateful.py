@@ -310,3 +310,76 @@ def streaming_tail_sampling(
     return pre.groupBy(trace_key).applyInPandasWithState(
         fold, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
     )
+
+
+def stateful_cumulative_to_delta(
+    stream: DataFrame,
+    stream_keys: list[str] | None = None,
+    value_col: str = "value",
+    order_col: str = "ts",
+    monotonic: bool = False,
+    max_stale_ms: int | None = None,
+) -> DataFrame:
+    """Streaming cumulativetodelta: adjacent-point difference per
+    stream across micro-batches and restarts — the reference's
+    MetricTracker state (processor/cumulativetodeltaprocessor
+    internal/tracking: per-stream reference value, persisted via the
+    storage extension; here the checkpointed state store).
+
+    Basic-mode semantics matching the oracle-gated batch
+    ``CumulativeToDelta``: the FIRST point of a stream initializes the
+    reference and is dropped; with ``monotonic=True`` a value BELOW the
+    reference is a counter restart — dropped, becomes the new
+    reference. ``max_stale_ms`` forgets silent streams (the tracker's
+    max_staleness sweep).
+    """
+    import pandas as pd
+
+    keys = stream_keys or ["metric"]
+    in_types = dict(stream.dtypes)
+    out_schema = ", ".join(
+        [f"{k} {in_types.get(k, 'string')}" for k in keys]
+        + [f"{order_col} timestamp", f"{value_col} double", "delta double"]
+    )
+    state_schema = "ref double"
+
+    def fold(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        ref = state.get[0] if state.exists else None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(order_col)
+            vals = pdf[value_col].astype("float64")
+            # every point becomes the next reference whether it is
+            # emitted or restart-dropped, so the chain is a plain shift
+            prevs = vals.shift(1)
+            if ref is not None:
+                prevs.iloc[0] = ref
+            delta = vals - prevs
+            keep = prevs.notna()
+            if monotonic:
+                keep &= delta >= 0   # below previous => restart, drop
+            out = pdf.loc[keep, [*keys, order_col]].copy()
+            out[value_col] = vals[keep]
+            out["delta"] = delta[keep]
+            ref = float(vals.iloc[-1])
+            if len(out):
+                yield out
+        if ref is not None:
+            state.update((ref,))
+        if max_stale_ms is not None:
+            state.setTimeoutDuration(max_stale_ms)
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if max_stale_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return stream.groupBy(*keys).applyInPandasWithState(
+        fold, out_schema, state_schema, "append", timeout
+    )

@@ -427,3 +427,66 @@ def test_routed_stream_obsreport_counters(spark, stream_dir, tmp_path):
     assert total == written.count() > 0
     err = sum(v for (s, m), v in snap.items() if m == "rows_sink_errors")
     assert err == written.filter(F.col("route") == "sink_errors").count()
+
+
+def test_stateful_cumulative_to_delta_parity_and_restart(spark, tmp_path):
+    """Streaming c2d matches the batch CumulativeToDelta (basic and
+    monotonic modes) on the same points, with state crossing a
+    micro-batch boundary — the MetricTracker reference-value
+    semantics."""
+    import datetime as dt
+
+    from opentelemetry_collector_contrib_spark.processors.metrics_state import (
+        CumulativeToDelta,
+    )
+    from opentelemetry_collector_contrib_spark.streaming.stateful import (
+        stateful_cumulative_to_delta,
+    )
+
+    ddl = "metric string, ts timestamp, value double"
+    t0 = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    # A: rising with a counter restart at t3; B: plain rising
+    rows1 = [("A", t0, 10.0), ("A", t0 + s, 13.0), ("B", t0, 5.0)]
+    rows2 = [("A", t0 + 2 * s, 20.0), ("A", t0 + 3 * s, 2.0),
+             ("A", t0 + 4 * s, 6.0), ("B", t0 + s, 9.0)]
+    in_dir = str(tmp_path / "c2d_in")
+    spark.createDataFrame(rows1, ddl).coalesce(1).write.parquet(in_dir)
+    spark.createDataFrame(rows2, ddl).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    for monotonic in (False, True):
+        batch_proc = CumulativeToDelta(
+            stream_keys=["metric"],
+            monotonic_col="__mono__" if monotonic else None,
+        )
+        batch_df = spark.createDataFrame(rows1 + rows2, ddl)
+        if monotonic:
+            batch_df = batch_df.withColumn("__mono__", F.lit(True))
+        want = {
+            (r.metric, r.value): r.delta for r in batch_proc(batch_df).collect()
+        }
+        stream = spark.readStream.schema(ddl).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(in_dir)
+        out = stateful_cumulative_to_delta(
+            stream, stream_keys=["metric"], monotonic=monotonic
+        )
+        name = f"c2d_mem_{int(monotonic)}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / f"ck_{int(monotonic)}"))
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.metric, r.value): r.delta
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+        assert got == want, monotonic
+    # restart case sanity: monotonic drops the 2.0 point, next delta is 4
+    assert got[("A", 6.0)] == 4.0 and ("A", 2.0) not in got
