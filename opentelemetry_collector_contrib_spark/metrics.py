@@ -32,6 +32,19 @@ class MetricsCollector:
     # (obsreport counters accumulate across operations)
     observations: dict[str, list[Observation]] = field(default_factory=dict)
     static: list[tuple[str, str, float]] = field(default_factory=list)
+    # streaming per-micro-batch counters: stage -> {batch_id -> metrics}.
+    # Keyed by batch_id so a REPLAYED micro-batch (crash between the
+    # sink write and the checkpoint commit) overwrites its own entry
+    # instead of double-counting; entries older than the replay horizon
+    # fold into _batch_committed so a long-lived service stays bounded.
+    _batch_pending: dict[str, dict[int, dict[str, float]]] = field(
+        default_factory=dict
+    )
+    _batch_committed: dict[tuple[str, str], float] = field(default_factory=dict)
+
+    #: batches older than this many ids behind the latest can no longer
+    #: replay (Structured Streaming re-runs only uncommitted batches)
+    BATCH_REPLAY_HORIZON = 16
 
     def observe(self, df: DataFrame, stage: str, **exprs) -> DataFrame:
         """Attach counters to a frame; exprs default to a row count."""
@@ -47,6 +60,25 @@ class MetricsCollector:
 
     def add(self, stage: str, metric: str, value: float) -> None:
         self.static.append((stage, metric, float(value)))
+
+    def record_batch(
+        self, stage: str, batch_id: int, metrics: dict[str, float]
+    ) -> None:
+        """Replay-safe streaming counters: one entry per micro-batch,
+        overwritten if the batch replays; entries safely past the
+        replay horizon fold into a running committed sum so driver
+        memory does not grow with stream lifetime."""
+        per = self._batch_pending.setdefault(stage, {})
+        per[batch_id] = {
+            m: float(v) for m, v in metrics.items() if v is not None
+        }
+        horizon = batch_id - self.BATCH_REPLAY_HORIZON
+        for b in [b for b in per if b < horizon]:
+            for m, v in per.pop(b).items():
+                key = (stage, m)
+                self._batch_committed[key] = (
+                    self._batch_committed.get(key, 0.0) + v
+                )
 
     @staticmethod
     def _get_or_none(obs: Observation) -> dict | None:
@@ -97,6 +129,18 @@ class MetricsCollector:
                         sums[key] = 0.0
                         order.append(key)
                     sums[key] += float(value)
+        # streaming batch counters: committed sum + still-pending batches
+        batch_sums: dict[tuple[str, str], float] = dict(self._batch_committed)
+        for stage, per in self._batch_pending.items():
+            for metrics in per.values():
+                for m, v in metrics.items():
+                    key = (stage, m)
+                    batch_sums[key] = batch_sums.get(key, 0.0) + v
+        for key, v in batch_sums.items():
+            if key not in sums:
+                sums[key] = 0.0
+                order.append(key)
+            sums[key] += v
         now = time.time()
         rows = [
             (self.run_id, stage, metric, sums[(stage, metric)], now)

@@ -172,18 +172,26 @@ def write_routed_stream(
     ``collector`` (a :class:`..metrics.MetricsCollector`) records
     obsreport-style per-batch counters — total rows plus, when
     ``routes`` names the expected sinks, a per-route count — attached
-    via ``observe()`` on the batch frame, so the counters accumulate
-    DURING the write action with zero extra passes (the reference's
-    exporter obsreport counts per send the same way)."""
+    via a short-lived ``observe()`` on the batch frame, so they
+    accumulate DURING the write action with zero extra passes (the
+    reference's exporter obsreport counts per send the same way). The
+    Observation is read and released after each batch and the values go
+    through ``record_batch`` (keyed by batch_id), so a long-lived
+    service neither leaks one JVM Observation per batch nor
+    double-counts a replayed micro-batch."""
+    from pyspark.sql.observation import Observation
 
     def sink_batch(batch: DataFrame, batch_id: int) -> None:
+        obs = None
         if collector is not None:
-            exprs = {"rows": F.count(F.lit(1))}
-            for r in routes or []:
-                exprs[f"rows_{r}"] = F.sum(
-                    F.when(F.col("route") == r, 1).otherwise(0)
+            exprs = [F.count(F.lit(1)).alias("rows")] + [
+                F.sum(F.when(F.col("route") == r, 1).otherwise(0)).alias(
+                    f"rows_{r}"
                 )
-            batch = collector.observe(batch, f"stream_sink:{batch_id}", **exprs)
+                for r in (routes or [])
+            ]
+            obs = Observation()
+            batch = batch.observe(obs, *exprs)
         # replay-idempotent: a micro-batch replayed after a crash (same
         # batch_id, checkpoint not yet committed) OVERWRITES its own
         # batch directory instead of appending duplicates — the
@@ -195,6 +203,10 @@ def write_routed_stream(
             .format(fmt)
             .save(os.path.join(base_path, f"batch_id={batch_id}"))
         )
+        if obs is not None:
+            got = collector._get_or_none(obs)
+            if got is not None:
+                collector.record_batch("stream_sink", batch_id, got)
 
     writer = (
         routed.writeStream.foreachBatch(sink_batch)

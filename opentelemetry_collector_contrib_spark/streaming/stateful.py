@@ -20,6 +20,7 @@ case, not a UDF-for-convenience.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 from typing import Any
 
@@ -63,7 +64,11 @@ def stateful_delta_to_cumulative(
             state.remove()
             return
         (total,) = state.get if state.exists else (0.0,)
-        for pdf in pdfs:
+        # concatenate Arrow chunks before sorting: a group larger than
+        # one chunk must still fold in event-time order within the batch
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
             pdf = pdf.sort_values(order_col)
             csum = pdf[value_col].astype("float64").cumsum() + total
             if len(csum):
@@ -350,26 +355,37 @@ def stateful_cumulative_to_delta(
             state.remove()
             return
         ref = state.get[0] if state.exists else None
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            pdf = pdf.sort_values(order_col)
-            vals = pdf[value_col].astype("float64")
-            # every point becomes the next reference whether it is
-            # emitted or restart-dropped, so the chain is a plain shift
-            prevs = vals.shift(1)
-            if ref is not None:
-                prevs.iloc[0] = ref
-            delta = vals - prevs
-            keep = prevs.notna()
-            if monotonic:
-                keep &= delta >= 0   # below previous => restart, drop
-            out = pdf.loc[keep, [*keys, order_col]].copy()
-            out[value_col] = vals[keep]
-            out["delta"] = delta[keep]
-            ref = float(vals.iloc[-1])
-            if len(out):
-                yield out
+        # a large group spans several Arrow chunks: concatenate BEFORE
+        # sorting, or the diff would chain in partition order across
+        # chunk boundaries (the batch twin sorts the whole key)
+        chunks = [c for c in pdfs if len(c)]
+        if not chunks:
+            return
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+        pdf = pdf.sort_values(order_col)
+        vals = pdf[value_col].astype("float64")
+        valid = vals.notna()
+        # reference = last VALID point (batch semantics: a NaN value is
+        # emitted as a NaN delta but never updates the reference); every
+        # valid point becomes the next reference whether it is emitted
+        # or restart-dropped, so the chain is shift + ffill over valids
+        prevs = vals.where(valid).shift(1)
+        if ref is not None and not math.isnan(ref):
+            prevs.iloc[0] = ref
+        prevs = prevs.ffill()
+        delta = vals - prevs
+        # NaN rows are kept (delta = NaN) like the batch op; valid rows
+        # need a reference, and a monotonic drop below it is a restart
+        keep = ~valid | prevs.notna()
+        if monotonic:
+            keep &= ~valid | delta.isna() | (delta >= 0)
+        out = pdf.loc[keep, [*keys, order_col]].copy()
+        out[value_col] = vals[keep]
+        out["delta"] = delta[keep]
+        if valid.any():
+            ref = float(vals[valid].iloc[-1])
+        if len(out):
+            yield out
         if ref is not None:
             state.update((ref,))
         if max_stale_ms is not None:

@@ -198,14 +198,21 @@ def token_budget_cut(
        raise ``n_bins`` if scores concentrate) to spend the remaining
        budget in exact global order.
 
-    Rows with a null score are dropped (unrankable); null token counts
-    count as 0. Returns the kept rows with their original columns.
+    Rows with a null, NaN or infinite score are dropped (unrankable —
+    and a single NaN/Inf would corrupt the bin width, collapsing every
+    row into one bin and with it the whole point of binning); null
+    token counts count as 0. Returns the kept rows with their original
+    columns.
     """
     if budget < 0:
         raise ValueError("budget must be >= 0")
     score = F.col(score_col).cast("double")
     toks = F.coalesce(F.col(token_col).cast("bigint"), F.lit(0))
-    ranked = docs.filter(score.isNotNull())
+    ranked = docs.filter(
+        score.isNotNull()
+        & ~F.isnan(score)
+        & (F.abs(score) != F.lit(float("inf")))
+    )
     lo_hi = ranked.agg(
         F.min(score).alias("lo"), F.max(score).alias("hi")
     ).collect()[0]

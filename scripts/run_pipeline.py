@@ -83,10 +83,13 @@ def main() -> None:
             trigger_available_now=args.once,
             collector=coll,
         )
-        q.awaitTermination()
-        for row in coll.snapshot(spark).collect():
-            print(row)
-        spark.stop()
+        try:
+            q.awaitTermination()
+        finally:
+            # reachable on drain (--once), Ctrl-C and query failure alike
+            for row in coll.snapshot(spark).collect():
+                print(row)
+            spark.stop()
         return
     if args.table:
         transcripts = spark.read.table(args.table)

@@ -209,3 +209,21 @@ def test_token_budget_cut_edges(spark):
     )
     out = token_budget_cut(d2, "score", "toks", 10**9)
     assert out.filter(Fn.col("score").isNull()).count() == 0
+
+
+def test_token_budget_cut_nan_inf_scores_dropped(spark):
+    from opentelemetry_collector_contrib_spark.training.curation import (
+        token_budget_cut,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, 90.0, 10), (2, 50.0, 10), (3, 10.0, 10),
+            (4, float("nan"), 10), (5, float("inf"), 10),
+            (6, float("-inf"), 10),
+        ],
+        "doc_id long, score double, toks long",
+    )
+    got = {r.doc_id for r in token_budget_cut(
+        docs, "score", "toks", 20).collect()}
+    assert got == {1, 2}          # NaN/Inf never rank or spend budget

@@ -423,10 +423,19 @@ def test_routed_stream_obsreport_counters(spark, stream_dir, tmp_path):
         (r.stage, r.metric): r.value
         for r in coll.snapshot(spark).collect()
     }
-    total = sum(v for (s, m), v in snap.items() if m == "rows")
-    assert total == written.count() > 0
-    err = sum(v for (s, m), v in snap.items() if m == "rows_sink_errors")
-    assert err == written.filter(F.col("route") == "sink_errors").count()
+    assert snap[("stream_sink", "rows")] == written.count() > 0
+    assert snap[("stream_sink", "rows_sink_errors")] == written.filter(
+        F.col("route") == "sink_errors"
+    ).count()
+    # replay safety: re-recording the same batch overwrites, not adds
+    before = snap[("stream_sink", "rows")]
+    per = coll._batch_pending["stream_sink"]
+    some_bid = max(per)
+    coll.record_batch("stream_sink", some_bid, per[some_bid])
+    again = {
+        (r.stage, r.metric): r.value for r in coll.snapshot(spark).collect()
+    }
+    assert again[("stream_sink", "rows")] == before
 
 
 def test_stateful_cumulative_to_delta_parity_and_restart(spark, tmp_path):
@@ -490,3 +499,49 @@ def test_stateful_cumulative_to_delta_parity_and_restart(spark, tmp_path):
         assert got == want, monotonic
     # restart case sanity: monotonic drops the 2.0 point, next delta is 4
     assert got[("A", 6.0)] == 4.0 and ("A", 2.0) not in got
+
+
+def test_stateful_c2d_nan_never_updates_reference(spark, tmp_path):
+    """[1.0, NaN, 5.0]: the NaN point is emitted (NaN delta) but the
+    next delta is taken against the last VALID value — and a NaN last
+    point must not poison the state-store reference (batch
+    CumulativeToDelta reference semantics)."""
+    import datetime as dt
+    import math
+
+    from opentelemetry_collector_contrib_spark.streaming.stateful import (
+        stateful_cumulative_to_delta,
+    )
+
+    ddl = "metric string, ts timestamp, value double"
+    t0 = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    in_dir = str(tmp_path / "c2dnan")
+    # batch 1 ends on NaN -> the stored reference must stay 1.0
+    spark.createDataFrame(
+        [("A", t0, 1.0), ("A", t0 + s, float("nan"))], ddl
+    ).coalesce(1).write.parquet(in_dir)
+    spark.createDataFrame(
+        [("A", t0 + 2 * s, 5.0)], ddl
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    stream = spark.readStream.schema(ddl).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(in_dir)
+    out = stateful_cumulative_to_delta(stream, stream_keys=["metric"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("c2dnan")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck_nan"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM c2dnan ORDER BY ts").collect()
+    # first valid point dropped; the NaN point IS emitted (surfacing as
+    # NULL value/delta: Arrow from_pandas maps NaN to null at the
+    # stateful-op boundary); 5.0 diffs against 1.0, not against the NaN
+    assert len(rows) == 2
+    assert rows[0].value is None or math.isnan(rows[0].value)
+    assert rows[0].delta is None or math.isnan(rows[0].delta)
+    assert rows[1].value == 5.0 and rows[1].delta == 4.0
