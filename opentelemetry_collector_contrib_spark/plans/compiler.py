@@ -90,7 +90,19 @@ from ..processors import (
 from ..processors import GroupByTrace as _GroupByTrace
 from ..processors import transform_metrics as _tm
 from ..processors.expo import DeltaToCumulativeExpo
+from ..processors.k8sattributes import (
+    AssociationRule as _K8sRule,
+    AssociationSource as _K8sSource,
+    K8sAttributes as _K8s,
+)
 from ..processors.metrics_state import CumulativeToDeltaHistogram
+from ..processors.schema import SchemaProcessor as _Schema
+from ..processors.span import SpanProcessor as _Span
+from ..processors.sumologic import (
+    AggregationPair as _SumoAggPair,
+    NestingConfig as _SumoNesting,
+    SumoLogicProcessor as _Sumo,
+)
 
 OPERATOR_REGISTRY: dict[str, Callable[..., Callable[[DataFrame], DataFrame]]] = {
     # stanza operators (registered-by-name parity: pkg/stanza/operator/registry.go)
@@ -194,6 +206,23 @@ OPERATOR_REGISTRY: dict[str, Callable[..., Callable[[DataFrame], DataFrame]]] = 
     # (the collector wires it into a metrics OR a logs pipeline the same
     # way, exceptionsconnector factory.go)
     "exceptions": lambda **kw: _build_exceptions(**kw),
+    # span processor (from/to_attributes, set_status)
+    "span": lambda **kw: _Span(**kw),
+    # schema processor (version walk over the OTel schema-file shape)
+    "schema": lambda **kw: _Schema(**kw),
+    # sumologic (nest/translate/aggregate); nested option dicts compile
+    # to their config dataclasses like the collector's mapstructure
+    "sumologic": lambda nest_attributes=None, aggregate_attributes=None, **kw: (
+        _Sumo(
+            nest_attributes=(
+                _SumoNesting(**nest_attributes) if nest_attributes else None
+            ),
+            aggregate_attributes=[
+                _SumoAggPair(**a) for a in (aggregate_attributes or [])
+            ],
+            **kw,
+        )
+    ),
 }
 
 
@@ -302,6 +331,29 @@ def compile_pipeline(
             opts = dict(st.options)
             dim = opts.pop("dim")
             ops.append(GeoIpEnrich(dims[dim] if isinstance(dim, str) else dim, **opts))
+            continue
+        if st.kind == "k8sattributes":
+            # pods/namespaces/nodes are dim tables (the collector's
+            # watch-informer state), resolved from `dims` by name
+            opts = dict(st.options)
+            pods = opts.pop("pods")
+            assoc = [
+                _K8sRule(
+                    sources=[_K8sSource(**src) for src in r["sources"]],
+                    dim_keys=r["dim_keys"],
+                )
+                for r in opts.pop("associations")
+            ]
+            for extra in ("namespaces", "nodes"):
+                if isinstance(opts.get(extra), str):
+                    opts[extra] = dims[opts[extra]]
+            ops.append(
+                _K8s(
+                    dims[pods] if isinstance(pods, str) else pods,
+                    assoc,
+                    **opts,
+                )
+            )
             continue
         if st.kind not in OPERATOR_REGISTRY:
             raise KeyError(f"unknown stage kind {st.kind!r}")
