@@ -2710,6 +2710,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # their DuckDB oracles. Rotated each round so every query earns a
         # driver CORRECTNESS row (r04 window: the 18 never-checked + the
         # ANSI-fixed expo query + the 20 last green in r02 + 11 core ops).
+        # r05 rotation plan: front-load the entries past this window that
+        # have never had a driver row — ann_recall through pack_stats,
+        # the four added late in r04 (split_train_val_test,
+        # split_cluster_safe, shuffle_order, token_budget_cut) — and
+        # rotate the r04-green ones behind.
         "flagship": _q_flagship,
         "filter_metrics": _q_filter_metrics,
         "metrics_combine_captures": _q_metrics_combine_captures,
