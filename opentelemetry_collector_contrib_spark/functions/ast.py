@@ -87,8 +87,8 @@ _TOKEN_RE = re.compile(
     (?P<ws>\s+)
   | (?P<string>"(?:[^"\\]|\\.)*")
   | (?P<bytes>0x[0-9a-fA-F]+)
-  | (?P<float>[-+]?\d*\.\d+(?:[eE][-+]?\d+)?)
-  | (?P<int>[-+]?\d+)
+  | (?P<float>\d*\.\d+(?:[eE][-+]?\d+)?)
+  | (?P<int>\d+)
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
   | (?P<op>==|!=|<=|>=|<|>|\+|\-|\*|/|\(|\)|\[|\]|,|\.)
     """,
@@ -174,12 +174,23 @@ class Parser:
             self.next()
             return Not(self.parse_bool_factor())
         if self.peek()[1] == "(":
-            # could be grouped bool or value-parenthesized comparison;
-            # parse as bool and fall through
+            # could be a grouped bool OR the parenthesized start of a
+            # math comparison like (a + b) * 2 > 10 — try the bool
+            # grouping, and BACKTRACK to a value parse when it fails or
+            # a math operator follows the closing paren
+            snap = self.pos
             self.next()
-            inner = self.parse_bool()
-            self.expect(")")
-            left = inner
+            try:
+                inner = self.parse_bool()
+                self.expect(")")
+                grouped = True
+            except SyntaxError:
+                grouped = False
+            if grouped and self.peek()[1] not in ("+", "-", "*", "/"):
+                left = inner
+            else:
+                self.pos = snap
+                left = self.parse_value()
         else:
             left = self.parse_value()
         if self.peek()[1] in ("==", "!=", "<", "<=", ">", ">="):
@@ -208,6 +219,17 @@ class Parser:
 
     def parse_factor(self):
         kind, v = self.peek()
+        if v in ("-", "+"):
+            # unary sign (the tokenizer no longer folds it into number
+            # literals, which broke binary minus written without a
+            # space: 'severity_number -1')
+            self.next()
+            inner = self.parse_factor()
+            if v == "+":
+                return inner
+            if isinstance(inner, Lit) and isinstance(inner.value, (int, float)):
+                return Lit(-inner.value)
+            return BinOp("-", Lit(0), inner)
         if v == "(":
             self.next()
             inner = self.parse_math()

@@ -21,8 +21,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..envelope import try_element_at
-
-from ..envelope import field_delete, field_get, field_set
 from .ast import (
     BinOp,
     Call,
@@ -49,7 +47,15 @@ def _resolve_path(p: Path) -> Column:
     if head == "cache":
         return F.col("__cache_" + "_".join(str(x) for x in p.parts[1:]))
     if head == "instrumentation_scope":
-        return F.col("scope")
+        # the envelope carries the scope NAME as a string column; only
+        # the name sub-path resolves — silently returning `scope` for
+        # .version/.attributes would hand back the wrong value
+        if len(p.parts) == 1 or list(map(str, p.parts[1:])) == ["name"]:
+            return F.col("scope")
+        raise ValueError(
+            f"unsupported instrumentation_scope path {_path_str(p)} "
+            "(the flattened envelope carries only the scope name)"
+        )
     if head == "time":
         return F.col("ts")
     if head == "observed_time":
@@ -249,7 +255,13 @@ def _target(args) -> Path:
     return t
 
 
-def _set_path(df: DataFrame, p: Path, value: Column, where: Column | None) -> DataFrame:
+def _set_path(
+    df: DataFrame,
+    p: Path,
+    value: Column,
+    where: Column | None,
+    nil_no_op: bool = True,
+) -> DataFrame:
     head = p.parts[0]
     if head == "resource" and p.parts[1:2] == ["attributes"]:
         # resource.attributes["k"] -> the resource map key (see _resolve_path)
@@ -283,13 +295,21 @@ def _set_path(df: DataFrame, p: Path, value: Column, where: Column | None) -> Da
         )
         cleaned = F.map_filter(existing, lambda k, _: k != F.lit(key))
         entry = F.create_map(F.lit(key), value.cast("string"))
-        updated = F.map_concat(cleaned, F.map_filter(entry, lambda _, v: v.isNotNull()))
+        # func_set.go: a nil value is a NO-OP — the pre-existing key
+        # must survive, not be deleted (stripping it from `cleaned` and
+        # filtering the null entry would silently drop it)
+        updated = F.when(value.isNull(), existing).otherwise(
+            F.map_concat(cleaned, entry)
+        )
         return df.withColumn(head, updated)
     if len(p.parts) == 1:
         name = str(head)
-        if name in df.columns:
+        if nil_no_op and name in df.columns:
             # func_set.go: a nil value is a no-op — keep the current
-            # value instead of nulling the column
+            # value instead of nulling the column. Editors that CHANGE
+            # the column's type (append lifts a scalar to an array)
+            # pass nil_no_op=False: coalesce(array, scalar) would be a
+            # type-mismatch crash, and their null handling is their own.
             value = F.coalesce(value, F.col(name))
         return df.withColumn(name, value)
     raise ValueError(f"cannot set path {_path_str(p)}")
@@ -307,7 +327,10 @@ def _editor_delete_key(df, args, where, dfctx):
     p = _target(args)
     key = compile_value(args[1], dfctx)
     m = _resolve_path(p)
-    new = F.map_filter(m, lambda k, _: k != key)
+    # a nil key is a no-op (reference delete_key): without the
+    # coalesce, `k != NULL` is NULL for every entry and map_filter
+    # drops the WHOLE map
+    new = F.map_filter(m, lambda k, _: F.coalesce(k != key, F.lit(True)))
     return _set_path(df, p, new if where is None else F.when(where, new).otherwise(m), None)
 
 
@@ -321,7 +344,11 @@ def _editor_delete_matching_keys(df, args, where, dfctx):
 
 def _editor_keep_keys(df, args, where, dfctx):
     p = _target(args)
-    keys = _raw(args[1]) or []
+    keys = _raw(args[1])
+    if keys is None:
+        # const-arg contract: a non-literal keys argument must fail
+        # loudly, not silently compile to keep-NOTHING (wiping the map)
+        raise ValueError("keep_keys requires a literal list of keys")
     m = _resolve_path(p)
     new = F.map_filter(m, lambda k, _: k.isin(keys))
     return _set_path(df, p, new if where is None else F.when(where, new).otherwise(m), None)
@@ -445,7 +472,6 @@ def _editor_append(df, args, where, dfctx):
     vals = [compile_value(a, dfctx) for a in args[1:]]
     try:
         current = _resolve_path(p)
-        df.select(current)
         dtype = df.select(current).schema[0].dataType.simpleString()
     except Exception:
         current, dtype = None, None
@@ -474,7 +500,7 @@ def _editor_append(df, args, where, dfctx):
         else:
             new = F.when(where, new)
         where = None
-    return _set_path(df, p, new, where)
+    return _set_path(df, p, new, where, nil_no_op=False)
 
 
 def _editor_flatten(df, args, where, dfctx):

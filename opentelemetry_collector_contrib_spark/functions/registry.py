@@ -197,6 +197,13 @@ def _truncate_time(t: Column, dur) -> Column:
         return F.date_trunc(units[secs], t)
     if secs is None:
         raise ValueError("TruncateTime needs a literal Duration")
+    if secs < 1 or secs != int(secs):
+        # the generic path works at second resolution; a sub-second or
+        # fractional width would silently divide by 0 / truncate —
+        # refuse at compile time instead of nulling every timestamp
+        raise ValueError(
+            f"TruncateTime supports whole-second durations, got {secs}s"
+        )
     return F.timestamp_seconds(
         (F.unix_timestamp(t) / int(secs)).cast("long") * int(secs)
     )
