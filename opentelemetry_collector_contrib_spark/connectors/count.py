@@ -103,7 +103,17 @@ class CountConnector:
         proj = df.select(*key_cols, *flags)
 
         all_cols = [colname[kd] for kd in pairs]
-        metric_cols = [[colname[kd] for kd in m.attributes] for m in self.metrics]
+        # canonicalize each metric's grouping columns to all_cols order:
+        # uniq_sets dedups by LIST while mask() is order-insensitive, so
+        # two metrics listing the same attrs in different order would
+        # otherwise create two identical GROUPING SETS whose rows both
+        # pass both metrics' gid check — every count emitted twice
+        metric_cols = [
+            sorted(
+                [colname[kd] for kd in m.attributes], key=all_cols.index
+            )
+            for m in self.metrics
+        ]
         uniq_sets: list[list[str]] = []
         for g in metric_cols:
             if g not in uniq_sets:

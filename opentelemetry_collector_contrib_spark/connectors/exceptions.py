@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..envelope import try_element_at
@@ -109,29 +109,47 @@ class ExceptionsConnector:
             F.col(self.status_code_col).alias("status_code"),
             *[self._dim_value(exc, d) for d in self.dimensions],
         ]
-        aggs = [F.count(F.lit(1)).alias("count")]
         sel = list(keys)
-        if self.exemplars:
-            sel += [F.col(self.trace_id_col), F.col(self.span_id_col)]
-            aggs.append(
-                F.slice(
-                    F.sort_array(
-                        F.collect_list(
-                            F.struct(
-                                F.col(self.trace_id_col).alias("trace_id"),
-                                F.col(self.span_id_col).alias("span_id"),
-                            )
-                        )
-                    ),
-                    1,
-                    self.exemplar_cap,
-                ).alias("exemplars")
-            )
         group_names = [
             "service_name", "span_name", "span_kind", "status_code",
             *[d.name.replace(".", "_") for d in self.dimensions],
         ]
-        return exc.select(*sel).groupBy(*group_names).agg(*aggs)
+        if not self.exemplars:
+            return (
+                exc.select(*sel)
+                .groupBy(*group_names)
+                .agg(F.count(F.lit(1)).alias("count"))
+            )
+        # exemplars stay BOUNDED per group: rank (trace, span) within
+        # the group and keep only exemplar_cap rows BEFORE any
+        # collect_list — a hot exception class must never build an
+        # unbounded array on one reducer (the previous
+        # slice(sort(collect_list(ALL))) did exactly that). Same
+        # deterministic result: the cap smallest (trace, span) pairs.
+        proj = exc.select(
+            *sel, F.col(self.trace_id_col).alias("__etid"),
+            F.col(self.span_id_col).alias("__esid"),
+        )
+        w = Window.partitionBy(*group_names).orderBy("__etid", "__esid")
+        ranked = proj.withColumn("__ern", F.row_number().over(w))
+        # ONE aggregation: count sees every row, the conditional
+        # collect_list skips the null it gets for rows past the cap —
+        # bounded array, and null-valued group keys stay one group
+        # (a counts-vs-exemplars join would drop them: null != null)
+        return ranked.groupBy(*group_names).agg(
+            F.count(F.lit(1)).alias("count"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        F.col("__ern") <= self.exemplar_cap,
+                        F.struct(
+                            F.col("__etid").alias("trace_id"),
+                            F.col("__esid").alias("span_id"),
+                        ),
+                    )
+                )
+            ).alias("exemplars"),
+        )
 
     # -- logs signal --------------------------------------------------------
 

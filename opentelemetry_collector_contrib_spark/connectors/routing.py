@@ -28,6 +28,29 @@ from pyspark.sql import functions as F
 DEFAULT_ROUTE = "__default__"
 
 
+def _top_level_where(statement: str) -> tuple[int, int] | None:
+    """(start, end) span of the first depth-0 ``where`` keyword, found
+    with the OTTL token regex (string literals are single tokens, so
+    'where' INSIDE an argument string never matches)."""
+    from ..functions.ast import _TOKEN_RE
+
+    depth, i = 0, 0
+    while i < len(statement):
+        m = _TOKEN_RE.match(statement, i)
+        if not m:
+            return None  # untokenizable tail: fall back to no-where
+        tok = m.group()
+        if m.lastgroup == "op":
+            if tok in "([":
+                depth += 1
+            elif tok in ")]":
+                depth -= 1
+        elif m.lastgroup == "ident" and tok == "where" and depth == 0:
+            return (m.start(), m.end())
+        i = m.end()
+    return None
+
+
 @dataclass
 class Route:
     condition: str       # SQL/OTTL predicate over the frame's columns
@@ -47,14 +70,16 @@ class Route:
         ``route() where C`` is pure routing; any other editor call with a
         ``where`` clause (e.g. ``delete_key(attributes, "X-Tenant") where
         C``) routes on C and applies the editor to matched rows
-        (connector/routingconnector/config.go:22-47)."""
-        m = re.match(r"^\s*route\(\)\s+where\s+(.*)$", statement, re.S)
-        if m:
-            return cls(m.group(1).strip(), pipelines)
-        m = re.match(r"^.*?\s+where\s+(.*)$", statement, re.S)
-        if m:
-            return cls(m.group(1).strip(), pipelines, editor=statement)
-        return cls("true", pipelines, editor=statement)
+        (connector/routingconnector/config.go:22-47). The where split
+        uses the OTTL tokenizer, so a string argument containing the
+        word ``where`` cannot hijack the condition."""
+        cut = _top_level_where(statement)
+        if cut is None:
+            return cls("true", pipelines, editor=statement)
+        head, cond = statement[: cut[0]].strip(), statement[cut[1]:].strip()
+        if re.fullmatch(r"route\(\s*\)", head):
+            return cls(cond, pipelines)
+        return cls(cond, pipelines, editor=statement)
 
 
 @dataclass

@@ -76,13 +76,15 @@ class ServiceGraphConnector:
         if self.latency_buckets_s is not None:
             # explicit-bounds bucket on INTEGER microseconds: the
             # boundary comparison is exact, so bucket assignment is
-            # bit-stable across engines (same posture as the sum fix)
-            le = None
-            for b in sorted(self.latency_buckets_s):
-                c = latency_us <= int(b * 1_000_000)
-                lbl = F.lit(f"{b:g}")
-                le = F.when(c, lbl) if le is None else le.when(c, lbl)
-            le = le.otherwise(F.lit("+Inf"))
+            # bit-stable across engines (same posture as the sum fix).
+            # Shared CASE chain with spanmetrics, seconds -> micros.
+            from .spanmetrics import explicit_bucket_label
+
+            le = explicit_bucket_label(
+                latency_us,
+                self.latency_buckets_s,
+                to_native=lambda b: int(b * 1_000_000),
+            )
             return edges.groupBy(
                 F.col(self.client_dim).alias("client"),
                 F.col("__server").alias("server"),
@@ -181,6 +183,7 @@ class SpanServiceGraph:
         servers = spans.filter(server_kind).select(
             F.col(self.trace_id_col).alias("__tid"),
             F.col(self.parent_col).alias("__eid"),
+            F.col(self.span_id_col).alias("__ssid"),
             (F.col(self.parent_col).isNull() | (F.col(self.parent_col) == "")).alias(
                 "__root"
             ),
@@ -190,7 +193,21 @@ class SpanServiceGraph:
             (kind == "SPAN_KIND_CONSUMER").alias("__s_msg"),
             *self._dims("server"),
         )
-        joined = clients.join(servers, ["__tid", "__eid"], "full_outer")
+        # the reference store completes ONE edge per (trace, span-id)
+        # key — the first matching server/consumer child — and the rest
+        # surface as their own unpaired entries (store/store.go
+        # UpsertEdge completes + evicts the key). Joining ALL children
+        # would fan the single client span out N times, re-counting its
+        # latency and request once per child. Batch analog: rank the
+        # children per key (deterministic smallest child span id = the
+        # batch stand-in for arrival order) and pair only the first;
+        # later children flow through as server-only rows.
+        skey = Window.partitionBy("__tid", "__eid").orderBy("__ssid")
+        servers = servers.withColumn("__srn", F.row_number().over(skey))
+        first_child = servers.filter(F.col("__srn") == 1).drop("__srn", "__ssid")
+        extra_children = servers.filter(F.col("__srn") > 1).drop("__srn", "__ssid")
+        joined = clients.join(first_child, ["__tid", "__eid"], "full_outer")
+        joined = joined.unionByName(extra_children, allowMissingColumns=True)
 
         has_client = F.col("client").isNotNull()
         has_server = F.col("server").isNotNull()

@@ -41,6 +41,21 @@ def build_metric_name(namespace: str, name: str) -> str:
     return f"{namespace}.{name}" if namespace else name
 
 
+def explicit_bucket_label(value: Column, bounds: list[float], to_native=None):
+    """Shared explicit-bounds CASE bucketer (spanmetrics histogram +
+    servicegraph latency buckets use the identical chain; one copy so
+    fixes cannot diverge). ``to_native`` maps a float bound into the
+    value column's unit (e.g. seconds -> integer micros)."""
+    if not bounds:
+        raise ValueError("explicit histogram buckets must not be empty")
+    expr = None
+    for b in sorted(bounds):
+        c = value <= (to_native(b) if to_native else b)
+        lbl = F.lit(f"{b:g}")
+        expr = F.when(c, lbl) if expr is None else expr.when(c, lbl)
+    return expr.otherwise(F.lit("+Inf"))
+
+
 @dataclass
 class SpanMetricsConnector:
     duration_col: str                      # numeric duration (e.g. ms)
@@ -60,6 +75,17 @@ class SpanMetricsConnector:
     def __post_init__(self):
         if self.histogram not in ("explicit_buckets", "exponential"):
             raise ValueError(f"unknown histogram mode {self.histogram!r}")
+        if self.histogram == "explicit_buckets" and not self.buckets:
+            raise ValueError("explicit_buckets needs a non-empty buckets list")
+        # config.go validateDimensions: configured dimensions must not
+        # collide with the reserved key dimensions (after sanitizing,
+        # 'service.name' would alias the same output column)
+        reserved = {d.replace(".", "_") for d in DEFAULT_KEY_DIMENSIONS}
+        dup = [
+            d for d in self.dimensions if d.replace(".", "_") in reserved
+        ]
+        if dup:
+            raise ValueError(f"dimensions duplicate reserved keys: {dup}")
 
     def metric_names(self) -> dict[str, str]:
         return {
@@ -68,12 +94,7 @@ class SpanMetricsConnector:
         }
 
     def bucket_label(self, dur: Column) -> Column:
-        expr = None
-        for b in sorted(self.buckets):
-            c = dur <= b
-            lbl = F.lit(f"{b:g}")
-            expr = F.when(c, lbl) if expr is None else expr.when(c, lbl)
-        return expr.otherwise(F.lit("+Inf"))
+        return explicit_bucket_label(dur, self.buckets)
 
     def exp_index(self, dur: Column) -> Column:
         """OTel exponential-histogram bucket index at ``scale``: the
@@ -100,7 +121,9 @@ class SpanMetricsConnector:
         default = self.dimension_defaults.get(name)
         if default is not None:
             expr = F.coalesce(expr, F.lit(default))
-        return expr.alias(name)
+        # dotted attribute names (the normal OTel form) must sanitize in
+        # the OUTPUT column or groupBy resolves them as struct fields
+        return expr.alias(name.replace(".", "_"))
 
     def _key_dims(self, df: DataFrame) -> tuple[list[Column], list[str]]:
         """Reserved key dims (minus exclusions) + configured dims."""
@@ -119,7 +142,7 @@ class SpanMetricsConnector:
                 continue  # reserved dim without a standard column
             else:
                 cols.append(self._dim(df, d))
-                names.append(d)
+                names.append(d.replace(".", "_"))
         return cols, names
 
     def calls(self, df: DataFrame) -> DataFrame:

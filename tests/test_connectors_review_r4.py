@@ -1,0 +1,99 @@
+"""Regression tests for the round-4 connectors-package review findings."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.connectors import (
+    CountConnector,
+    MetricDef,
+    Route,
+    SpanMetricsConnector,
+)
+from opentelemetry_collector_contrib_spark.connectors.servicegraph import (
+    SpanServiceGraph,
+)
+
+
+def test_spanmetrics_dotted_dimension(spark):
+    df = spark.createDataFrame(
+        [("s", "op", "SERVER", "OK", 5.0, {"http.method": "GET"})],
+        "service_name string, span_name string, span_kind string, "
+        "status_code string, dur double, attributes map<string,string>",
+    )
+    conn = SpanMetricsConnector(duration_col="dur", dimensions=["http.method"])
+    rows = conn.calls(df).collect()
+    assert rows[0]["http_method"] == "GET" and rows[0].calls == 1
+    assert conn(df).count() == 1
+
+
+def test_spanmetrics_reserved_dim_collision_rejected(spark):
+    with pytest.raises(ValueError, match="reserved"):
+        SpanMetricsConnector(duration_col="dur", dimensions=["service.name"])
+
+
+def test_spanmetrics_empty_buckets_rejected(spark):
+    with pytest.raises(ValueError, match="buckets"):
+        SpanMetricsConnector(duration_col="dur", buckets=[])
+
+
+def test_count_connector_order_insensitive_groupings(spark):
+    df = spark.createDataFrame(
+        [("x", "y"), ("x", "z")], "a string, b string"
+    )
+    conn = CountConnector(metrics=[
+        MetricDef("m1", attributes=[("a", None), ("b", None)]),
+        MetricDef("m2", attributes=[("b", None), ("a", None)]),
+    ])
+    rows = conn(df).collect()
+    # each (metric, group) appears exactly ONCE — identical grouping
+    # sets listed in different attr order must not double-count
+    keys = [(r.metric_name, tuple(sorted(r.attrs.items()))) for r in rows]
+    assert len(keys) == len(set(keys))
+    per_metric = {}
+    for r in rows:
+        per_metric[r.metric_name] = per_metric.get(r.metric_name, 0) + r["count"]
+    assert per_metric == {"m1": 2, "m2": 2}
+
+
+def test_span_pair_store_completes_one_edge_per_key(spark):
+    # one PRODUCER with three CONSUMER children sharing its span id
+    # (messaging fan-out): the store completes ONE edge; the other
+    # children surface unpaired (virtual), never re-counting the
+    # producer's latency
+    rows = [
+        ("t1", "p1", "", "SPAN_KIND_PRODUCER", "svcA", "STATUS_CODE_OK",
+         1.0, {}),
+    ] + [
+        ("t1", f"c{i}", "p1", "SPAN_KIND_CONSUMER", "svcB",
+         "STATUS_CODE_OK", 0.5, {})
+        for i in range(3)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "trace_id string, span_id string, parent_span_id string, "
+        "span_kind string, service_name string, status_code string, "
+        "duration_s double, attributes map<string,string>",
+    )
+    out = SpanServiceGraph()(df).collect()
+    assert len(out) == 1                          # ONE completed edge
+    edge = out[0]
+    assert (edge.client, edge.server) == ("svcA", "svcB")
+    assert edge.request_count == 1                # not 3
+    assert edge.client_latency_sum_s == 1.0       # producer counted once
+    assert edge.server_latency_sum_s == 0.5       # first child only
+    # the two extra children are unmatched NON-ROOT server spans: the
+    # reference's onExpire emits nothing for them (documented in
+    # SpanServiceGraph.edges), so they add no edges and no latency
+
+
+def test_route_from_statement_where_inside_string(spark):
+    r = Route.from_statement(
+        'set(attributes["note"], "x where y") where severity_number == 2',
+        ["s1"],
+    )
+    assert r.condition == "severity_number == 2"
+    assert r.editor is not None
+    r2 = Route.from_statement("route() where body != nil", ["s2"])
+    assert r2.condition == "body != nil" and r2.editor is None
