@@ -4391,8 +4391,8 @@ SELECT n_members, count(DISTINCT cluster_id)::BIGINT AS n_clusters,
 FROM f GROUP BY n_members"""
     # source×source overlap matrix over the verified pairs CTE
     sqls["dedup_source_matrix"] = f"""WITH vp AS ({sqls['dedup_lsh_verified']})
-SELECT least(da.source, db.source) AS source_a,
-       greatest(da.source, db.source) AS source_b,
+SELECT least(coalesce(da.source, 'unknown'), coalesce(db.source, 'unknown')) AS source_a,
+       greatest(coalesce(da.source, 'unknown'), coalesce(db.source, 'unknown')) AS source_b,
        count(*)::BIGINT AS n_pairs
 FROM vp JOIN documents da ON vp.a_id = da.doc_id
         JOIN documents db ON vp.b_id = db.doc_id

@@ -48,6 +48,25 @@ def shingles(toks: Column, k: int = 3) -> Column:
     )
 
 
+def _ordered_pair_explode(groups: DataFrame) -> DataFrame:
+    """Shared in-group ordered-pair expansion: a frame with a sorted
+    ``ids`` array column -> one row per (a_id, b_id) with a < b (free
+    from the sort). One copy for lsh_candidate_pairs AND
+    winnow_match_pairs so the slice bound / struct shape cannot
+    diverge."""
+    ids = F.col("ids")
+    pair_arrays = F.transform(
+        ids,
+        lambda x, i: F.transform(
+            F.slice(ids, i + 2, F.size(ids)),
+            lambda y: F.struct(x.alias("a_id"), y.alias("b_id")),
+        ),
+    )
+    return groups.select(F.explode(F.flatten(pair_arrays)).alias("p")).select(
+        "p.a_id", "p.b_id"
+    )
+
+
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -150,6 +169,26 @@ def lsh_candidate_pairs(
     reference's bounded-state recombine caps
     (pkg/stanza/operator/transformer/recombine/transformer.go:151-158).
     """
+    # loud misconfiguration guard: a band sliced past the signature
+    # length yields an EMPTY array -> md5('') identical for every doc —
+    # one degenerate full-corpus bucket (or, capped, silently fewer
+    # effective bands than configured). The assert is FOLDED into the
+    # band-hash expression (an unused guard column would be pruned);
+    # when it passes, coalesce turns its null into '' and the hash is
+    # unchanged.
+    sig_guard = F.coalesce(
+        F.assert_true(
+            F.size("sig") >= bands * rows_per_band,
+            F.concat(
+                F.lit(
+                    f"lsh_candidate_pairs: bands*rows_per_band="
+                    f"{bands * rows_per_band} exceeds signature length "
+                ),
+                F.size("sig").cast("string"),
+            ),
+        ).cast("string"),
+        F.lit(""),
+    )
     band_rows = sigs.select(
         F.col(id_col),
         F.explode(
@@ -157,16 +196,19 @@ def lsh_candidate_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                F.transform(
-                                    F.slice(
-                                        "sig", i * rows_per_band + 1, rows_per_band
+                        F.concat(
+                            sig_guard,
+                            F.md5(
+                                F.concat_ws(
+                                    "|",
+                                    F.transform(
+                                        F.slice(
+                                            "sig", i * rows_per_band + 1, rows_per_band
+                                        ),
+                                        lambda x: x.cast("string"),
                                     ),
-                                    lambda x: x.cast("string"),
-                                ),
-                            )
+                                )
+                            ),
                         ).alias("bh"),
                     )
                     for i in range(bands)
@@ -189,19 +231,7 @@ def lsh_candidate_pairs(
     )
     if max_bucket is not None:
         buckets = buckets.filter(F.size("ids") <= max_bucket)
-    ids = F.col("ids")
-    pair_arrays = F.transform(
-        ids,
-        lambda x, i: F.transform(
-            F.slice(ids, i + 2, F.size(ids)),
-            lambda y: F.struct(x.alias("a_id"), y.alias("b_id")),
-        ),
-    )
-    return (
-        buckets.select(F.explode(F.flatten(pair_arrays)).alias("p"))
-        .select("p.a_id", "p.b_id")
-        .distinct()
-    )
+    return _ordered_pair_explode(buckets).distinct()
 
 
 def simhash(
@@ -215,6 +245,9 @@ def simhash(
     1 iff sum over tokens of (+1 if bit j set else -1) > 0.
 
     One explode + one grouped agg; partial (map-side) combine applies.
+    EVERY input doc keeps a row (sibling ops' contract): a doc with no
+    tokens (empty/null text) carries a NULL simhash — the explode alone
+    would silently drop it from the frame.
     """
     tok = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
@@ -233,7 +266,8 @@ def simhash(
     for j in range(bits):
         term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
-    return sums.select(F.col(id_col), sig.cast("bigint").alias("simhash"))
+    out = sums.select(F.col(id_col), sig.cast("bigint").alias("simhash"))
+    return df.select(F.col(id_col)).join(out, id_col, "left")
 
 
 def ngram_jaccard_pairs(
@@ -748,17 +782,8 @@ def winnow_match_pairs(
         .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
         .filter((F.size("ids") > 1) & (F.size("ids") <= max_df))
     )
-    ids = F.col("ids")
-    pair_arrays = F.transform(
-        ids,
-        lambda x, i: F.transform(
-            F.slice(ids, i + 2, F.size(ids)),
-            lambda y: F.struct(x.alias("a_id"), y.alias("b_id")),
-        ),
-    )
     return (
-        groups.select(F.explode(F.flatten(pair_arrays)).alias("p"))
-        .select("p.a_id", "p.b_id")
+        _ordered_pair_explode(groups)
         .groupBy("a_id", "b_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
@@ -867,7 +892,14 @@ def cross_source_dup_matrix(
     the corpus is scanned once projected to (id, source); final agg is
     a map-side-combined groupBy over |sources|² keys.
     """
-    src = docs.select(F.col(id_col), F.col(source_col).alias("__src"))
+    # a null source misattributes: least/greatest SKIP nulls, so a
+    # (null, 'web') pair would canonicalize to ('web','web') and
+    # inflate exactly the intra-source diagonal this diagnostic exists
+    # to separate — bucket missing metadata explicitly instead
+    src = docs.select(
+        F.col(id_col),
+        F.coalesce(F.col(source_col), F.lit("unknown")).alias("__src"),
+    )
     a = src.select(
         F.col(id_col).alias(a_col), F.col("__src").alias("__sa")
     )

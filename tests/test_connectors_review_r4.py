@@ -97,3 +97,57 @@ def test_route_from_statement_where_inside_string(spark):
     assert r.editor is not None
     r2 = Route.from_statement("route() where body != nil", ["s2"])
     assert r2.condition == "body != nil" and r2.editor is None
+
+
+# -- dedup.py review findings ---------------------------------------------
+
+def test_lsh_band_overflow_guard(spark):
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    from opentelemetry_collector_contrib_spark.training.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i % 3} words here") for i in range(10)],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(docs, n_hashes=8)
+    # fits: fine
+    lsh_candidate_pairs(sigs, bands=4, rows_per_band=2).count()
+    # overflows the signature: loud failure, not silent md5('') buckets
+    with _pytest.raises(Exception, match="exceeds signature length"):
+        lsh_candidate_pairs(sigs, bands=4, rows_per_band=4).count()
+
+
+def test_simhash_keeps_tokenless_docs(spark):
+    from opentelemetry_collector_contrib_spark.training.dedup import simhash
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, ""), (3, None)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    assert set(rows) == {1, 2, 3}          # nothing silently dropped
+    assert rows[1] is not None
+    assert rows[2] is None and rows[3] is None
+
+
+def test_source_matrix_null_source_bucketed(spark):
+    from opentelemetry_collector_contrib_spark.training.dedup import (
+        cross_source_dup_matrix,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "web"), (2, None), (3, "web")], "doc_id long, source string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], "a_id long, b_id long"
+    )
+    got = {
+        (r.source_a, r.source_b): r.n_pairs
+        for r in cross_source_dup_matrix(docs, pairs).collect()
+    }
+    # (web, null) goes to the unknown CROSS bucket, not the diagonal
+    assert got == {("unknown", "web"): 1, ("web", "web"): 1}
