@@ -103,7 +103,6 @@ def test_route_from_statement_where_inside_string(spark):
 
 def test_lsh_band_overflow_guard(spark):
     import pytest as _pytest
-    from py4j.protocol import Py4JJavaError
 
     from opentelemetry_collector_contrib_spark.training.dedup import (
         lsh_candidate_pairs,
