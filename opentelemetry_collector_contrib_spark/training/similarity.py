@@ -65,6 +65,9 @@ def cosine_pairs(
     cos = _cos(F.col("va"), F.col("vb"))
     return (
         pairs.select("a_id", "b_id", F.round(cos, 4).alias("cos"))
+        # duplicate ids sort adjacent and would pair with themselves;
+        # the exact baseline's a < b contract excludes self-pairs
+        .filter(F.col("a_id") != F.col("b_id"))
         .filter(F.col("cos") >= threshold)
     )
 
@@ -117,7 +120,21 @@ def make_planes(n_planes: int, dim: int) -> list[list[float]]:
 
 def _bucket_expr(vec_col: str, n_planes: int, dim: int) -> Column:
     planes = make_planes(n_planes, dim)
-    bits = []
+    # loud guard folded into the bucket string (a detached check column
+    # would be pruned): a dim mismatch null-pads zip_with, nulls every
+    # dot, and silently collapses the WHOLE corpus into the all-'0'
+    # bucket — quadratic pair expansion / one-bucket LSH with no error
+    guard = F.coalesce(
+        F.assert_true(
+            F.col(vec_col).isNull() | (F.size(vec_col) == dim),
+            F.concat(
+                F.lit(f"hyperplane bucket: expected dim={dim}, got "),
+                F.size(vec_col).cast("string"),
+            ),
+        ).cast("string"),
+        F.lit(""),
+    )
+    bits = [guard]
     for plane in planes:
         lit_plane = F.array(*[F.lit(v) for v in plane])
         bits.append(
@@ -522,8 +539,13 @@ def pq_adc_topk(
     corpus rows carry their coarse ``list_id`` (zero-shuffle literal
     projection, as :func:`ivf_assign`), queries probe their ``n_probe``
     nearest lists, and candidates come from a broadcast equi-join on
-    ``list_id`` — the 100 TB path, where the scan reads m small ints per
-    row instead of the full vector. Without ``centroids`` it is the
+    ``list_id``. NOTE an honest caveat: THIS function encodes codes
+    from the full vector inline per call — convenient for one-shot
+    queries and the oracle twin, but a production index serving
+    repeated query batches should materialize :func:`pq_encode` output
+    once (write the (id, codes, list_id) table) and run the ADC join
+    over THAT, so the corpus is read as m small ints per row rather
+    than re-encoded per batch. Without ``centroids`` it is the
     compressed-domain twin of :func:`brute_force_topk` (linear ADC scan,
     the paper's baseline). Each corpus vector lives in at most one list,
     so no candidate dedup is needed. Returns
@@ -644,6 +666,9 @@ def cosine_pairs_bucketed(
     cos = _cos(F.col("va"), F.col("vb"))
     return (
         pairs.select("a_id", "b_id", F.round(cos, 4).alias("cos"))
+        # duplicate ids sort adjacent and would pair with themselves;
+        # the exact baseline's a < b contract excludes self-pairs
+        .filter(F.col("a_id") != F.col("b_id"))
         .filter(F.col("cos") >= threshold)
     )
 
@@ -703,7 +728,10 @@ def semdedup(
             )
             return (y.getField("id") != x.getField("id")) & (cos >= F.lit(threshold)) & better
 
-        return F.exists(items, _beats)
+        # one zero-norm member (null cc/cos) must not NULL the whole
+        # cluster's verdicts: exists returns NULL when no predicate is
+        # true and any evaluation is NULL — treat that as not-removed
+        return F.coalesce(F.exists(items, _beats), F.lit(False))
 
     verdict = F.transform(
         items,
@@ -805,14 +833,7 @@ def rotate_vectors(
     index build materializes rotated vectors before training."""
     R = rotation_matrix(dim, sign_period)
     rmat = F.array(*[F.array(*[F.lit(x) for x in row]) for row in R])
-    rotated = F.transform(
-        rmat,
-        lambda r: F.aggregate(
-            F.zip_with(r, F.col(vec_col), lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-    )
+    rotated = F.transform(rmat, lambda r: _dot(r, F.col(vec_col)))
     return df.withColumn(out_col or vec_col, rotated)
 
 
@@ -849,9 +870,12 @@ def pq_rerank_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     )
-    s = shortlist.select("query_id", "neighbor_id").join(
-        F.broadcast(q), "query_id"
-    )
+    # a multi-probe shortlist (unioned ADC passes) may repeat a pair;
+    # each duplicate would consume a top-k rank slot and surface as a
+    # duplicate output row
+    s = shortlist.select("query_id", "neighbor_id").dropDuplicates(
+        ["query_id", "neighbor_id"]
+    ).join(F.broadcast(q), "query_id")
     scored = c.join(F.broadcast(s), "neighbor_id").select(
         "query_id",
         "neighbor_id",
@@ -967,9 +991,14 @@ def ivf_balance(
         F.floor(10000.0 * F.sum(n) / F.lit(int(n_list)))
         .cast("bigint")
         .alias("mean_size_q4"),
+        # double arithmetic: sum(n)^2 and n*n overflow BIGINT at
+        # corpus scale (ANSI sessions would throw, non-ANSI wraps);
+        # the sizes frame is <= n_list rows of exact integers, so the
+        # double sums are exact at any realistic magnitude for a
+        # 4-decimal diagnostic
         F.floor(
-            10000.0 * F.lit(int(n_list)) * F.sum(n * n)
-            / (F.sum(n) * F.sum(n))
+            10000.0 * F.lit(int(n_list)) * F.sum(n.cast("double") * n)
+            / (F.sum(n.cast("double")) * F.sum(n.cast("double")))
         )
         .cast("bigint")
         .alias("imbalance_q4"),

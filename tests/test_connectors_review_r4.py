@@ -150,3 +150,80 @@ def test_source_matrix_null_source_bucketed(spark):
     }
     # (web, null) goes to the unknown CROSS bucket, not the diagonal
     assert got == {("unknown", "web"): 1, ("web", "web"): 1}
+
+
+# -- similarity.py review findings ----------------------------------------
+
+def test_semdedup_zero_norm_member_does_not_null_cluster(spark):
+    from opentelemetry_collector_contrib_spark.training.similarity import (
+        semdedup,
+    )
+
+    cents = [(0, [1.0, 0.0])]
+    docs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [1.0, 0.001]),      # near-dup of 1
+            (3, [0.0, 0.0]),        # zero-norm: null centroid-cos
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r.vec_id: r.keep for r in semdedup(docs, cents, 0.95).collect()}
+    assert set(rows) == {1, 2, 3}
+    # the zero-norm member must not NULL everyone's verdict
+    assert all(v is not None for v in rows.values())
+    assert sorted(v for v in rows.values()).count(True) >= 2
+
+
+def test_hyperplane_bucket_dim_mismatch_loud(spark):
+    import pytest as _pytest
+
+    from opentelemetry_collector_contrib_spark.training.similarity import (
+        hyperplane_buckets,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, [1.0] * 32)], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(Exception, match="expected dim=64"):
+        hyperplane_buckets(docs, n_planes=4, dim=64).collect()
+    # matching dim is fine; null vec passes through
+    ok = hyperplane_buckets(docs, n_planes=4, dim=32).collect()
+    assert len(ok) == 1
+
+
+def test_pq_rerank_dedups_shortlist(spark):
+    from opentelemetry_collector_contrib_spark.training.similarity import (
+        pq_rerank_topk,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(1, 6)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(100, [5.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    # neighbor 5 listed twice; without dedup it would eat two rank slots
+    shortlist = spark.createDataFrame(
+        [(100, 5), (100, 5), (100, 4), (100, 3)], "query_id long, neighbor_id long"
+    )
+    got = [(r.neighbor_id, r.rank) for r in pq_rerank_topk(
+        corpus, queries, shortlist, k=3).orderBy("rank").collect()]
+    assert [n for n, _ in got] == [5, 4, 3]     # no duplicate rows
+    assert [r for _, r in got] == [1, 2, 3]
+
+
+def test_cosine_bucketed_no_self_pairs_on_dup_ids(spark):
+    from opentelemetry_collector_contrib_spark.training.similarity import (
+        cosine_pairs_bucketed,
+    )
+
+    docs = spark.createDataFrame(
+        [(5, [1.0] * 4), (5, [1.0] * 4), (6, [1.0] * 4)],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = cosine_pairs_bucketed(
+        docs, threshold=0.5, n_planes=2, dim=4
+    ).collect()
+    assert all(r.a_id != r.b_id for r in pairs)
