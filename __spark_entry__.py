@@ -2705,7 +2705,7 @@ def _q_token_budget_cut(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    q = {
         # Order matters: the driver verifies the FIRST 50 entries against
         # their DuckDB oracles. Rotated each round so every query earns a
         # driver CORRECTNESS row (r04 window: the 18 never-checked + the
@@ -2916,6 +2916,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampler_deterministic": _q_sampler,
         "sampler_fnv": _q_sampler_fnv,
     }
+    # r05 driver-window rotation: the driver verifies the FIRST 50
+    # entries, so front-load (a) the 22 entries that have never had a
+    # driver CORRECTNESS row (all verified MATCH against their DuckDB
+    # oracles in the r04 full-registry sweep), (b) the operators touched
+    # this round (tail_sampling composite vectorization, spanmetrics
+    # dimension validation, token_budget_cut boundary-bin fix — the last
+    # already in (a)), then (c) the oldest driver-green entries (r02/r03,
+    # rotated out in r04) so every registry entry keeps a recent row.
+    window = [
+        # (a) never driver-checked
+        "ann_recall",
+        "split_train_val_test",
+        "split_cluster_safe",
+        "shuffle_order",
+        "token_budget_cut",
+        "dedup_lines_corpus",
+        "lsh_tuning_curve",
+        "mixture_temperature",
+        "winnow_fingerprints",
+        "winnow_match_pairs",
+        "decontaminate_semantic",
+        "corpus_health",
+        "dedup_incremental",
+        "dedup_source_matrix",
+        "ann_ivf_balance",
+        "text_token_entropy",
+        "text_compression_ratio",
+        "dedup_sig_estimate",
+        "dedup_cluster_hist",
+        "pack_stats",
+        "text_tfidf_topk",
+        "grafanacloud_hosts",
+        # (b) operators touched in r05
+        "tail_sampling",
+        "tail_sampling_invert",
+        "tail_sampling_span_count",
+        "spanmetrics_hist",
+        "spanmetrics_calls",
+        # (c) oldest driver rows first (r02-green, rotated out in r04)
+        "text_quality_score",
+        "text_lang_id",
+        "dedup_embedding_cosine",
+        "ann_bruteforce_topk",
+        "sampler_proportional",
+        "metrics_generation",
+        "groupbytrace",
+        "dedup_ngram_jaccard",
+        "multimodal_features",
+        "doc_fingerprint",
+        "ann_lsh_buckets",
+        "ann_lsh_topk",
+        "dedup_simhash",
+        # pass-r3, rotated out in r04
+        "text_token_stats",
+        "transcripts_derive",
+        "transform_ottl",
+        "recombine",
+        "sampler_equalizing",
+        "metrics_transform",
+        "count_connector",
+        "parse_csv",
+        "parse_regex",
+        "parse_syslog",
+    ]
+    ordered = {k: q[k] for k in window}
+    ordered.update((k, v) for k, v in q.items() if k not in ordered)
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:
