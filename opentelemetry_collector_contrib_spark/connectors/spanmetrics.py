@@ -86,6 +86,19 @@ class SpanMetricsConnector:
         ]
         if dup:
             raise ValueError(f"dimensions duplicate reserved keys: {dup}")
+        # ...and must be unique among themselves after sanitizing:
+        # validateDimensions (config.go:173-185) also rejects duplicate
+        # configured dimensions — 'http.method' and 'http_method' would
+        # silently alias one output column here otherwise
+        seen: set[str] = set()
+        for d in self.dimensions:
+            s = d.replace(".", "_")
+            if s in seen:
+                raise ValueError(
+                    f"duplicate dimension {d!r} (sanitized name {s!r} "
+                    "collides with an earlier configured dimension)"
+                )
+            seen.add(s)
 
     def metric_names(self) -> dict[str, str]:
         return {

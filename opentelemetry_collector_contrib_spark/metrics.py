@@ -69,6 +69,18 @@ class MetricsCollector:
         replay horizon fold into a running committed sum so driver
         memory does not grow with stream lifetime."""
         per = self._batch_pending.setdefault(stage, {})
+        if per and batch_id + self.BATCH_REPLAY_HORIZON < max(per):
+            # ids went backwards further than any legal replay can: the
+            # streaming query restarted on a FRESH checkpoint (batch ids
+            # reset to 0). Fold the whole previous incarnation into the
+            # committed sum first, so a colliding low id cannot
+            # overwrite it and its stale high ids never linger unfolded.
+            for b in list(per):
+                for m, v in per.pop(b).items():
+                    key = (stage, m)
+                    self._batch_committed[key] = (
+                        self._batch_committed.get(key, 0.0) + v
+                    )
         per[batch_id] = {
             m: float(v) for m, v in metrics.items() if v is not None
         }

@@ -34,6 +34,7 @@ unchanged. Stateful stages get streaming-native forms:
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import DataFrame
@@ -207,6 +208,15 @@ def write_routed_stream(
             got = collector._get_or_none(obs)
             if got is not None:
                 collector.record_batch("stream_sink", batch_id, got)
+            else:
+                # Observation result unavailable after the write action:
+                # this micro-batch's counters are lost — say so instead
+                # of silently understating stream_sink totals
+                logging.getLogger(__name__).warning(
+                    "stream_sink batch_id=%s: Observation result "
+                    "unavailable; dropping this micro-batch's counters",
+                    batch_id,
+                )
 
     writer = (
         routed.writeStream.foreachBatch(sink_batch)
