@@ -279,6 +279,13 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact Jaccard over distinct k-shingle sets via an inverted-index
     self-join; returns (a_id, b_id, jaccard) with jaccard >= threshold.
+
+    # ORACLE-ONLY: exact baseline whose inverted-index self-join blows
+    up on any high-document-frequency shingle — never compose into a
+    production pipeline over an unbounded frame. The scale path is the
+    MinHash/LSH funnel (``lsh_candidate_pairs`` -> bucketed candidates
+    -> ``jaccard_verify_pairs``), where verify cost is proportional to
+    candidates.
     """
     sh = df.select(
         F.col(id_col),

@@ -58,7 +58,13 @@ def cosine_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
 ) -> DataFrame:
-    """(a_id, b_id, cos) for all pairs with cosine >= threshold, a < b."""
+    """(a_id, b_id, cos) for all pairs with cosine >= threshold, a < b.
+
+    # ORACLE-ONLY: intentional O(n^2) exact baseline — never compose
+    into a production pipeline over an unbounded frame. The scale path
+    is ``cosine_pairs_bucketed`` (LSH-bucketed candidate generation,
+    verify cost proportional to candidates, not n^2).
+    """
     x = df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("va"))
     y = df.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("vb"))
     pairs = x.crossJoin(y).filter(F.col("a_id") < F.col("b_id"))
