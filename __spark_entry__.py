@@ -1974,11 +1974,23 @@ def _q_ann_recall(spark, sf_dir):
 
     emb = _emb(spark, sf_dir)
     q = emb.filter("vec_id < 20")
-    exact = brute_force_topk(emb, q, k=5)
+    # the exact brute-force shortlist feeds ALL FOUR branches of the
+    # union below — materialize it ONCE (localCheckpoint, the
+    # ann_opq_topk rotation-matrix lesson, SURVEY §8.4) instead of
+    # re-scanning the corpus 4x; it is probe-set-sized (20 queries x k).
+    # cents/books are already driver-side plan literals (each fit is
+    # one n_list/ks-row TakeOrdered job, run once here).
+    exact = brute_force_topk(emb, q, k=5).localCheckpoint()
     cents = ivf_centroids(emb, n_list=16)
     books = pq_codebooks(emb, m=4, ks=16)
-    adc = pq_adc_topk(emb, q, books, k=5, centroids=cents, n_probe=2)
-    short = pq_adc_topk(emb, q, books, k=20, centroids=cents, n_probe=2)
+    # one ADC corpus scan, not two: the k=5 ADC branch is exactly the
+    # rank<=5 prefix of the k=20 shortlist (same scores, same
+    # smaller-id tiebreak), and the shortlist is probe-set-sized
+    # (20 queries x 20), so materialize it once for both branches
+    short = pq_adc_topk(
+        emb, q, books, k=20, centroids=cents, n_probe=2
+    ).localCheckpoint()
+    adc = short.filter(F.col("rank") <= 5)
     methods = [
         ("lsh", lsh_topk(emb, q, k=5, n_planes=4)),
         ("ivf", ivf_topk(emb, q, cents, k=5, n_probe=2)),
