@@ -193,10 +193,18 @@ def token_budget_cut(
        the BOUNDARY bin — the first bin, walking from the top score
        down, where the running token total crosses the budget;
     3. bins above the boundary are kept whole with a zero-shuffle
-       filter; ONLY the boundary bin's rows pay a rank window
-       (single-partition over that bin alone, sized ~corpus/n_bins —
-       raise ``n_bins`` if scores concentrate) to spend the remaining
-       budget in exact global order.
+       filter; ONLY the boundary bin's rows pay a rank window to spend
+       the remaining budget in exact global order. A small boundary bin
+       (<= ``BOUNDARY_WINDOW_MAX_ROWS``, the common case at
+       ~corpus/n_bins rows) runs it as one single-task window; a LARGE
+       one — the degenerate case where scores concentrate in one bin
+       (constant scorer) and the "boundary bin" IS the corpus — runs a
+       distributed prefix-sum instead: range-partition the bin on the
+       global order, materialize once so the partitioning is stable,
+       collect per-partition token totals (<= n_parts scalars), and add
+       each partition's broadcast prefix offset to its local cumulative
+       window. No unpartitioned window ever sees more than
+       ``BOUNDARY_WINDOW_MAX_ROWS`` rows, for ANY score distribution.
 
     Rows with a null, NaN or infinite score are dropped (unrankable —
     and a single NaN/Inf would corrupt the bin width, collapsing every
@@ -223,29 +231,82 @@ def token_budget_cut(
     bin_ = F.least(
         F.lit(n_bins - 1), F.floor((score - F.lit(lo)) / F.lit(width))
     ).cast("int")
-    per_bin = {
-        r.b: r.t
+    stats = {
+        r.b: (r.t, r.n)
         for r in ranked.groupBy(bin_.alias("b"))
-        .agg(F.sum(toks).alias("t"))
+        .agg(F.sum(toks).alias("t"), F.count(F.lit(1)).alias("n"))
         .collect()
     }
     running, boundary = 0, None
-    for b in sorted(per_bin, reverse=True):
-        if running + per_bin[b] > budget:
+    for b in sorted(stats, reverse=True):
+        if running + stats[b][0] > budget:
             boundary = b
             break
-        running += per_bin[b]
+        running += stats[b][0]
     if boundary is None:
         return ranked  # whole corpus fits the budget
     remaining = budget - running
     keep_whole = ranked.filter(bin_ > F.lit(boundary))
-    w = Window.orderBy(score.desc(), F.col(id_col).asc()).rowsBetween(
+    bd = ranked.filter(bin_ == F.lit(boundary))
+    order = [score.desc(), F.col(id_col).asc()]
+    if stats[boundary][1] <= BOUNDARY_WINDOW_MAX_ROWS:
+        # common case: the boundary bin is ~corpus/n_bins rows — one
+        # bounded single-task window (documented; NOT a data-scale
+        # global window)
+        w = Window.orderBy(*order).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        boundary_keep = (
+            bd.withColumn("__cum__", F.sum(toks).over(w))
+            .filter(F.col("__cum__") <= remaining)
+            .drop("__cum__")
+        )
+    else:
+        # degenerate case (constant/concentrated scores): distributed
+        # prefix-sum over the bin in exact global order
+        boundary_keep = _ordered_budget_prefix(
+            bd, order, toks, remaining, stats[boundary][1]
+        )
+    return keep_whole.unionByName(boundary_keep)
+
+
+#: boundary bins up to this many rows may run a single-task cumulative
+#: window; larger ones take the distributed prefix-sum path
+BOUNDARY_WINDOW_MAX_ROWS = 1 << 18
+
+
+def _ordered_budget_prefix(
+    df: DataFrame, order: list, toks, remaining: int, n_rows: int
+) -> DataFrame:
+    """Distributed inclusive-cumulative-token cut of ``df`` in exact
+    ``order``: range-partition on the order so partition ids ascend
+    with it, materialize ONCE (localCheckpoint — range bounds come from
+    sampling, so an unmaterialized frame could re-sample different
+    bounds between the totals job and the window job), collect one
+    token total per partition, and add each partition's prefix offset
+    (broadcast join on the <=n_parts-row offsets table) to its local
+    cumulative window. Every window partition is a range partition
+    sized ~n_rows/n_parts — no single task ever serializes the frame.
+    """
+    spark = df.sparkSession
+    n_parts = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        -(-n_rows // max(1, BOUNDARY_WINDOW_MAX_ROWS)),
+    )
+    part = df.repartitionByRange(n_parts, *order).localCheckpoint()
+    part = part.withColumn("__pid__", F.spark_partition_id())
+    totals = part.groupBy("__pid__").agg(F.sum(toks).alias("t")).collect()
+    run, offsets = 0, []
+    for r in sorted(totals, key=lambda r: r["__pid__"]):
+        offsets.append((r["__pid__"], run))
+        run += int(r["t"] or 0)
+    off = spark.createDataFrame(offsets, "__pid__ int, __off__ bigint")
+    w = Window.partitionBy("__pid__").orderBy(*order).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    boundary_keep = (
-        ranked.filter(bin_ == F.lit(boundary))
-        .withColumn("__cum__", F.sum(toks).over(w))
+    return (
+        part.join(F.broadcast(off), "__pid__")
+        .withColumn("__cum__", F.sum(toks).over(w) + F.col("__off__"))
         .filter(F.col("__cum__") <= remaining)
-        .drop("__cum__")
+        .drop("__pid__", "__off__", "__cum__")
     )
-    return keep_whole.unionByName(boundary_keep)

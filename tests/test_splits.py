@@ -227,3 +227,43 @@ def test_token_budget_cut_nan_inf_scores_dropped(spark):
     got = {r.doc_id for r in token_budget_cut(
         docs, "score", "toks", 20).collect()}
     assert got == {1, 2}          # NaN/Inf never rank or spend budget
+
+
+def test_token_budget_cut_constant_scores_distributed(spark, monkeypatch):
+    """Degenerate scorer: EVERY row lands in one bin. The boundary-bin
+    cut must take the distributed prefix-sum path (no unpartitioned
+    window over the data-scale frame) and still match the one-window
+    global definition exactly."""
+    from opentelemetry_collector_contrib_spark.training import curation
+
+    monkeypatch.setattr(curation, "BOUNDARY_WINDOW_MAX_ROWS", 64)
+    rows = [(i, 1.0, 1 + (i % 3)) for i in range(1000)]
+    docs = spark.createDataFrame(rows, "doc_id long, score double, toks long")
+    budget = 777
+    out = curation.token_budget_cut(docs, "score", "toks", budget)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # plan guard: the big bin's window is partitioned (__pid__), never
+    # a single-partition global window
+    assert "__pid__" in plan
+    assert "Exchange SinglePartition" not in plan
+    got = {r.doc_id for r in out.collect()}
+    cum, want = 0, set()
+    for r in sorted(rows, key=lambda r: (-r[1], r[0])):
+        cum += r[2]
+        if cum <= budget:
+            want.add(r[0])
+    assert got == want and len(want) > 0
+
+
+def test_token_budget_cut_distributed_matches_single_task(spark, monkeypatch):
+    """Same input, both boundary-bin strategies -> identical keep set."""
+    from opentelemetry_collector_contrib_spark.training import curation
+
+    docs = _budget_docs(spark)
+    budget = 2000
+    single = {r.doc_id for r in curation.token_budget_cut(
+        docs, "score", "toks", budget).collect()}
+    monkeypatch.setattr(curation, "BOUNDARY_WINDOW_MAX_ROWS", 0)
+    forced = {r.doc_id for r in curation.token_budget_cut(
+        docs, "score", "toks", budget).collect()}
+    assert forced == single
