@@ -65,6 +65,33 @@ from .sampler import _bucket
 
 NOT_SAMPLED, SAMPLED, INVERT_SAMPLED, INVERT_NOT_SAMPLED = 0, 1, 2, 3
 
+
+def _greedy_admit(spans, cap, strict: bool):
+    """Sequential budget admission over one second-bucket, vectorized:
+    admit trace j iff counted + spans[j] </<= cap, where ``counted``
+    accumulates ADMITTED traces only (a rejected trace does not consume
+    budget — rate_limiting.go:38, composite.go:112-127). Up to the
+    FIRST rejection the counter equals the plain inclusive cumsum, so
+    that prefix is one numpy comparison (the common case admits the
+    whole bucket without any Python loop); only the post-rejection tail
+    pays a scalar loop, over numpy values, never pandas rows."""
+    import numpy as np
+
+    cum = np.cumsum(spans)
+    ok = (cum < cap) if strict else (cum <= cap)
+    if ok.all():
+        return ok
+    p = int(np.argmax(~ok))
+    adm = np.zeros(len(spans), dtype=bool)
+    adm[:p] = True
+    counted = int(cum[p - 1]) if p else 0
+    for j in range(p, len(spans)):
+        c = counted + int(spans[j])
+        if (c < cap) if strict else (c <= cap):
+            counted = c
+            adm[j] = True
+    return adm
+
 _ROW_TYPES = {
     "condition",
     "string_attribute",
@@ -373,30 +400,36 @@ class TailSampling:
         allocated = [sp.spans_per_second for sp in p.sub_policies]
 
         def greedy(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            import numpy as np
+
             pdf = pdf.sort_values([key], kind="mergesort")
-            out_codes = []
+            spans = pdf["span_count"].to_numpy(dtype="int64")
             if ptype == "rate_limiting":
-                counted = 0
-                for sc in pdf["span_count"]:
-                    if counted + sc < sps:  # strict <, rate_limiting.go:38
-                        counted += sc
-                        out_codes.append(SAMPLED)
-                    else:
-                        out_codes.append(NOT_SAMPLED)
+                # strict <, rate_limiting.go:38
+                adm = _greedy_admit(spans, sps, strict=True)
+                out_codes = np.where(adm, SAMPLED, NOT_SAMPLED)
             else:  # composite
-                sampled_sps = [0] * len(allocated)
-                for _, row in pdf.iterrows():
-                    code = NOT_SAMPLED
-                    for i in range(len(allocated)):
-                        if row[sub_cols[i]] in (SAMPLED, INVERT_SAMPLED):
-                            if_sampled = sampled_sps[i] + row["span_count"]
-                            # <= both caps; a rejected trace does NOT
-                            # consume budget (composite.go:112-127)
-                            if if_sampled <= allocated[i] and if_sampled <= max_total:
-                                sampled_sps[i] = if_sampled
-                                code = SAMPLED
-                            break
-                    out_codes.append(code)
+                out_codes = np.full(len(spans), NOT_SAMPLED, dtype="int64")
+                codes_mat = pdf[sub_cols].to_numpy(dtype="int64")
+                eligible = (codes_mat == SAMPLED) | (codes_mat == INVERT_SAMPLED)
+                # each trace tries ONLY its first eligible sub-policy —
+                # no fallthrough on budget rejection (composite.go:
+                # 112-127), so rows partition by winner column and the
+                # sub-policy budgets decouple: one masked greedy per
+                # column, <= n_sub_policies passes
+                winner = np.where(
+                    eligible.any(axis=1), eligible.argmax(axis=1), -1
+                )
+                for i in range(len(allocated)):
+                    mask = winner == i
+                    if not mask.any():
+                        continue
+                    # <= both caps == one min() cap; a rejected trace
+                    # does NOT consume budget (composite.go:112-127)
+                    adm = _greedy_admit(
+                        spans[mask], min(allocated[i], max_total), strict=False
+                    )
+                    out_codes[mask] = np.where(adm, SAMPLED, NOT_SAMPLED)
             return pd.DataFrame({key: pdf[key], f"policy_{name}": out_codes})
 
         key_type = dict(dec.dtypes)[key]

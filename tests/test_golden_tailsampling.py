@@ -373,3 +373,30 @@ def test_window_path_single_shuffle(spark):
     plan = ts(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_greedy_admit_matches_sequential_reference():
+    """_greedy_admit (cumsum prefix + scalar tail) == the plain
+    sequential loop for random span sequences, both comparison modes;
+    a rejected trace must not consume budget (rate_limiting.go:38)."""
+    import numpy as np
+
+    from opentelemetry_collector_contrib_spark.processors.tail_sampling import (
+        _greedy_admit,
+    )
+
+    rng = np.random.default_rng(7)
+    for strict in (True, False):
+        for cap in (0, 1, 7, 50, 10**6):
+            for _ in range(20):
+                spans = rng.integers(1, 12, size=rng.integers(1, 60))
+                counted, want = 0, []
+                for sc in spans:
+                    c = counted + int(sc)
+                    if (c < cap) if strict else (c <= cap):
+                        counted = c
+                        want.append(True)
+                    else:
+                        want.append(False)
+                got = _greedy_admit(spans, cap, strict=strict)
+                assert list(got) == want, (strict, cap, list(spans))
