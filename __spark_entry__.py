@@ -2716,6 +2716,68 @@ def _q_token_budget_cut(spark, sf_dir):
     )
 
 
+def _q_transform_datapoint(spark, sf_dir):
+    # OTTL datapoint context e2e (r05): ordered transform statements +
+    # datapoint filter over a one-row-per-datapoint metric frame —
+    # metric.* struct reads/writes, attributes writes, value_double /
+    # count paths, where guards, then the filterprocessor
+    # metrics.datapoint drop branch
+    # (processor/transformprocessor/internal/metrics/processor.go,
+    # pkg/ottl/contexts/ottldatapoint/datapoint.go:185-260)
+    from opentelemetry_collector_contrib_spark.envelope import try_element_at
+    from opentelemetry_collector_contrib_spark.processors.datapoints import (
+        DataPointFilter,
+        DataPointTransform,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    m3 = F.col("event_id") % 3
+    frame = ev.select(
+        "event_id",
+        F.when(m3 == 0, "req").when(m3 == 1, "cpu").otherwise("lat").alias(
+            "metric_name"
+        ),
+        F.when(m3 == 0, "sum").when(m3 == 1, "gauge").otherwise(
+            "histogram"
+        ).alias("metric_type"),
+        F.when(m3 == 0, "cumulative").when(m3 == 2, "delta").alias(
+            "temporality"
+        ),
+        F.when(m3 == 0, F.lit(True)).alias("is_monotonic"),
+        F.when(m3 == 0, "1").when(m3 == 1, "%").otherwise("ms").alias("unit"),
+        F.lit(None).cast("string").alias("description"),
+        F.when(m3 <= 1, F.col("value")).alias("value"),
+        F.when(m3 == 2, (F.col("event_id") % 100).cast("long")).alias("count"),
+        F.map_from_arrays(
+            F.array(F.lit("src")), F.array(F.col("event_type"))
+        ).alias("attributes"),
+        "ts",
+    )
+    xform = DataPointTransform(
+        [
+            'set(metric.unit, "1/s") where metric.name == "cpu"',
+            'set(attributes["vband"], String(Int(value_double * 10.0))) '
+            'where metric.name == "cpu"',
+            'set(attributes["big"], "true") where count >= 50',
+            'set(metric.description, Concat([metric.name, metric.type], ":"))',
+        ]
+    )
+    filt = DataPointFilter(['metric.name == "lat" and count < 10'])
+    out = filt(xform(frame))
+    return out.select(
+        "event_id",
+        "metric_name",
+        "metric_type",
+        "unit",
+        "description",
+        try_element_at(F.col("attributes"), F.lit("src")).alias("src"),
+        try_element_at(F.col("attributes"), F.lit("vband")).alias("vband"),
+        try_element_at(F.col("attributes"), F.lit("big")).alias("big"),
+        F.coalesce("value", F.lit(-1.0)).alias("value"),
+        F.coalesce("count", F.lit(-1)).alias("count"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         # Order matters: the driver verifies the FIRST 50 entries against
@@ -2927,6 +2989,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_container": _q_parse_container,
         "sampler_deterministic": _q_sampler,
         "sampler_fnv": _q_sampler_fnv,
+        # new in r05: the OTTL datapoint context (the 7th and last
+        # reference OTTL context namespace)
+        "transform_datapoint": _q_transform_datapoint,
     }
     # r05 driver-window rotation: the driver verifies the FIRST 50
     # entries, so front-load (a) the 22 entries that have never had a
@@ -2960,7 +3025,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_stats",
         "text_tfidf_topk",
         "grafanacloud_hosts",
-        # (b) operators touched in r05
+        # (b) operators new/touched in r05
+        "transform_datapoint",
         "tail_sampling",
         "tail_sampling_invert",
         "tail_sampling_span_count",
@@ -2990,7 +3056,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_connector",
         "parse_csv",
         "parse_regex",
-        "parse_syslog",
     ]
     ordered = {k: q[k] for k in window}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
@@ -3244,6 +3309,28 @@ SELECT doc_id, n_tokens, shard,
        (start % 256)::BIGINT AS pack_offset,
        ((start + greatest(n_tokens, 1) - 1) // 256 - start // 256 + 1)::BIGINT AS n_packs
 FROM laid""",
+        "transform_datapoint": """WITH frame AS (
+  SELECT event_id,
+    CASE event_id % 3 WHEN 0 THEN 'req' WHEN 1 THEN 'cpu' ELSE 'lat' END AS metric_name,
+    CASE event_id % 3 WHEN 0 THEN 'sum' WHEN 1 THEN 'gauge' ELSE 'histogram' END AS metric_type,
+    CASE event_id % 3 WHEN 0 THEN '1' WHEN 1 THEN '%' ELSE 'ms' END AS unit,
+    CASE WHEN event_id % 3 <= 1 THEN value END AS value,
+    CASE WHEN event_id % 3 = 2 THEN (event_id % 100)::BIGINT END AS "count",
+    event_type AS src
+  FROM events),
+xf AS (
+  SELECT event_id, metric_name, metric_type,
+    CASE WHEN metric_name = 'cpu' THEN '1/s' ELSE unit END AS unit,
+    metric_name || ':' || metric_type AS description,
+    src,
+    CASE WHEN metric_name = 'cpu' THEN trunc(value * 10)::BIGINT::VARCHAR END AS vband,
+    CASE WHEN "count" >= 50 THEN 'true' END AS big,
+    value, "count"
+  FROM frame)
+SELECT event_id, metric_name, metric_type, unit, description, src, vband, big,
+       coalesce(value, -1.0) AS value, coalesce("count", -1) AS "count"
+FROM xf
+WHERE NOT (metric_name = 'lat' AND "count" < 10)""",
         "transform_metric_ctx": """WITH frame AS (
   SELECT event_id,
     CASE event_id % 3 WHEN 0 THEN 'req' WHEN 1 THEN 'cpu' ELSE 'lat' END AS metric_name,

@@ -60,6 +60,12 @@ def _resolve_path(p: Path) -> Column:
         return F.col("ts")
     if head == "observed_time":
         return F.col("observed_ts")
+    # datapoint context start-time twins (ottldatapoint/datapoint.go
+    # accessStartTime*: case "start_time" / "start_time_unix_nano")
+    if head == "start_time":
+        return F.col("start_ts")
+    if head == "start_time_unix_nano":
+        return F.unix_micros(F.col("start_ts")) * F.lit(1000).cast("long")
     # nanosecond twins (ottllog/log.go accessTimeUnixNano,
     # ottlspanevent/span_events.go:209-222): parquet timestamps carry
     # microseconds, so *1000 is exact
@@ -275,8 +281,18 @@ def _set_path(
         head, p = "ts", Path(["ts"])
     elif head == "observed_time":
         head, p = "observed_ts", Path(["observed_ts"])
-    elif head in ("time_unix_nano", "observed_time_unix_nano"):
-        tcol = "ts" if head == "time_unix_nano" else "observed_ts"
+    elif head == "start_time":
+        head, p = "start_ts", Path(["start_ts"])
+    elif head in (
+        "time_unix_nano",
+        "observed_time_unix_nano",
+        "start_time_unix_nano",
+    ):
+        tcol = {
+            "time_unix_nano": "ts",
+            "observed_time_unix_nano": "observed_ts",
+            "start_time_unix_nano": "start_ts",
+        }[head]
         value = F.timestamp_micros(
             (value.cast("decimal(38,0)") / F.lit(1000)).cast("long")
         )
@@ -312,6 +328,21 @@ def _set_path(
             # type-mismatch crash, and their null handling is their own.
             value = F.coalesce(value, F.col(name))
         return df.withColumn(name, value)
+    if (
+        str(head) in df.columns
+        and dict(df.dtypes)[str(head)].startswith("struct")
+        and all(isinstance(x, str) for x in p.parts[1:])
+    ):
+        # nested struct-field write (metric.name / metric.unit ... in
+        # the datapoint context, ottldatapoint/datapoint.go case
+        # "metric" delegating to the enclosing metric): rebuild the
+        # struct column with withField — a projection, no shuffle
+        target = ".".join(str(x) for x in p.parts[1:])
+        if nil_no_op:
+            value = F.coalesce(value, _resolve_path(p))
+        return df.withColumn(
+            str(head), F.col(str(head)).withField(target, value)
+        )
     raise ValueError(f"cannot set path {_path_str(p)}")
 
 

@@ -31,6 +31,7 @@ from .sampler import ProbabilisticSampler  # noqa: F401
 from .span import SpanProcessor, ToAttributeRule  # noqa: F401
 from .tail_sampling import GroupByTrace, TailPolicy, TailSampling  # noqa: F401
 from .transform import TransformProcessor  # noqa: F401
+from .datapoints import DataPointFilter, DataPointTransform  # noqa: F401
 from .metrics_state import (  # noqa: F401
     CumulativeToDelta,
     CumulativeToDeltaHistogram,

@@ -1,0 +1,230 @@
+"""OTTL datapoint context (processors/datapoints.py).
+
+Statement shapes ported from the reference transform processor's
+metrics tests (processor/transformprocessor/internal/metrics/
+processor_test.go:228-340) and the ottldatapoint path surface
+(pkg/ottl/contexts/ottldatapoint/datapoint.go:185-260), adapted to the
+repo's flat one-row-per-datapoint metric frame convention.
+"""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.processors.datapoints import (
+    DataPointFilter,
+    DataPointTransform,
+)
+
+
+def _metrics(spark):
+    """Two number metrics + one histogram metric, two dps each —
+    the processor_test.go fixture shape (operationA/operationB)."""
+    rows = [
+        # metric_name, metric_type, temporality, is_monotonic, unit,
+        # description, value, count, hsum, attributes, resource, ts
+        ("operationA", "sum", "cumulative", False, "1", "desc A",
+         1.0, None, None, {"attr1": "test1", "flags": "A|B|C"},
+         {"host.name": "myhost"}, datetime.datetime(2024, 1, 1, 0, 0, 1)),
+        ("operationA", "sum", "cumulative", False, "1", "desc A",
+         3.75, None, None, {"attr1": "other"},
+         {"host.name": "myhost"}, datetime.datetime(2024, 1, 1, 0, 0, 2)),
+        ("operationB", "gauge", None, None, "ms", "desc B",
+         2.5, None, None, {"attr1": "test1"},
+         {"host.name": "otherhost"}, datetime.datetime(2024, 1, 1, 0, 0, 3)),
+        ("operationC", "histogram", "delta", None, "ms", "desc C",
+         None, 1, 10.5, {"attr2": "test2"},
+         {"host.name": "myhost"}, datetime.datetime(2024, 1, 1, 0, 0, 4)),
+        ("operationC", "histogram", "delta", None, "ms", "desc C",
+         None, 4, None, {"attr2": "other"},
+         {"host.name": "myhost"}, datetime.datetime(2024, 1, 1, 0, 0, 5)),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "metric_name string, metric_type string, temporality string, "
+        "is_monotonic boolean, unit string, description string, "
+        "value double, count long, hsum double, "
+        "attributes map<string,string>, resource map<string,string>, "
+        "ts timestamp",
+    )
+
+
+def _attr(row, key):
+    return (row.attributes or {}).get(key)
+
+
+def test_set_attribute_all_datapoints(spark):
+    out = DataPointTransform(['set(attributes["test"], "pass")'])(
+        _metrics(spark)
+    ).collect()
+    assert all(_attr(r, "test") == "pass" for r in out)
+    assert len(out) == 5
+
+
+def test_set_attribute_where_metric_name(spark):
+    # processor_test.go:228
+    out = DataPointTransform(
+        ['set(attributes["test"], "pass") where metric.name == "operationA"']
+    )(_metrics(spark)).collect()
+    for r in out:
+        assert (_attr(r, "test") == "pass") == (r.metric_name == "operationA")
+
+
+def test_set_attribute_where_resource(spark):
+    # processor_test.go:235
+    out = DataPointTransform(
+        ['set(attributes["test"], "pass") where '
+         'resource.attributes["host.name"] == "myhost"']
+    )(_metrics(spark)).collect()
+    for r in out:
+        assert (_attr(r, "test") == "pass") == (
+            r.resource["host.name"] == "myhost"
+        )
+
+
+def test_set_metric_description_where_attribute(spark):
+    # processor_test.go:271 — a metric-level write from a datapoint
+    # guard applies to the guarded datapoint's row (flat convention:
+    # metric columns are inlined per row)
+    out = DataPointTransform(
+        ['set(metric.description, "test") where attributes["attr1"] == "test1"']
+    )(_metrics(spark)).collect()
+    for r in out:
+        want = "test" if _attr(r, "attr1") == "test1" else None
+        assert r.description == (want or r.description)
+        if _attr(r, "attr1") == "test1":
+            assert r.description == "test"
+
+
+def test_set_metric_unit_all(spark):
+    # processor_test.go:280
+    out = DataPointTransform(['set(metric.unit, "new unit")'])(
+        _metrics(spark)
+    ).collect()
+    assert all(r.unit == "new unit" for r in out)
+
+
+def test_set_is_monotonic_where(spark):
+    # processor_test.go:303
+    out = DataPointTransform(
+        ["set(metric.is_monotonic, true) where metric.is_monotonic == false"]
+    )(_metrics(spark)).collect()
+    for r in out:
+        if r.metric_name == "operationA":
+            assert r.is_monotonic is True
+        elif r.metric_name == "operationB":
+            assert r.is_monotonic is None  # null guard: untouched
+
+
+def test_where_count_histogram_path(spark):
+    # processor_test.go:309
+    out = DataPointTransform(
+        ['set(attributes["test"], "pass") where count == 1']
+    )(_metrics(spark)).collect()
+    for r in out:
+        assert (_attr(r, "test") == "pass") == (r["count"] == 1)
+
+
+def test_where_sum_path_maps_to_hsum(spark):
+    out = DataPointTransform(
+        ['set(attributes["test"], "pass") where sum == 10.5']
+    )(_metrics(spark)).collect()
+    for r in out:
+        assert (_attr(r, "test") == "pass") == (r.hsum == 10.5)
+
+
+def test_int_of_value_double_attribute(spark):
+    # processor_test.go:255 — set(attributes["int_value"],
+    # Int(value_double))
+    out = DataPointTransform(
+        ['set(attributes["int_value"], Int(value_double)) '
+         'where metric.name == "operationA"']
+    )(_metrics(spark)).collect()
+    got = {
+        (r.metric_name, float(r.value) if r.value is not None else None):
+            _attr(r, "int_value")
+        for r in out
+    }
+    assert got[("operationA", 1.0)] == "1"
+    assert got[("operationA", 3.75)] == "3"
+    assert got[("operationB", 2.5)] is None
+
+
+def test_write_value_double(spark):
+    out = DataPointTransform(
+        ['set(value_double, 9.5) where metric.name == "operationB"']
+    )(_metrics(spark)).collect()
+    for r in out:
+        if r.metric_name == "operationB":
+            assert r.value == 9.5
+        elif r.metric_name == "operationA":
+            assert r.value in (1.0, 3.75)
+
+
+def test_write_value_int_binds_value(spark):
+    out = DataPointTransform(
+        ['set(value_int, 7) where metric.name == "operationA"']
+    )(_metrics(spark)).collect()
+    vals = {r.value for r in out if r.metric_name == "operationA"}
+    assert vals == {7.0}  # cast back to the flat column's double type
+    # schema round-trips
+    assert dict(
+        DataPointTransform(["set(value_int, 7)"])(_metrics(spark)).dtypes
+    )["value"] == "double"
+
+
+def test_write_both_value_kinds_rejected(spark):
+    with pytest.raises(ValueError, match="value_double OR"):
+        DataPointTransform(
+            ["set(value_double, 1.0)", "set(value_int, 1)"]
+        )(_metrics(spark))
+
+
+def test_time_and_unix_nano_paths(spark):
+    out = DataPointTransform(
+        ['set(attributes["nano"], String(time_unix_nano))']
+    )(_metrics(spark)).collect()
+    r = next(x for x in out if x.metric_name == "operationB")
+    assert _attr(r, "nano") == str(
+        int(r.ts.replace(tzinfo=datetime.timezone.utc).timestamp()) * 10**9
+    )
+
+
+def test_statement_order_and_flatten_roundtrip(spark):
+    m = _metrics(spark)
+    out = DataPointTransform(
+        [
+            'set(metric.name, "renamed") where metric.name == "operationB"',
+            'set(attributes["seen"], metric.name)',
+        ]
+    )(m)
+    assert out.columns == m.columns
+    rows = out.collect()
+    assert {r.metric_name for r in rows} == {
+        "operationA", "renamed", "operationC"
+    }
+    assert all(_attr(r, "seen") == r.metric_name for r in rows)
+
+
+def test_filter_drops_matching_datapoints(spark):
+    # filterprocessor metrics.datapoint branch: matching dps drop; a
+    # metric whose every dp matches disappears entirely
+    out = DataPointFilter(
+        ['metric.name == "operationA"', "count == 4"]
+    )(_metrics(spark)).collect()
+    names = [r.metric_name for r in out]
+    assert "operationA" not in names
+    assert names.count("operationC") == 1
+    assert next(r for r in out if r.metric_name == "operationC")["count"] == 1
+
+
+def test_filter_null_condition_keeps(spark):
+    # three-valued logic: a null condition must not drop the row
+    out = DataPointFilter(["value_double > 100.0"])(_metrics(spark))
+    assert out.count() == 5
+
+
+def test_filter_empty_conditions_noop(spark):
+    m = _metrics(spark)
+    assert DataPointFilter([])(m) is m
