@@ -228,3 +228,97 @@ def test_filter_null_condition_keeps(spark):
 def test_filter_empty_conditions_noop(spark):
     m = _metrics(spark)
     assert DataPointFilter([])(m) is m
+
+
+def _expo_metrics(spark):
+    """Exponential-histogram / summary datapoint rows carrying the
+    reference's expo + summary sub-path columns (datapoint.go:223-260:
+    scale, zero_count, positive.offset/bucket_counts, bucket_counts,
+    explicit_bounds, quantile_values)."""
+    rows = [
+        ("expoA", "exponential_histogram", 1, 1,
+         {"offset": 1, "bucket_counts": [1, 2, 3]},
+         {"offset": 0, "bucket_counts": [4]},
+         None, None, None, {}),
+        ("expoB", "exponential_histogram", 2, 0,
+         {"offset": 3, "bucket_counts": [5]},
+         {"offset": 1, "bucket_counts": [6]},
+         None, None, None, {}),
+        ("histC", "histogram", None, None, None, None,
+         [1, 10, 5], [0.1, 0.5], None, {}),
+        ("summD", "summary", None, None, None, None, None, None,
+         [{"quantile": 0.5, "value": 2.0}, {"quantile": 0.99, "value": 9.0}],
+         {}),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "metric_name string, metric_type string, scale int, "
+        "zero_count long, "
+        "positive struct<offset:int, bucket_counts:array<bigint>>, "
+        "negative struct<offset:int, bucket_counts:array<bigint>>, "
+        "bucket_counts array<bigint>, explicit_bounds array<double>, "
+        "quantile_values array<struct<quantile:double, value:double>>, "
+        "attributes map<string,string>",
+    )
+
+
+def test_where_scale_and_zero_count(spark):
+    # processor_test.go:316,322
+    out = DataPointTransform(
+        [
+            'set(attributes["s"], "pass") where scale == 1',
+            'set(attributes["z"], "pass") where zero_count == 1',
+        ]
+    )(_expo_metrics(spark)).collect()
+    for r in out:
+        assert (_attr(r, "s") == "pass") == (r.scale == 1)
+        assert (_attr(r, "z") == "pass") == (r.zero_count == 1)
+
+
+def test_where_positive_negative_offset(spark):
+    # processor_test.go:328,334 — nested expo buckets paths
+    out = DataPointTransform(
+        [
+            'set(attributes["p"], "pass") where positive.offset == 1',
+            'set(attributes["n"], "pass") where negative.offset == 1',
+        ]
+    )(_expo_metrics(spark)).collect()
+    for r in out:
+        assert (_attr(r, "p") == "pass") == (
+            r.positive is not None and r.positive.offset == 1
+        )
+        assert (_attr(r, "n") == "pass") == (
+            r.negative is not None and r.negative.offset == 1
+        )
+
+
+def test_bucket_counts_and_explicit_bounds_paths(spark):
+    # datapoint_test.go:599-610 — list paths index with OTTL 0-based []
+    out = DataPointTransform(
+        [
+            'set(attributes["b1"], String(bucket_counts[1]))',
+            'set(attributes["e0"], String(explicit_bounds[0]))',
+        ]
+    )(_expo_metrics(spark)).collect()
+    hist = next(r for r in out if r.metric_name == "histC")
+    assert _attr(hist, "b1") == "10"
+    assert _attr(hist, "e0") == "0.1"
+    # non-histogram rows: nil paths, set is a no-op
+    assert _attr(next(r for r in out if r.metric_name == "expoA"), "b1") is None
+
+
+def test_quantile_values_path(spark):
+    # datapoint.go:257 quantile_values (summary dps)
+    out = DataPointTransform(
+        ['set(attributes["q50"], String(quantile_values[0].value))']
+    )(_expo_metrics(spark)).collect()
+    assert _attr(next(r for r in out if r.metric_name == "summD"), "q50") == "2.0"
+
+
+def test_write_positive_offset_struct_field(spark):
+    # nested struct-field WRITE through the generic withField path
+    out = DataPointTransform(
+        ["set(positive.offset, 9) where metric.name == \"expoA\""]
+    )(_expo_metrics(spark)).collect()
+    got = {r.metric_name: (r.positive.offset if r.positive else None) for r in out}
+    assert got["expoA"] == 9 and got["expoB"] == 3 and got["histC"] is None
