@@ -69,12 +69,17 @@ class MetricsCollector:
         replay horizon fold into a running committed sum so driver
         memory does not grow with stream lifetime."""
         per = self._batch_pending.setdefault(stage, {})
-        if per and batch_id + self.BATCH_REPLAY_HORIZON < max(per):
-            # ids went backwards further than any legal replay can: the
-            # streaming query restarted on a FRESH checkpoint (batch ids
-            # reset to 0). Fold the whole previous incarnation into the
-            # committed sum first, so a colliding low id cannot
-            # overwrite it and its stale high ids never linger unfolded.
+        if per and batch_id < max(per):
+            # ids went BACKWARDS: the streaming query restarted on a
+            # FRESH checkpoint (batch ids reset to 0). Micro-batches run
+            # sequentially and batch n+1 only starts after n commits, so
+            # the only legal re-delivery within one incarnation is the
+            # LATEST id replaying (the overwrite case below) — any
+            # strictly lower id means a new incarnation, regardless of
+            # how short the previous one was. Fold the whole previous
+            # incarnation into the committed sum first, so a colliding
+            # low id cannot overwrite it and its stale high ids never
+            # linger unfolded.
             for b in list(per):
                 for m, v in per.pop(b).items():
                     key = (stage, m)

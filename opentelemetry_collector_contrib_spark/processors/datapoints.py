@@ -32,10 +32,12 @@ column (the repo's metric frames are double-valued). ``value_double``
 is the live read/write binding; ``value_int`` is the reference's
 integer-kind twin. Exactly one of the two may be WRITTEN by a statement
 sequence — ``DataPointTransform`` inspects the parsed targets and binds
-the written one to ``value`` (reads of the other stay available as a
-cast view); writing both in one sequence is rejected rather than
-silently merged, mirroring that a pdata NumberDataPoint holds a single
-value of a single kind at a time.
+the written one to ``value``; writing both in one sequence is rejected
+rather than silently merged, mirroring that a pdata NumberDataPoint
+holds a single value of a single kind at a time. Whichever path is
+live carries the flat value UNCONVERTED (so where-guarded writes leave
+untouched rows bit-exact); the non-live path is a read view
+(``value_int`` reads as a try_cast long when ``value_double`` is live).
 
 ``metric.type`` follows the repo-wide string convention ('gauge',
 'sum', 'histogram', 'exponential_histogram', 'summary') rather than the
@@ -99,11 +101,19 @@ def datapoint_frame(
         if c == "hsum":
             cols.append(F.col("hsum").alias("sum"))
         elif c == "value":
+            # the LIVE binding carries the flat value UNCONVERTED, so a
+            # where-guarded write leaves every untouched row's exact
+            # value in place (a guarded withColumn materializes the
+            # otherwise-branch — a pre-truncated long view would
+            # silently corrupt unguarded fractional rows); the
+            # non-live twin is a read view (try_cast: the reference
+            # getter returns nil for the wrong value kind, and ANSI
+            # cast would throw on NaN/Inf)
             if live_value == "value_double":
                 cols.append(F.col("value").cast("double").alias("value_double"))
-                cols.append(F.col("value").cast("long").alias("value_int"))
+                cols.append(F.col("value").try_cast("long").alias("value_int"))
             else:
-                cols.append(F.col("value").cast("long").alias("value_int"))
+                cols.append(F.col("value").alias("value_int"))
                 cols.append(F.col("value").cast("double").alias("value_double"))
         else:
             cols.append(F.col(c))
@@ -124,13 +134,12 @@ def flatten_datapoints(
     inlined flat columns, ``sum`` back to ``hsum``, the live value path
     back to ``value`` (preserving the flat column's type via cast),
     extra columns created by statements passed through."""
-    back = {d: s for s, d in mfields}
+    fwd = dict(mfields)  # flat column -> metric struct field
     known = set(orig_schema)
     out: list[Column] = []
     for c in orig_schema:
-        if c in back.values():
-            d = next(d for d, s in back.items() if s == c)
-            out.append(F.col("metric").getField(d).alias(c))
+        if c in fwd:
+            out.append(F.col("metric").getField(fwd[c]).alias(c))
         elif c == "hsum":
             out.append(F.col("sum").alias("hsum"))
         elif c == "value":

@@ -56,12 +56,22 @@ def test_record_batch_checkpoint_reset_folds_previous_incarnation():
     assert _stage_total(c, "s", "rows") == 47.0
 
 
-def test_record_batch_replay_within_horizon_still_overwrites():
+def test_record_batch_replay_of_latest_still_overwrites():
     c = MetricsCollector(run_id="t")
     c.record_batch("s", 10, {"rows": 3.0})
     c.record_batch("s", 11, {"rows": 4.0})
-    # a legal replay (within the horizon) overwrites its own entry —
-    # NOT a restart, nothing folds
-    c.record_batch("s", 10, {"rows": 3.0})
+    # the only legal same-incarnation re-delivery: the LATEST batch
+    # replays after a crash before its commit — overwrites, no fold
+    c.record_batch("s", 11, {"rows": 4.0})
     assert not c._batch_committed
     assert _stage_total(c, "s", "rows") == 7.0
+
+
+def test_record_batch_short_first_incarnation_restart_folds():
+    # a first incarnation SHORTER than the replay horizon must still be
+    # detected as a restart when ids reset (code-review r05 finding)
+    c = MetricsCollector(run_id="t")
+    for b in range(5):
+        c.record_batch("s", b, {"rows": 1.0})
+    c.record_batch("s", 0, {"rows": 9.0})
+    assert _stage_total(c, "s", "rows") == 14.0

@@ -322,3 +322,15 @@ def test_write_positive_offset_struct_field(spark):
     )(_expo_metrics(spark)).collect()
     got = {r.metric_name: (r.positive.offset if r.positive else None) for r in out}
     assert got["expoA"] == 9 and got["expoB"] == 3 and got["histC"] is None
+
+
+def test_write_value_int_preserves_unguarded_fractional_rows(spark):
+    """code-review r05 finding: a guarded value_int write must NOT
+    truncate the rows its where-guard does not touch."""
+    out = DataPointTransform(
+        ['set(value_int, 7) where metric.name == "operationA"']
+    )(_metrics(spark)).collect()
+    got = {(r.metric_name, i): r.value for i, r in enumerate(out)}
+    b = next(r for r in out if r.metric_name == "operationB")
+    assert b.value == 2.5  # fractional, unguarded: bit-exact survival
+    assert {r.value for r in out if r.metric_name == "operationA"} == {7.0}
