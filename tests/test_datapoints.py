@@ -334,3 +334,27 @@ def test_write_value_int_preserves_unguarded_fractional_rows(spark):
     b = next(r for r in out if r.metric_name == "operationB")
     assert b.value == 2.5  # fractional, unguarded: bit-exact survival
     assert {r.value for r in out if r.metric_name == "operationA"} == {7.0}
+
+
+def test_transform_datapoint_plan_guard(spark):
+    """The datapoint context must stay a pure projection chain: one
+    pruned scan, ZERO exchanges, zero Python eval — transform
+    statements and the datapoint filter both fold into whole-stage
+    codegen (the SURVEY coverage-row claim, audited)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "_entry_dp", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    df = mod.queries()["transform_datapoint"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the filter must reach the scan side of the projections, and the
+    # scan must be column-pruned to the 3 columns the query touches
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Filter" in opt
+    read = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<event_id:bigint,event_type:string,value:double>" in read
