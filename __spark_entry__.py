@@ -326,19 +326,6 @@ _BITSUMS = ",".join(
 )
 _SIMH = "+".join(f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(32))
 
-_DOT_AB = (
-    "list_reduce(list_transform(list_zip(a.embedding::DOUBLE[], b.embedding::DOUBLE[]),"
-    " z -> z[1]*z[2]), (x,y) -> x+y)"
-)
-
-
-def _nrm(t: str) -> str:
-    return (
-        f"sqrt(list_reduce(list_transform({t}.embedding::DOUBLE[], x -> x*x),"
-        " (p,q) -> p+q))"
-    )
-
-
 def _dot_sql(a: str, b: str) -> str:
     """Generic left-fold dot product over DOUBLE-cast lists (same
     evaluation order as training.similarity._dot — identical bits)."""
@@ -353,6 +340,16 @@ def _nrm_sql(a: str) -> str:
         f"sqrt(list_reduce(list_transform({a}::DOUBLE[], x -> x*x),"
         " (p,q) -> p+q))"
     )
+
+
+# table-alias shorthands over the ONE fold builder pair above — the
+# evaluation-order contract that keeps Spark/DuckDB bit-identical must
+# exist in exactly one place (r05 review finding)
+_DOT_AB = _dot_sql("a.embedding", "b.embedding")
+
+
+def _nrm(t: str) -> str:
+    return _nrm_sql(f"{t}.embedding")
 
 
 def _l2_sql(a: str, b: str) -> str:
@@ -387,12 +384,10 @@ _PLANES = make_planes(8, 64)
 
 def _md5_hash60_sql(expr: str) -> str:
     """DuckDB twin of conv(substring(md5(expr),1,15),16,10): the full
-    60-bit hash (no bucket mod) — the shuffle_order rank key."""
-    h = f"md5({expr})"
-    return "(" + "+".join(
-        f"(ascii(substring({h},{i},1)) - CASE WHEN ascii(substring({h},{i},1)) >= 97 THEN 87 ELSE 48 END)::BIGINT * {16 ** (15 - i)}"
-        for i in range(1, 16)
-    ) + ")"
+    60-bit hash (no bucket mod) — the shuffle_order rank key. One
+    builder: delegates to ``_hex15_of`` so the bit-exactness-critical
+    nibble arithmetic exists in exactly one place."""
+    return _hex15_of(expr)
 
 
 def _md5_bucket_sql(expr: str, seed: int = 22) -> str:
@@ -2168,7 +2163,7 @@ def _q_corpus_health(spark, sf_dir):
 
 def _q_semantic_decontaminate(spark, sf_dir):
     # embedding-space decontamination: every 50th vector plays the
-    # eval set; train vectors with cosine >= 0.8 to ANY eval vector
+    # eval set; train vectors with cosine >= 0.4 to ANY eval vector
     # are flagged (broadcast eval row, zero-shuffle HOF probe; 0.4
     # sits in the synthetic tables' near-dup band so the gate checks
     # real rows) — the
@@ -2524,7 +2519,6 @@ def _q_sketch_cms(spark, sf_dir):
         cms_build,
         cms_estimate,
     )
-    from opentelemetry_collector_contrib_spark.training.dedup import tokens
 
     toks = _docs(spark, sf_dir).select(
         F.explode(tokens(F.col("text"))).alias("tok")
@@ -3113,7 +3107,8 @@ UNION ALL
 SELECT conv_id, turn_idx, 'sink_exec' AS route FROM enriched WHERE tool_category = 'exec'
 UNION ALL
 SELECT conv_id, turn_idx, 'sink_default' AS route FROM enriched
-WHERE NOT (coalesce(level IN ('ERROR','FATAL'), false) OR tool_category = 'exec')""",
+WHERE NOT (coalesce(level IN ('ERROR','FATAL'), false)
+           OR coalesce(tool_category = 'exec', false))""",
         "recombine": f"""WITH {TRANSCRIPTS_ORACLE_CTE.strip()}
 SELECT conv_id, min(turn_idx) AS turn_idx, arg_min(role, turn_idx) AS role,
        string_agg(text, chr(10) ORDER BY turn_idx) AS text,
@@ -3784,7 +3779,7 @@ WHERE a.vec_id < b.vec_id
   AND round({_DOT_AB} / ({_nrm('a')} * {_nrm('b')}), 4) >= 0.2""",
         "ann_bruteforce_topk": f"""WITH scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         round({_DOT_AB.replace('a.embedding', 'q.embedding').replace('b.embedding', 'c.embedding')}
+         round({_dot_sql('q.embedding', 'c.embedding')}
                / ({_nrm('q')} * {_nrm('c')}), 4) AS cos
   FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
   WHERE q.vec_id != c.vec_id)
@@ -3799,7 +3794,7 @@ SELECT query_id, neighbor_id, rank, cos FROM (
         "ann_lsh_topk": f"""WITH b AS (SELECT vec_id, embedding, {_BUCKET4} AS bucket FROM embeddings),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         round({_DOT_AB.replace('a.embedding', 'q.embedding').replace('b.embedding', 'c.embedding')}
+         round({_dot_sql('q.embedding', 'c.embedding')}
                / ({_nrm('q')} * {_nrm('c')}), 4) AS cos
   FROM b c JOIN (SELECT * FROM b WHERE vec_id < 20) q ON c.bucket = q.bucket
   WHERE q.vec_id != c.vec_id)
@@ -3903,9 +3898,9 @@ QUALIFY row_number() OVER (PARTITION BY e.vec_id
         "dedup_cosine_bucketed": f"""WITH b0 AS (SELECT vec_id, embedding, {_BUCKET4} AS bucket FROM embeddings),
 b AS (SELECT * FROM b0 QUALIFY count(*) OVER (PARTITION BY bucket) <= 200)
 SELECT a.vec_id AS a_id, c.vec_id AS b_id,
-       round({_DOT_AB.replace('b.embedding', 'c.embedding')} / ({_nrm('a')} * {_nrm('c')}), 4) AS cos
+       round({_dot_sql('a.embedding', 'c.embedding')} / ({_nrm('a')} * {_nrm('c')}), 4) AS cos
 FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-WHERE round({_DOT_AB.replace('b.embedding', 'c.embedding')} / ({_nrm('a')} * {_nrm('c')}), 4) >= 0.2""",
+WHERE round({_dot_sql('a.embedding', 'c.embedding')} / ({_nrm('a')} * {_nrm('c')}), 4) >= 0.2""",
         # training.sampling.dsir_sample: hashed-unigram importance
         # weights vs the lang='en' target, add-one smoothing over 256
         # buckets, per-bucket log-ratio and per-doc Gumbel quantized to
@@ -4465,7 +4460,7 @@ FROM documents GROUP BY ROLLUP (source, lang)""";
     # BEFORE max/threshold in both
     sqls["decontaminate_semantic"] = f"""WITH scored AS (
   SELECT t.vec_id,
-         round({_DOT_AB.replace('a.embedding', 't.embedding').replace('b.embedding', 'e.embedding')}
+         round({_dot_sql('t.embedding', 'e.embedding')}
                / ({_nrm('t')} * {_nrm('e')}), 4) AS cos
   FROM (SELECT * FROM embeddings
         WHERE NOT (vec_id % 50 = 0 AND vec_id < 2500)) t
@@ -4670,8 +4665,16 @@ def _bpe_oracle_sql(n_merges: int, tokenize: bool = False) -> str:
             f" FROM p{r} GROUP BY a, b) ORDER BY cnt DESC, a, b LIMIT 1)"
         )
         ctes.append(
-            f"w{r} AS (SELECT w, replace(s, {sep}||a||{dsep}||b||{sep},"
-            f" {sep}||a||b||{sep}) AS s, freq FROM w{r - 1}, t{r})"
+            # LEFT JOIN ON TRUE, not a cross join: if a round finds NO
+            # adjacent pairs (merge exhaustion), t{r} is empty and a
+            # cross join would annihilate the vocab — and with it every
+            # later round and the tokenize readout — while bpe_learn
+            # early-stops and keeps the vocab untouched. The NULL-pat
+            # CASE reproduces that early-stop exactly.
+            f"w{r} AS (SELECT w, CASE WHEN a IS NULL THEN s ELSE"
+            f" replace(s, {sep}||a||{dsep}||b||{sep},"
+            f" {sep}||a||b||{sep}) END AS s, freq"
+            f" FROM w{r - 1} LEFT JOIN t{r} ON TRUE)"
         )
     if tokenize:
         finals = (

@@ -59,3 +59,25 @@ def test_bpe_apply_segments_with_learned_merges(spark):
 def test_bpe_apply_no_merges_is_character_split(spark):
     out = bpe_apply(_toy(spark, "ab c"), []).collect()[0].bpe_tokens
     assert out == ["a", "b", "c"]
+
+
+def test_bpe_oracle_survives_merge_exhaustion():
+    """r05 review finding: on a corpus whose words are all single
+    characters, every merge round finds NO adjacent pairs — the oracle's
+    per-round join must leave the vocab untouched (bpe_learn's
+    early-stop), not annihilate it to zero rows via an empty cross
+    join. Runs the generated DuckDB chain directly."""
+    import duckdb
+
+    from __spark_entry__ import _bpe_oracle_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "(1, 'a b c'), (2, 'a a b')) t(doc_id, text)"
+    )
+    lex = con.execute(_bpe_oracle_sql(8, tokenize=True)).fetchall()
+    # 3 distinct words survive with their frequencies, 1 subword each
+    assert sorted(lex) == [("a", 3, 1), ("b", 2, 1), ("c", 1, 1)]
+    merges = con.execute(_bpe_oracle_sql(8, tokenize=False)).fetchall()
+    assert merges == []  # no pairs -> no merge rows, not a crash
