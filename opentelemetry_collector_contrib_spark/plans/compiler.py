@@ -318,19 +318,36 @@ def compile_pipeline(
     """Build the stage chain once (driver-side compile, SURVEY.md 3.2);
     returns a composed DataFrame -> DataFrame."""
     dims = dims or {}
+
+    def _dim(name, kind):
+        """Resolve a dim-table reference with a loud, actionable error
+        (a bare KeyError from an empty dims made the lookup/geoip/
+        k8sattributes stages unusable from run_pipeline --config)."""
+        if not isinstance(name, str):
+            return name  # already a DataFrame
+        if name not in dims:
+            raise ValueError(
+                f"pipeline stage '{kind}' references dim table {name!r} "
+                f"but no such table was supplied (available: "
+                f"{sorted(dims) or 'none'}); pass dims={{...}} to "
+                "compile_pipeline/load_pipeline_json, or --dim "
+                "name=path.parquet to scripts/run_pipeline.py"
+            )
+        return dims[name]
+
     ops = []
     for st in cfg.stages:
         if st.kind == "lookup":
             opts = dict(st.options)
             dim = opts.pop("dim")
-            ops.append(LookupEnrich(dims[dim] if isinstance(dim, str) else dim, **opts))
+            ops.append(LookupEnrich(_dim(dim, "lookup"), **opts))
             continue
         if st.kind == "geoip":
             from ..processors import GeoIpEnrich
 
             opts = dict(st.options)
             dim = opts.pop("dim")
-            ops.append(GeoIpEnrich(dims[dim] if isinstance(dim, str) else dim, **opts))
+            ops.append(GeoIpEnrich(_dim(dim, "geoip"), **opts))
             continue
         if st.kind == "k8sattributes":
             # pods/namespaces/nodes are dim tables (the collector's
@@ -346,10 +363,10 @@ def compile_pipeline(
             ]
             for extra in ("namespaces", "nodes"):
                 if isinstance(opts.get(extra), str):
-                    opts[extra] = dims[opts[extra]]
+                    opts[extra] = _dim(opts[extra], "k8sattributes")
             ops.append(
                 _K8s(
-                    dims[pods] if isinstance(pods, str) else pods,
+                    _dim(pods, "k8sattributes"),
                     assoc,
                     **opts,
                 )

@@ -38,14 +38,20 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--table", help="Iceberg/catalog transcript table name")
     ap.add_argument(
-        "--events", default="/root/testdata/sf0.01/events.parquet",
-        help="events parquet to derive transcripts from (sandbox mode)",
+        "--events", default=None,
+        help="events parquet to derive transcripts from (sandbox mode; "
+        "default /root/testdata/sf0.01/events.parquet)",
     )
     ap.add_argument("--out", default="/tmp/logpipe_out")
     ap.add_argument(
         "--config",
         help="JSON pipeline config (collector operator topology) applied "
         "instead of the built-in parse/enrich stages",
+    )
+    ap.add_argument(
+        "--dim", action="append", default=[], metavar="NAME=PATH",
+        help="dim table for --config stages that reference one by name "
+        "(lookup/geoip/k8sattributes): NAME=parquet_path, repeatable",
     )
     ap.add_argument(
         "--stream",
@@ -60,11 +66,16 @@ def main() -> None:
     )
     args = ap.parse_args()
 
-    if args.stream and (args.config or args.table):
+    if args.stream and (args.config or args.table or args.events):
         # fail loudly rather than silently running the built-in chain
-        # while the user believes their topology / table is live
+        # while the user believes their topology / table / input is live
+        # (--events defaults to None precisely so an EXPLICIT value is
+        # distinguishable here; the batch default applies below)
         ap.error("--stream runs the built-in pipeline over a watched "
-                 "directory; --config/--table are batch-mode options")
+                 "directory; --config/--table/--events are batch-mode "
+                 "options")
+    if args.events is None:
+        args.events = "/root/testdata/sf0.01/events.parquet"
 
     spark = SparkSession.builder.getOrCreate()
     if args.stream:
@@ -104,11 +115,22 @@ def main() -> None:
             load_pipeline_json,
         )
 
-        out = load_pipeline_json(args.config)(transcripts)
+        dims = {}
+        for spec in args.dim:
+            name, _, path = spec.partition("=")
+            if not name or not path:
+                ap.error(f"--dim expects NAME=PATH, got {spec!r}")
+            dims[name] = spark.read.parquet(path)
+        out = load_pipeline_json(args.config, dims)(transcripts)
+        # the metrics contract holds in config mode too: counters
+        # accumulate DURING the sink write, snapshot printed after
+        out = collector.observe(out, "config_pipeline")
         writer = out.write.mode("overwrite")
         if "route" in out.columns:
             writer = writer.partitionBy("route")
         writer.parquet(f"{args.out}/sinks")
+        for row in collector.snapshot(spark).collect():
+            print(row)
         spark.stop()
         return
 

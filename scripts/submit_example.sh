@@ -6,6 +6,10 @@ set -euo pipefail
 
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 ZIP="/tmp/spark_otel_logpipe.zip"
+# fresh archive every run: `zip -qr` into an existing file only
+# adds/updates entries, so a deleted or renamed module would silently
+# keep shipping stale code to executors
+rm -f "$ZIP"
 (cd "$REPO" && zip -qr "$ZIP" opentelemetry_collector_contrib_spark)
 
 # Example: flagship pipeline over an Iceberg transcript table.

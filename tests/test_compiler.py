@@ -280,3 +280,21 @@ def test_compiler_span_schema_sumologic_k8s(spark):
         assert "net" in attrs and "{'peer'" not in attrs.replace(
             "'net': {'peer'", ""
         )
+
+
+def test_missing_dim_table_raises_actionable_error(spark):
+    # r05 tooling review: a config naming a dim table with no dims
+    # supplied must raise a clear error, not a bare KeyError
+    import pytest as _pytest
+
+    from opentelemetry_collector_contrib_spark.plans.compiler import (
+        PipelineConfig,
+        StageConfig,
+        compile_pipeline,
+    )
+
+    cfg = PipelineConfig(
+        stages=[StageConfig("lookup", {"dim": "tool_catalog", "on": "tool"})]
+    )
+    with _pytest.raises(ValueError, match="tool_catalog.*--dim"):
+        compile_pipeline(cfg)

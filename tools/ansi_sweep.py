@@ -22,41 +22,30 @@ matches its oracle. Prints one status line per query and a JSON summary.
 from __future__ import annotations
 
 import json
-import math
 import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from canonical import make_cell  # noqa: E402 - shared gate canonicalizer
 
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
 ).split()
 
+# this gate's historical strictness: 6 significant digits, NaN -> ""
+# (pandas nulls arrive as NaN where DuckDB yields None)
+_cell = make_cell(sig=6, nan_repr="")
+
 
 def _canon(rows, cols):
     """Driver-style canonical form: sort columns by name, stringify
-    cells (floats rounded to 6 significant-ish decimals), sort rows."""
+    cells (shared tools/canonical.py rules), sort rows."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-
-    def cell(v):
-        if v is None:
-            return ""
-        # pandas nulls: toPandas() yields NaT for null timestamps and
-        # NaN for null floats, DuckDB yields None — normalize all to ""
-        if v.__class__.__name__ == "NaTType":
-            return ""
-        if isinstance(v, float):
-            if math.isnan(v):
-                return ""
-            return f"{v:.6g}"
-        if isinstance(v, bytes):
-            return v.hex()
-        if isinstance(v, (list, tuple)):
-            return "[" + ",".join(cell(x) for x in v) + "]"
-        if isinstance(v, dict):
-            return "{" + ",".join(f"{k}={cell(v[k])}" for k in sorted(v)) + "}"
-        return str(v)
-
-    return sorted(tuple(cell(r[i]) for i in order) for r in rows)
+    return sorted(tuple(_cell(r[i]) for i in order) for r in rows)
 
 
 def main() -> int:
@@ -91,16 +80,28 @@ def main() -> int:
     import duckdb
 
     con = duckdb.connect()
+    missing = [t for t in TABLES if not Path(f"{sf_dir}/{t}.parquet").exists()]
+    if missing:
+        raise SystemExit(
+            f"ansi_sweep: {sf_dir} is missing parquet tables {missing} — "
+            "every oracle view must exist before the sweep can claim a gate"
+        )
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
-    sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entry
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            # a typo'd --only must not pass as a 0-query green sweep
+            raise SystemExit(
+                f"ansi_sweep: unknown query names in --only: {sorted(unknown)}"
+            )
 
     results = {}
     failures = []

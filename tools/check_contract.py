@@ -9,12 +9,12 @@ compares row count + sorted-column value multiset against the matching
 
 from __future__ import annotations
 
-import math
 import sys
 from pathlib import Path
 
 import duckdb
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 TABLES = [
@@ -23,14 +23,11 @@ TABLES = [
 ]
 
 
-def canon(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return f"{v:.9g}"
-    if hasattr(v, "isoformat"):
-        return v.isoformat()
-    return str(v)
+# this gate's historical strictness: 9 significant digits, NaN kept
+# visible; structural rules shared with ansi_sweep (tools/canonical.py)
+from canonical import make_cell  # noqa: E402
+
+canon = make_cell(sig=9, nan_repr="NaN")
 
 
 def main() -> int:
@@ -47,6 +44,13 @@ def main() -> int:
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     qs, oracles = e.queries(), e.oracle_sql()
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            # a typo'd query list must not pass as a 0-query green gate
+            raise SystemExit(
+                f"check_contract: unknown query names: {sorted(unknown)}"
+            )
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -70,8 +74,9 @@ def main() -> int:
             failures += 1
         elif sset != oset:
             print(f"{name:28s} VALUE MISMATCH rows {len(sset)} vs {len(oset)}")
-            diff_s = [r for r in sset if r not in set(oset)][:3]
-            diff_o = [r for r in oset if r not in set(sset)][:3]
+            oset_s, sset_s = set(oset), set(sset)
+            diff_s = [r for r in sset if r not in oset_s][:3]
+            diff_o = [r for r in oset if r not in sset_s][:3]
             print("  spark-only:", diff_s)
             print("  duck-only :", diff_o)
             failures += 1
