@@ -358,3 +358,65 @@ def test_transform_datapoint_plan_guard(spark):
     assert "Filter" in opt
     read = df._jdf.queryExecution().executedPlan().toString()
     assert "ReadSchema: struct<event_id:bigint,event_type:string,value:double>" in read
+
+
+def test_datapoint_transform_streaming_parity(spark, tmp_path):
+    """The datapoint context is a stateless projection chain, so it
+    applies to a STREAMING metric frame unchanged (the collector's
+    transform processor sits mid-stream) — same statements, stream vs
+    batch, identical rows."""
+    src = str(tmp_path / "dp_in")
+    _metrics(spark).write.mode("overwrite").parquet(src)
+    xform = DataPointTransform(
+        [
+            'set(metric.unit, "1/s") where metric.name == "operationA"',
+            'set(attributes["big"], "true") where count >= 4',
+        ]
+    )
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    assert stream.isStreaming
+    q = (
+        xform(stream)
+        .writeStream.format("memory")
+        .queryName("dp_mem")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck_dp"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT metric_name, unit, attributes['big'] AS big, value, count "
+        "FROM dp_mem"
+    ).collect()
+    want = xform(spark.read.parquet(src)).selectExpr(
+        "metric_name", "unit", "attributes['big'] AS big", "value", "count"
+    ).collect()
+    key = lambda r: tuple("" if v is None else str(v) for v in r)
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    assert len(got) == 5
+
+
+def test_flags_and_exemplars_passthrough_paths(spark):
+    """datapoint.go:215-219 — flags and exemplars resolve as datapoint
+    paths when the frame carries them (generic column passthrough);
+    exemplar sub-fields index with OTTL 0-based []."""
+    rows = [
+        ("m1", 1, [{"value": 1.5, "trace_id": "t1"}], {}),
+        ("m2", 0, [], {}),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "metric_name string, flags int, "
+        "exemplars array<struct<value:double, trace_id:string>>, "
+        "attributes map<string,string>",
+    )
+    out = DataPointTransform(
+        [
+            'set(attributes["f"], String(flags))',
+            'set(attributes["ex"], String(exemplars[0].value)) where flags == 1',
+        ]
+    )(df).collect()
+    got = {r.metric_name: (r.attributes.get("f"), r.attributes.get("ex")) for r in out}
+    assert got == {"m1": ("1", "1.5"), "m2": ("0", None)}
