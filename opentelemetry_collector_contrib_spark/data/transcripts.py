@@ -27,7 +27,6 @@ with ~5% malformed rows (``on_error`` exercise,
 
 from __future__ import annotations
 
-import weakref
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -83,7 +82,8 @@ transcripts AS (
       || ' evt=' || event_type
       || ' code=' || CAST(event_id % 7 AS VARCHAR)
       || ' dur_ms=' || CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR)
-      || ' k=' || COALESCE(json_extract_string(props, '$.k'), '0')
+      || ' k=' || COALESCE(CASE WHEN json_valid(props)
+                           THEN json_extract_string(props, '$.k') END, '0')
     END AS text,
     {_TOOL_CASE} AS tool,
     ts
@@ -148,7 +148,9 @@ def synth_transcripts(
     """
     if n_conv < 1 or max_turns < 1:
         raise ValueError("n_conv and max_turns must be >= 1")
-    n_hot = max(1, int(n_conv * hot_conv_frac))
+    # hot_conv_frac=0.0 means NO skew (an unskewed control table must
+    # be constructible); any positive fraction rounds up to >= 1
+    n_hot = max(1, int(n_conv * hot_conv_frac)) if hot_conv_frac > 0 else 0
     base_turns = max_turns
     hot_turns = max_turns * hot_multiplier
     total = n_hot * hot_turns + (n_conv - n_hot) * base_turns
@@ -193,7 +195,7 @@ def synth_transcripts(
         F.lit(1704067200) + F.col("conv_n") * 3600 + F.col("turn_idx") * 7
     )
     text = F.when(
-        h % 20 == 19, F.concat(F.lit("garbled turn !!"))
+        h % 20 == 19, F.lit("garbled turn !!")
     ).otherwise(
         F.concat(
             F.lit("at="),
@@ -262,19 +264,16 @@ role_groups AS (
 """
 
 
-# dim frames cached per session: createDataFrame costs ~0.5s of driver
-# round-trip each and TranscriptPipeline.enrich runs per invocation —
-# inside the bench's timed loop that driver work lands straight in the
-# serial fraction. Same pattern (and rationale) as parsers._SEV_DIM_CACHE:
-# WeakKeyDictionary on the session itself so entries die with it.
-_DIM_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
-
-
+# dim frames cached per session (TranscriptPipeline.enrich runs per
+# invocation — inside the bench's timed loop that driver work lands
+# straight in the serial fraction); shared implementation in
+# envelope.cached_session_df
 def _cached_dim(spark: SparkSession, name: str, rows: list, schema: str) -> DataFrame:
-    per_session = _DIM_CACHE.setdefault(spark, {})
-    if name not in per_session:
-        per_session[name] = spark.createDataFrame(rows, schema)
-    return per_session[name]
+    from ..envelope import cached_session_df
+
+    return cached_session_df(
+        spark, ("dim", name), lambda: spark.createDataFrame(rows, schema)
+    )
 
 
 def tool_catalog_df(spark: SparkSession) -> DataFrame:

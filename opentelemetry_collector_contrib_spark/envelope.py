@@ -21,6 +21,29 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+_SESSION_DF_CACHE: "weakref.WeakKeyDictionary" = None  # built lazily
+
+
+def cached_session_df(spark, key, build) -> DataFrame:
+    """Session-keyed DataFrame cache: ``build()`` runs once per
+    (session, key). ``createDataFrame`` costs ~0.5 s of driver
+    round-trip each, and dim frames built inside a bench's timed loop
+    land straight in the serial fraction. WeakKeyDictionary on the
+    SESSION OBJECT itself — not its id — so entries die with the
+    session and a recycled id can never serve a stale frame from a
+    stopped session (the subtlety both former copies of this pattern
+    documented; one shared implementation now, r05 review)."""
+    global _SESSION_DF_CACHE
+    if _SESSION_DF_CACHE is None:
+        import weakref
+
+        _SESSION_DF_CACHE = weakref.WeakKeyDictionary()
+    per = _SESSION_DF_CACHE.setdefault(spark, {})
+    if key not in per:
+        per[key] = build()
+    return per[key]
+
+
 def try_element_at(col: Column | str, extraction) -> Column:
     """ANSI-safe element_at with element_at's LITERAL key semantics.
 
@@ -87,15 +110,23 @@ def _split(path: str) -> list[str]:
     """Bracketed keys are atomic — ``attributes["to.int"]`` is the
     stanza field syntax for map keys that contain dots
     (pkg/stanza/entry/field.go fromJSONDot), so dots inside brackets
-    must not split."""
+    must not split. Rejects malformed paths loudly: these come from
+    user config, and silently skipping unmatched characters would
+    resolve e.g. ``attributes[]`` to the whole ``attributes`` column —
+    a config typo must not become a column-wide delete."""
     import re
 
-    return [
-        next(g for g in m.groups() if g is not None)
-        for m in re.finditer(
-            r"\[\"([^\"]*)\"\]|\['([^']*)'\]|([^.\[\]]+)", path
-        )
-    ]
+    parts, covered = [], 0
+    for m in re.finditer(r"\[\"([^\"]*)\"\]|\['([^']*)'\]|([^.\[\]]+)", path):
+        parts.append(next(g for g in m.groups() if g is not None))
+        # separators between tokens may only be single dots
+        gap = path[covered : m.start()]
+        if gap not in ("", "."):
+            raise ValueError(f"malformed field path: {path!r}")
+        covered = m.end()
+    if not parts or covered != len(path):
+        raise ValueError(f"malformed field path: {path!r}")
+    return parts
 
 
 def field_get(path: str) -> Column:

@@ -14,7 +14,6 @@ inside whole-stage codegen; there is no Python in the row path.
 from __future__ import annotations
 
 import re as _re
-import weakref
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame
@@ -787,16 +786,19 @@ SEVERITY_TEXT = {
 # WeakKeyDictionary keyed on the session itself (NOT id(spark)): entries
 # die with the session, so a garbage-collected session can never alias a
 # reused CPython id onto a stale DataFrame bound to a dead JVM handle.
-_SEV_DIM_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
-
-
 def _severity_dim(spark, rows: tuple):
-    per_session = _SEV_DIM_CACHE.setdefault(spark, {})
-    if rows not in per_session:
-        per_session[rows] = spark.createDataFrame(
+    # session-keyed cache shared with the transcripts dims
+    # (envelope.cached_session_df — one implementation of the
+    # WeakKeyDictionary-on-the-session pattern)
+    from ..envelope import cached_session_df
+
+    return cached_session_df(
+        spark,
+        ("severity", rows),
+        lambda: spark.createDataFrame(
             list(rows), "__sev_alias string, __sev_num int, __sev_text string"
-        )
-    return per_session[rows]
+        ),
+    )
 
 
 _HTTP_RANGES = {"2xx": (200, 299), "3xx": (300, 399), "4xx": (400, 499), "5xx": (500, 599)}

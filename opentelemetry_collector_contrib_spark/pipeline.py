@@ -102,7 +102,13 @@ class TranscriptPipeline:
                 out,
                 "router",
                 rows=F.count(F.lit(1)),
-                errors=F.sum((F.col("route") == "sink_errors").cast("long")),
+                # coalesce: sum over an EMPTY frame (filtered batch,
+                # empty micro-batch) is NULL, and a null counter
+                # silently vanishes from record_batch folds downstream
+                errors=F.coalesce(
+                    F.sum((F.col("route") == "sink_errors").cast("long")),
+                    F.lit(0).cast("long"),
+                ),
             )
         counts = self.aggregate(out)
         return out, counts

@@ -29,11 +29,9 @@ DEFAULT_CONFS = {
     # Loose string-to-timestamp etc. (OTTL ignore-mode default); operators
     # that need strictness use try_* / explicit casts instead of ANSI mode.
     "spark.sql.ansi.enabled": "false",
-    # local-mode driver == executor: size the heap for 32 concurrent tasks
-    # (default 1g GC-thrashes; oversized heaps amplify page-fault noise
-    # under the VM). Only honored at JVM launch; cluster deployments
-    # override via spark-submit as usual.
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # (spark.driver.memory is resolved in get_spark at CALL time — an
+    # import-time read here would bind the env var before a harness can
+    # set it, unlike SPARK_GRAFT_CPUS which already resolves per call)
     "spark.driver.maxResultSize": "4g",
     # No console progress bars: bench.py's contract is ONE parseable JSON
     # line as the final stdout line; progress redraws interleave with it.
@@ -57,10 +55,30 @@ def get_spark(
         master = f"local[{cpus}]"
     builder = SparkSession.builder.appName(app_name).master(master)
     confs = dict(DEFAULT_CONFS)
+    # local-mode driver == executor: size the heap for 32 concurrent
+    # tasks (default 1g GC-thrashes; oversized heaps amplify page-fault
+    # noise under the VM). Only honored at JVM launch; cluster
+    # deployments override via spark-submit as usual.
+    confs["spark.driver.memory"] = os.environ.get(
+        "SPARK_GRAFT_DRIVER_MEM", "8g"
+    )
     if extra_conf:
         confs.update(extra_conf)
     for k, v in confs.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
+    # getOrCreate REUSES any live session: master and static confs
+    # (driver memory, maxResultSize) from this call are then ignored.
+    # That is intended for test suites sharing one session, but a
+    # mismatched master should not pass silently — say so.
+    actual = spark.sparkContext.master
+    if actual != master:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "get_spark: reusing existing SparkSession with master=%s; "
+            "requested master=%s and static confs were ignored",
+            actual, master,
+        )
     spark.sparkContext.setLogLevel("WARN")
     return spark
