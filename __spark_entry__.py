@@ -86,6 +86,7 @@ from opentelemetry_collector_contrib_spark.training import (
     ivf_topk,
     pq_adc_topk,
     pq_codebooks,
+    pq_residual_codebooks,
     pq_encode,
     rotate_vectors,
     rotation_masks as _rotation_masks,
@@ -2710,6 +2711,27 @@ def _q_token_budget_cut(spark, sf_dir):
     )
 
 
+def _q_pq_residual_topk(spark, sf_dir):
+    # IVFADC, the canonical residual composition (Jegou et al. 2011
+    # §IV): codes quantize x - q1(x), and each probed list scores the
+    # query in THAT list's residual space — the lower-quantization-
+    # error variant of ann_pq_topk (which quantizes raw vectors).
+    # Codebooks train on the ks md5-order samples AFTER the coarse
+    # sample (a vector's residual against its own centroid is zero).
+    emb = _emb(spark, sf_dir)
+    cents = ivf_centroids(emb, n_list=16)
+    books = pq_residual_codebooks(emb, cents, m=4, ks=16)
+    return pq_adc_topk(
+        emb,
+        emb.filter("vec_id < 20"),
+        books,
+        k=5,
+        centroids=cents,
+        n_probe=2,
+        residual=True,
+    )
+
+
 def _q_transform_datapoint(spark, sf_dir):
     # OTTL datapoint context e2e (r05): ordered transform statements +
     # datapoint filter over a one-row-per-datapoint metric frame —
@@ -2984,8 +3006,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampler_deterministic": _q_sampler,
         "sampler_fnv": _q_sampler_fnv,
         # new in r05: the OTTL datapoint context (the 7th and last
-        # reference OTTL context namespace)
+        # reference OTTL context namespace) and the IVFADC residual
+        # composition (the canonical Jegou et al. variant)
         "transform_datapoint": _q_transform_datapoint,
+        "ann_pq_residual_topk": _q_pq_residual_topk,
     }
     # r05 driver-window rotation: the driver verifies the FIRST 50
     # entries, so front-load (a) the 22 entries that have never had a
@@ -3021,6 +3045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grafanacloud_hosts",
         # (b) operators new/touched in r05
         "transform_datapoint",
+        "ann_pq_residual_topk",
         "tail_sampling",
         "tail_sampling_invert",
         "tail_sampling_span_count",
@@ -3049,7 +3074,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_transform",
         "count_connector",
         "parse_csv",
-        "parse_regex",
     ]
     ordered = {k: q[k] for k in window}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
@@ -3829,6 +3853,43 @@ SELECT e.vec_id, s.j AS subspace, c.centroid_id AS code
 FROM embeddings e CROSS JOIN sub s CROSS JOIN cent c
 QUALIFY row_number() OVER (PARTITION BY e.vec_id, s.j
   ORDER BY {_l2_sql('list_slice(e.embedding, s.j*16+1, s.j*16+16)', 'list_slice(c.cemb, s.j*16+1, s.j*16+16)')}, c.centroid_id) = 1""",
+        "ann_pq_residual_topk": f"""WITH {_IVF_CENT},
+sub AS (SELECT unnest(range(4)) AS j),
+cbs AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) AS rn, embedding
+        FROM embeddings QUALIFY rn > 16 AND rn <= 32),
+cb AS (SELECT s.rn - 16 AS code,
+              list_transform(list_zip(s.embedding::DOUBLE[], c.cemb::DOUBLE[]), z -> z[1]-z[2]) AS remb
+       FROM cbs s CROSS JOIN cent c
+       QUALIFY row_number() OVER (PARTITION BY s.rn
+         ORDER BY ({_dot_sql('s.embedding', 'c.cemb')} / {_nrm_sql('c.cemb')}) DESC, c.centroid_id) = 1),
+assign AS (SELECT e.vec_id, c.centroid_id AS list_id,
+                  list_transform(list_zip(e.embedding::DOUBLE[], c.cemb::DOUBLE[]), z -> z[1]-z[2]) AS remb
+           FROM embeddings e CROSS JOIN cent c
+           QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {_IVF_COS_EC} DESC, c.centroid_id) = 1),
+enc AS (SELECT a.vec_id, a.list_id, s.j, b.code
+        FROM assign a CROSS JOIN sub s CROSS JOIN cb b
+        QUALIFY row_number() OVER (PARTITION BY a.vec_id, s.j
+          ORDER BY {_l2_sql('list_slice(a.remb, s.j*16+1, s.j*16+16)', 'list_slice(b.remb, s.j*16+1, s.j*16+16)')}, b.code) = 1),
+probe AS (SELECT e.vec_id AS query_id, c.centroid_id AS list_id,
+                 list_transform(list_zip(e.embedding::DOUBLE[], c.cemb::DOUBLE[]), z -> z[1]-z[2]) AS qres
+          FROM (SELECT * FROM embeddings WHERE vec_id < 20) e CROSS JOIN cent c
+          QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                                     ORDER BY {_IVF_COS_EC} DESC, c.centroid_id) <= 2),
+terms AS (SELECT p.query_id, en.vec_id AS neighbor_id, en.j,
+                 {_l2_sql('list_slice(p.qres, en.j*16+1, en.j*16+16)', 'list_slice(b.remb, en.j*16+1, en.j*16+16)')} AS dterm
+          FROM enc en
+          JOIN probe p ON p.list_id = en.list_id AND p.query_id != en.vec_id
+          JOIN cb b ON b.code = en.code),
+adcs AS (SELECT query_id, neighbor_id,
+                round((((max(dterm) FILTER (WHERE j = 0)
+                         + max(dterm) FILTER (WHERE j = 1))
+                        + max(dterm) FILTER (WHERE j = 2))
+                       + max(dterm) FILTER (WHERE j = 3)), 4) AS adc
+         FROM terms GROUP BY query_id, neighbor_id)
+SELECT query_id, neighbor_id, rank, adc FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, neighbor_id) AS rank
+  FROM adcs) WHERE rank <= 5""",
         "ann_pq_topk": f"""WITH {_IVF_CENT},
 sub AS (SELECT unnest(range(4)) AS j),
 enc AS (SELECT e.vec_id, s.j, c.centroid_id AS code

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..envelope import try_element_at
+
 
 def _dot(a: Column, b: Column) -> Column:
     prods = F.zip_with(
@@ -472,6 +474,76 @@ def pq_codebooks(
     ]
 
 
+def _py_dot(a: list[float], b: list[float]) -> float:
+    """Python twin of :func:`_dot`: identical IEEE left fold (acc + x*y
+    from 0.0), bit-identical to the Spark/DuckDB aggregate."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+def _py_assign(vec: list[float], centroids: list[tuple[int, list[float]]]) -> int:
+    """Python twin of ``_centroid_ranking(...)[0]``: the centroid id
+    with max ``dot(v,c)/norm(c)`` (the vector's own norm is constant
+    across candidates so the ranking drops it — same reduction the
+    Spark and DuckDB rankings apply), ties to the smaller id. Same IEEE
+    fold order via the _py twins, so a driver-side assignment agrees
+    bit-for-bit with the in-plan one."""
+    best_id, best_s = None, None
+    for cid, cvec in centroids:
+        s = _py_dot(vec, cvec) / _py_norm(cvec)
+        if best_s is None or s > best_s:
+            best_id, best_s = cid, s
+    return best_id
+
+
+def pq_residual_codebooks(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    m: int = 4,
+    ks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[tuple[int, list[float]]]]:
+    """Codebooks trained on IVF RESIDUALS — the canonical IVFADC
+    composition (Jegou et al. 2011 §IV: quantize ``x - q1(x)``, the
+    coarse centroid's residual, which concentrates the distribution and
+    cuts quantization error vs the non-residual :func:`pq_codebooks`).
+    Same train-by-sampling posture: ``ks`` md5-order sample vectors
+    become code vectors AFTER subtracting each one's own nearest coarse
+    centroid (driver-side — the sample is index-build-constant-sized;
+    the assignment reuses the exact ranking reduction via the _py
+    twins, so the DuckDB oracle can rebuild these books as one sample
+    CTE + residual projection). The sample SKIPS the first
+    ``len(centroids)`` md5-order rows: those ARE the coarse sample, and
+    a vector's residual against its own centroid is the zero vector —
+    training on them would collapse every codebook entry to zeros (all
+    corpus codes tie at code 1, ADC becomes constant). Returns
+    ``[subspace][(code, subvec)]`` positional 1..ks like
+    :func:`pq_codebooks`."""
+    n_skip = len(centroids)
+    wide = ivf_centroids(
+        df, n_list=n_skip + ks, id_col=id_col, vec_col=vec_col
+    )
+    sample = [(i + 1, vec) for i, (_, vec) in enumerate(wide[n_skip:])]
+    cmap = dict(centroids)
+    residuals = []
+    for cid, vec in sample:
+        own = cmap[_py_assign(vec, centroids)]
+        residuals.append(
+            (cid, [float(x) - float(c) for x, c in zip(vec, own)])
+        )
+    dim = len(residuals[0][1])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    return [
+        [(cid, vec[j * d : (j + 1) * d]) for cid, vec in residuals]
+        for j in range(m)
+    ]
+
+
 def _pq_code(
     vec_col: str, book: list[tuple[int, list[float]]], start: int
 ) -> Column:
@@ -482,7 +554,8 @@ def _pq_code(
     expressions); the slice is re-evaluated per codebook entry — ks x
     D/m work per row, small by construction."""
     d = len(book[0][1])
-    sub = F.slice(F.col(vec_col), start, d)
+    src = vec_col if isinstance(vec_col, Column) else F.col(vec_col)
+    sub = F.slice(src, start, d)
     entries = [
         F.struct(
             F.lit(cid).alias("id"),
@@ -533,6 +606,7 @@ def pq_adc_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    residual: bool = False,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes: the corpus side is
     scored from its ``m`` codes only — distance(q, x) is approximated by
@@ -564,22 +638,60 @@ def pq_adc_topk(
     for book in codebooks:
         if [cid for cid, _ in book] != list(range(1, len(book) + 1)):
             raise ValueError("codebook codes must be positional 1..ks")
+    if residual and centroids is None:
+        raise ValueError("residual encoding needs the IVF centroids")
     m = len(codebooks)
     d = len(codebooks[0][0][1])
+    # residual (IVFADC, Jegou et al. 2011 §IV): both sides quantize /
+    # score x - q1(x); the centroid vectors ship as ONE literal
+    # array-of-arrays indexed positionally by list_id (ivf_centroids
+    # ids are 1..n_list in sample order)
+    if residual:
+        carr = F.array(
+            *[
+                F.array(*[F.lit(float(x)) for x in cvec])
+                for _, cvec in centroids
+            ]
+        )
+    ranking = (
+        _centroid_ranking(vec_col, centroids)
+        if centroids is not None
+        else None
+    )
+    if residual:
+        lid = ranking[0].getField("centroid_id")
+        enc_src: Column | str = F.zip_with(
+            F.col(vec_col),
+            try_element_at(carr, lid),
+            lambda x, c: x - c,
+        )
+    else:
+        enc_src = vec_col
     enc_cols = [
         F.col(id_col).alias("neighbor_id"),
         F.array(
-            *[_pq_code(vec_col, codebooks[j], j * d + 1) for j in range(m)]
+            *[_pq_code(enc_src, codebooks[j], j * d + 1) for j in range(m)]
         ).alias("codes"),
     ]
     qcols = [F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")]
     if centroids is not None:
-        ranking = _centroid_ranking(vec_col, centroids)
         enc_cols.append(ranking[0].getField("centroid_id").alias("list_id"))
         probed = F.transform(
             F.slice(ranking, 1, n_probe), lambda s: s.getField("centroid_id")
         )
         q = queries.select(*qcols, F.explode(probed).alias("list_id"))
+        if residual:
+            # per probed list, the query scores in THAT list's residual
+            # space: rq = q - c_list (the ADC lookup tables FAISS
+            # precomputes per probe)
+            q = q.withColumn(
+                "qv",
+                F.zip_with(
+                    F.col("qv"),
+                    try_element_at(carr, F.col("list_id")),
+                    lambda x, c: x - c,
+                ),
+            )
         joined = corpus.select(*enc_cols).join(F.broadcast(q), "list_id")
     else:
         q = queries.select(*qcols)

