@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_pq_topk",
+    "ann_pq_residual_topk",
     "ann_pq_rerank",
     "ann_opq_topk",
     "ann_recall",
@@ -138,6 +139,7 @@ BENCH_QUERIES = [
     "split_cluster_safe",
     "shuffle_order",
     "token_budget_cut",
+    "transform_datapoint",
 ]
 
 
