@@ -420,3 +420,47 @@ def test_flags_and_exemplars_passthrough_paths(spark):
     )(df).collect()
     got = {r.metric_name: (r.attributes.get("f"), r.attributes.get("ex")) for r in out}
     assert got == {"m1": ("1", "1.5"), "m2": ("0", None)}
+
+
+def test_setter_vectors_datapoint_paths(spark):
+    """Setter table ported from datapoint_test.go:544-631 (the 'set'
+    half of the get/set vectors): writes through every datapoint path
+    kind — times, flags, count, sum, list columns, expo scalars —
+    round-trip the flat frame."""
+    rows = [
+        ("m", 1, 2, 10.5, [1, 10, 5], [0.1, 0.5], 1, 1,
+         "2024-01-01 00:00:10", "2024-01-01 00:00:00", {})
+    ]
+    df = (
+        spark.createDataFrame(
+            rows,
+            "metric_name string, flags int, count long, hsum double, "
+            "bucket_counts array<bigint>, explicit_bounds array<double>, "
+            "scale int, zero_count long, ts string, start_ts string, "
+            "attributes map<string,string>",
+        )
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn("start_ts", F.col("start_ts").cast("timestamp"))
+    )
+    out = DataPointTransform(
+        [
+            "set(flags, 3)",
+            "set(count, 7)",
+            "set(sum, 99.5)",
+            "set(scale, 4)",
+            "set(zero_count, 2)",
+            "set(bucket_counts, [2, 3])",
+            "set(explicit_bounds, [9.9])",
+            "set(start_time_unix_nano, 1704067205000000000)",
+            "set(time_unix_nano, 1704067215000000000)",
+        ]
+    )(df).collect()[0]
+    assert out.flags == 3
+    assert out["count"] == 7
+    assert out.hsum == 99.5  # sum path writes back to the flat hsum
+    assert out.scale == 4
+    assert out.zero_count == 2
+    assert list(out.bucket_counts) == [2, 3]
+    assert list(out.explicit_bounds) == [9.9]
+    assert out.start_ts.second == 5   # 1704067205 = ...:00:05 UTC
+    assert out.ts.second == 15
